@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+import graft.operators.TextAnalysis._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2 B1–B3):
+  * exact, latest-wins CDC compaction, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison by
+  * construction — exact dedup is one hash-shuffle; MinHash/SimHash shuffle
+  * only (doc, band) pairs and compare within buckets; blocked Jaccard
+  * compares within caller-chosen blocks. At 100 TB the expensive part is
+  * the candidate-pair explosion, which banding bounds to near-duplicates.
+  */
+object Dedup {
+
+  /** B1 — exact dedup on arbitrary key columns: keeps the row with the
+    * minimal tie-break per key. One hash aggregation (map-side partial
+    * combine), no window needed.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** B2 — latest-wins compaction: per key keep the row with max order
+    * columns (e.g. version/ts, then offset). Generalizes the reference's
+    * `@Version` counter semantics (SURVEY.md §1.2).
+    */
+  def latestWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Per-document MinHash signature: array of `Hashing.Perms.length` min
+    * values of (a*h32(shingle)+b) mod P. Pure expression work — fuses into
+    * the scan stage; the only shuffle is whatever the caller does next.
+    */
+  def minhashSignature(shingles: Column): Column = {
+    val hashed = transform(shingles, s => Hashing.h32(s))
+    array(Hashing.Perms.map { case (a, b) =>
+      array_min(transform(hashed, x => (lit(a) * x + lit(b)) % Hashing.MinhashP))
+    }: _*)
+  }
+
+  /** B3 — MinHash+LSH near-duplicate pairs.
+    *
+    * shingle → 16-wide signature → 4 bands of 4 → band-hash bucket join →
+    * exact Jaccard verification on the candidate pairs only. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= tau.
+    *
+    * The band join shuffles (doc, band) — 4 rows per doc — instead of all
+    * pairs; exact verification touches only bucket-colliding pairs. That is
+    * the standard web-scale dedup shape (cf. Broder's shingling paper).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int,
+      tau: Double
+  ): DataFrame = {
+    val spark = docs.sparkSession
+
+    val withShingles = docs
+      .select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleWords).as("shingles"))
+      .withColumn("shingle_set", array_distinct(col("shingles")))
+      .withColumn("set_size", size(col("shingle_set")).cast("long"))
+      .withColumn("sig", minhashSignature(col("shingles")))
+
+    val bands = 4
+    val rowsPerBand = Hashing.Perms.length / bands
+    val banded = withShingles.select(
+      col("doc_id"),
+      posexplode(
+        array((0 until bands).map { b =>
+          Hashing.h32(concat_ws(":", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+        }: _*)
+      ).as(Seq("band", "band_hash"))
+    )
+
+    val candidates = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    val sets = withShingles.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
+    val sizes = withShingles.select(col("doc_id"), col("set_size"))
+
+    val inter = candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(
+          col("n_inter").cast("double") /
+            (col("za.set_size") + col("zb.set_size") - col("n_inter")).cast("double"),
+          6
+        ).as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** 60-bit SimHash of the token multiset: per bit, sum +-1 votes weighted
+    * by token occurrences; bit set where the vote is positive.
+    * Implemented as explode + two hash aggregations — linear shuffle of
+    * (doc, bit) rows, no pairwise work.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok")
+    )
+    val tokHash = toks.withColumn("h", Hashing.h60(col("tok")))
+    val bits = tokHash
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
+      .withColumn("vote", expr("(shiftright(h, bit) & 1) * 2 - 1"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+    bits
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("votes") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(lit(0L)))
+          .cast("long")
+          .as("simhash")
+      )
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
+    * 4-chunk pigeonhole banding (15 bits per chunk: distance <=3 implies at
+    * least one chunk equal). Returns (id_a, id_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding only guarantees recall for hamming <= 3")
+    val sh = simhash(docs, idCol, textCol)
+    val chunks = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(array((0 until 4).map(i => expr(s"shiftright(simhash, ${i * 15}) & 32767")): _*))
+        .as(Seq("chunk_idx", "chunk"))
+    )
+    chunks.as("x")
+      .join(chunks.as("y"), col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("id_a"),
+        col("y.doc_id").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked exact n-gram Jaccard: all pairs *within a blocking key* (e.g.
+    * source or length bucket) — the caller picks a block small enough that
+    * O(block²) is acceptable; cross-block pairs are by design not compared.
+    */
+  def blockedJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleWords: Int,
+      tau: Double
+  ): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      col(blockCol).as("block"),
+      array_distinct(wordShingles(col(textCol), shingleWords)).as("shingle_set")
+    )
+    base.as("x")
+      .join(base.as("y"), col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("id_a"),
+        col("y.doc_id").as("id_b"),
+        round(
+          size(array_intersect(col("x.shingle_set"), col("y.shingle_set"))).cast("double") /
+            size(array_union(col("x.shingle_set"), col("y.shingle_set"))).cast("double"),
+          6
+        ).as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** Embedding-cosine near-dup pairs within a bucket column (label / IVF
+    * cell): cosine >= tau. Double-precision sequential dot product so an
+    * independent engine reproduces the value.
+    */
+  def embeddingCosinePairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      tau: Double
+  ): DataFrame = {
+    val base = embeddings.select(
+      col(idCol).as("vec_id"),
+      col(bucketCol).as("bucket"),
+      transform(col(vecCol), x => x.cast("double")).as("v")
+    )
+    val joined = base.as("x")
+      .join(base.as("y"), col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    joined
+      .select(
+        col("x.vec_id").as("id_a"),
+        col("y.vec_id").as("id_b"),
+        round(Similarity.cosine(col("x.v"), col("y.v")), 6).as("cosine")
+      )
+      .filter(col("cosine") >= tau)
+  }
+}

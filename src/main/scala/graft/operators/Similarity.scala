@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over embedding columns
+  * (SURVEY.md §2 B4). Brute-force cosine is the correctness baseline; the
+  * bucketed variant is the scale path (compare only within a coarse cell —
+  * IVF-style; here the cell is any precomputed bucket column, e.g. a
+  * cluster label or sign-bit sketch).
+  *
+  * All vector math is double-precision, element-ordered `aggregate` over
+  * the array — deterministic and reproducible by an independent engine.
+  * No UDFs: `transform`/`zip_with`/`aggregate` are native Catalyst
+  * higher-order functions.
+  */
+object Similarity {
+
+  /** Sequential double-precision dot product of two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (sqrt of sequential sum of squares). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two double-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force top-k by cosine: for each query vector, the k nearest
+    * corpus vectors (excluding itself), ranked (cosine desc, id asc).
+    *
+    * Scale shape: queries are broadcast (they are small by assumption);
+    * the corpus streams through one scan — no corpus self-shuffle. At
+    * 100 TB the corpus side stays partition-parallel and the per-partition
+    * top-k is reduced by the final window; swap the window for a
+    * `mapPartitions` heap only if profiling demands it.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c
+      .join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Bucketed (IVF-style) top-k: identical contract, but candidates are
+    * restricted to the query's bucket. Trades recall for a |bucket|/|corpus|
+    * reduction in comparisons — the standard first step before a real ANN
+    * index. The bucket column can be a cluster id, a coarse-quantizer cell,
+    * or a locality-sensitive sketch.
+    */
+  def bucketedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("corpus_id"), col(bucketCol).as("cb"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(bucketCol).as("qb"), asDouble(col(vecCol)).as("qv"))
+    val scored = c
+      .join(broadcast(q), col("cb") === col("qb") && col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Sign-bit sketch over the first `bits` dimensions — a trivial
+    * locality-sensitive bucket usable as `bucketCol` for bucketedTopK
+    * when no cluster label exists.
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+}

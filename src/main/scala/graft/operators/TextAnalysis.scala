@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-analysis operators for an LLM training-data pipeline: tokenization,
+  * quality scoring, language ID, fingerprinting (SURVEY.md §2 B5).
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions` —
+  * no UDFs — so the whole stage fuses into one pass over the text column
+  * and scales linearly with input splits (no shuffle except the final
+  * aggregations callers add).
+  */
+object TextAnalysis {
+
+  /** Whitespace-normalized lowercase text. */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column =
+    split(normalize(c), " ")
+
+  /** Character k-shingles of the normalized text; short texts fall back to
+    * a single whole-string shingle so no row produces an empty set.
+    */
+  def charShingles(c: Column, k: Int): Column = {
+    val n = normalize(c)
+    when(
+      length(n) >= k,
+      transform(sequence(lit(1), length(n) - (k - 1)), i => n.substr(i, lit(k)))
+    ).otherwise(array(n))
+  }
+
+  /** Word k-gram shingles (joined with a single space); short docs fall back
+    * to the whole normalized text.
+    */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    when(
+      size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")
+      )
+    ).otherwise(array(normalize(c)))
+  }
+
+  /** Per-document token/char statistics appended as columns:
+    * n_tokens, n_chars_norm, avg_token_len, n_distinct_tokens.
+    */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars_norm", length(normalize(col(textCol))).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn(
+        "avg_token_len",
+        round(
+          (length(normalize(col(textCol))) - (size(toks) - 1)).cast("double") / size(toks),
+          6
+        )
+      )
+  }
+
+  /** Heuristic quality signals (length, punctuation density, stopword ratio,
+    * uppercase ratio) plus a composite 0..1 score. All ratios are exact
+    * integer-count divisions so an independent SQL oracle reproduces them
+    * bit-for-bit (after round()).
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t       = col(textCol)
+    val norm    = normalize(t)
+    val toks    = tokens(t)
+    val nPunct  = length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
+    val nUpper  = length(t) - length(regexp_replace(t, "[A-Z]", ""))
+    val nStop   = size(filter(toks, tk => tk.isInCollection(Stopwords)))
+    df.withColumn("punct_ratio", round(nPunct.cast("double") / greatest(length(t), lit(1)), 6))
+      .withColumn("upper_ratio", round(nUpper.cast("double") / greatest(length(t), lit(1)), 6))
+      .withColumn("stopword_ratio", round(nStop.cast("double") / greatest(size(toks), lit(1)), 6))
+      .withColumn("len_score", when(length(norm).between(100, 5000), lit(1.0)).otherwise(lit(0.0)))
+      .withColumn(
+        "quality_score",
+        round(
+          (col("len_score") + least(col("stopword_ratio") * 4, lit(1.0)) +
+            (lit(1.0) - least(col("punct_ratio") * 10, lit(1.0)))) / 3.0,
+          6
+        )
+      )
+  }
+
+  /** N-gram-frequency language ID heuristic: votes by language-marker tokens,
+    * ties broken by fixed language order. Deterministic and oracle-checkable;
+    * marker lists are tiny and act like a compiled-in model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "fr" -> Seq("le", "et", "les", "est"),
+    "es" -> Seq("el", "y", "los", "es"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks  = tokens(col(textCol))
+    val langs = LangMarkers.map(_._1)
+    val withVotes = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"votes_$lang", size(filter(toks, tk => tk.isInCollection(markers))))
+    }
+    // First-match-wins CASE chain: lang L wins if its votes are >= every
+    // later language's votes (earlier languages already failed their guard).
+    // Mirrors a plain SQL CASE so an oracle reproduces ties identically.
+    val best = langs.zipWithIndex.init.foldRight(lit(langs.last)) { case ((lang, i), acc) =>
+      val laterMax = langs.drop(i + 1).map(l => col(s"votes_$l")).reduceLeft(greatest(_, _))
+      when(col(s"votes_$lang") >= laterMax, lit(lang)).otherwise(acc)
+    }
+    withVotes
+      .withColumn("lang_pred", best)
+      .drop(langs.map(l => s"votes_$l"): _*)
+  }
+
+  /** 60-bit content fingerprint of the normalized text (md5-based — see
+    * Hashing). Two docs with equal normalized text share a fingerprint.
+    */
+  def fingerprint(c: Column): Column = Hashing.h60(normalize(c))
+}
