@@ -1,0 +1,330 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Hashing
+import graft.operators.{Dedup, EventAnalytics, Similarity, TextAnalysis}
+
+/** SURVEY.md §2 Part-B operator queries: text analysis (B5), dedup family
+  * (B1/B3), similarity search (B4), multimodal plumbing (B6), event
+  * analytics (B7). Same parity rules as SparkEntry.
+  *
+  * Oracle-side building blocks (DuckDB):
+  *  - normalize: regexp_replace(lower(trim(text)),'\s+',' ','g')
+  *  - h32/h60:   CAST('0x' || substr(md5(x),1,8|15) AS BIGINT)
+  *  - vector ops: list_cosine_similarity on DOUBLE[] — verified bit-equal
+  *    to Spark's sequential `aggregate` fold.
+  */
+object QueriesExt {
+
+  // SQL fragments shared by the oracles
+  private val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+  private def h32Sql(x: String)  = s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
+  private def h60Sql(x: String)  = s"CAST('0x' || substr(md5($x),1,15) AS BIGINT)"
+  private val (permsA, permsB)   = Hashing.PermsAsSqlLists
+  private val shinglesSql =
+    "CASE WHEN len(toks)>=3 THEN [array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)] ELSE [norm] END"
+
+  // ------------------------------------------------------------- text (B5)
+
+  private def textTokenStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .withTokenStats(documents(s, dir), "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_chars_norm"), col("n_distinct_tokens"), col("avg_token_len"))
+
+  private val textTokenStatsSql =
+    s"""WITH base AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |t AS (SELECT doc_id, norm, string_split(norm,' ') AS toks FROM base)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |  round((length(norm) - (len(toks)-1))::DOUBLE / len(toks), 6) AS avg_token_len
+       |FROM t""".stripMargin
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .withQuality(documents(s, dir), "text")
+      .select(col("doc_id"), col("punct_ratio"), col("upper_ratio"), col("stopword_ratio"), col("len_score"), col("quality_score"))
+
+  private val textQualitySql =
+    s"""WITH base AS (SELECT doc_id, text, $normSql AS norm FROM documents),
+       |t2 AS (SELECT doc_id, text, norm, string_split(norm,' ') AS toks,
+       |  length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS n_punct,
+       |  length(text) - length(regexp_replace(text,'[A-Z]','','g')) AS n_upper FROM base),
+       |t3 AS (SELECT doc_id,
+       |  round(n_punct::DOUBLE / greatest(length(text),1), 6) AS punct_ratio,
+       |  round(n_upper::DOUBLE / greatest(length(text),1), 6) AS upper_ratio,
+       |  round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+       |    / greatest(len(toks),1), 6) AS stopword_ratio,
+       |  CASE WHEN length(norm) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END AS len_score FROM t2)
+       |SELECT doc_id, punct_ratio, upper_ratio, stopword_ratio, len_score,
+       |  round((len_score + least(stopword_ratio*4, 1.0) + (1.0 - least(punct_ratio*10, 1.0)))/3.0, 6) AS quality_score
+       |FROM t3""".stripMargin
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .withLangId(documents(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("lang_pred"))
+
+  private val textLangIdSql =
+    s"""WITH base AS (SELECT doc_id, lang, string_split($normSql,' ') AS toks FROM documents),
+       |v AS (SELECT doc_id, lang,
+       |  len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS v_en,
+       |  len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS v_de,
+       |  len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS v_fr,
+       |  len(list_filter(toks, x -> list_contains(['el','y','los','es'], x))) AS v_es,
+       |  len(list_filter(toks, x -> list_contains(['的','是','了','在'], x))) AS v_zh
+       |FROM base)
+       |SELECT doc_id, lang, CASE
+       |  WHEN v_en >= greatest(v_de,v_fr,v_es,v_zh) THEN 'en'
+       |  WHEN v_de >= greatest(v_fr,v_es,v_zh) THEN 'de'
+       |  WHEN v_fr >= greatest(v_es,v_zh) THEN 'fr'
+       |  WHEN v_es >= v_zh THEN 'es'
+       |  ELSE 'zh' END AS lang_pred FROM v""".stripMargin
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private val textFingerprintSql =
+    s"SELECT doc_id, ${h60Sql(normSql)} AS fp FROM documents"
+
+  // ------------------------------------------------------------ dedup (B1/B3)
+
+  private def dedupExactText(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val dedupExactTextSql =
+    s"""SELECT ${h60Sql(normSql)} AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(documents(s, dir), "doc_id", "text", shingleWords = 3, tau = 0.5)
+
+  private val dedupMinhashSql =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |tok AS (SELECT doc_id, norm, string_split(norm,' ') AS toks FROM nrm),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok),
+       |hs AS (SELECT doc_id, [${h32Sql("s")} for s in shingles] AS hlist,
+       |       list_distinct(shingles) AS sset FROM sh),
+       |sg AS (SELECT doc_id,
+       |  [list_min([($permsA[i]*h + $permsB[i]) % 4294967311 for h in hlist]) for i in range(1,17)] AS sig
+       |  FROM hs),
+       |bd AS (SELECT doc_id, b AS band,
+       |  ${h32Sql("concat_ws(':', sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4])")} AS band_hash
+       |  FROM sg, range(0,4) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bd x JOIN bd y ON x.band=y.band AND x.band_hash=y.band_hash AND x.doc_id<y.doc_id),
+       |sets AS (SELECT doc_id, unnest(sset) AS shingle FROM hs),
+       |sz AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS set_size FROM hs),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT i.id_a, i.id_b,
+       |    round(i.n_inter::DOUBLE/(za.set_size + zb.set_size - i.n_inter), 6) AS jaccard
+       |  FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b)
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+
+  private val dedupSimhashSql =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(norm,' ')) AS tok FROM nrm),
+       |th AS (SELECT doc_id, ${h60Sql("tok")} AS h FROM tok),
+       |bits AS (SELECT doc_id, bit, sum(((h >> bit) & 1)*2 - 1) AS votes
+       |  FROM th, range(0,60) t(bit) GROUP BY 1, 2),
+       |sh AS (SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1),
+       |chunks AS (SELECT doc_id, simhash, c AS chunk_idx, (simhash >> (15*c)) & 32767 AS chunk
+       |  FROM sh, range(0,4) t(c)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedJaccardPairs(documents(s, dir), "doc_id", "text", "source", shingleWords = 3, tau = 0.5)
+
+  private val dedupNgramJaccardSql =
+    s"""WITH nrm AS (SELECT doc_id, source, $normSql AS norm FROM documents),
+       |tok AS (SELECT doc_id, source, norm, string_split(norm,' ') AS toks FROM nrm),
+       |sh AS (SELECT doc_id, source, $shinglesSql AS shingles FROM tok),
+       |st AS (SELECT doc_id, source, list_distinct(shingles) AS sset FROM sh)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |    round(len(list_intersect(x.sset, y.sset))::DOUBLE
+       |      / len(list_distinct(list_concat(x.sset, y.sset))), 6) AS jaccard
+       |  FROM st x JOIN st y ON x.source = y.source AND x.doc_id < y.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+
+  private def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding", "label", tau = 0.35)
+
+  private val dedupEmbedCosineSql =
+    """SELECT id_a, id_b, cosine FROM (
+      |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |    round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine
+      |  FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id)
+      |WHERE cosine >= 0.35""".stripMargin
+
+  // ------------------------------------------------------- similarity (B4)
+
+  private def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+  }
+
+  private val simTopKSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT * FROM v WHERE vec_id < 5),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+      |  FROM q JOIN v c ON c.vec_id != q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""".stripMargin
+
+  private def simAnnBucketed(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 5)
+  }
+
+  private val simAnnBucketedSql =
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT * FROM v WHERE vec_id < 20),
+      |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+      |  FROM q JOIN v c ON c.label = q.label AND c.vec_id != q.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
+
+  private def embedNormStats(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("label"), Similarity.norm(transform(col("embedding"), x => x.cast("double"))).as("nrm"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm")
+      )
+
+  private val embedNormStatsSql =
+    """SELECT label, count(*) AS n_vecs,
+      |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+      |FROM (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |GROUP BY label""".stripMargin
+
+  // ---------------------------------------------------------- events (B7)
+
+  private def eventsTumblingHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        unix_millis(date_trunc("hour", col("ts"))).as("window_start_ms"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_value")
+      )
+
+  private val eventsTumblingHourlySql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+      |  count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private def eventsSessionize(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sessionize(events(s, dir), gapMs = 1800000L)
+
+  private val eventsSessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT user_id, event_id, ms,
+      |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS prev_ms FROM e),
+      |s AS (SELECT user_id, ms,
+      |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_session FROM l)
+      |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events,
+      |  min(ms) AS first_ms, max(ms) AS last_ms
+      |FROM s GROUP BY user_id""".stripMargin
+
+  private def eventsHourlyUsers(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.hourlyUsers(events(s, dir))
+
+  private val eventsHourlyUsersSql =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+      |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- multimodal (B6)
+
+  /** Binary-column plumbing: documents.text re-encoded as an opaque binary
+    * payload with typed metadata — the schema/partitioning shape a real
+    * image/audio column would use (decode stubs live in
+    * operators.Multimodal; this query checks the relational plumbing).
+    */
+  private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        Hashing.h32(col("text")).as("content_h32")
+      )
+      .withColumn("fake_brightness", col("content_h32") % 256)
+
+  private val mmBinaryMetaSql =
+    s"""SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  ${h32Sql("text")} AS content_h32,
+       |  ${h32Sql("text")} % 256 AS fake_brightness
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats"      -> (textTokenStats _),
+    "text_quality"          -> (textQuality _),
+    "text_langid"           -> (textLangId _),
+    "text_fingerprint"      -> (textFingerprint _),
+    "dedup_exact_text"      -> (dedupExactText _),
+    "dedup_minhash_lsh"     -> (dedupMinhash _),
+    "dedup_simhash"         -> (dedupSimhash _),
+    "dedup_ngram_jaccard"   -> (dedupNgramJaccard _),
+    "dedup_embed_cosine"    -> (dedupEmbedCosine _),
+    "sim_topk_cosine"       -> (simTopK _),
+    "sim_ann_bucketed"      -> (simAnnBucketed _),
+    "embed_norm_stats"      -> (embedNormStats _),
+    "events_tumbling_hourly" -> (eventsTumblingHourly _),
+    "events_sessionize"     -> (eventsSessionize _),
+    "events_hourly_users"   -> (eventsHourlyUsers _),
+    "mm_binary_meta"        -> (mmBinaryMeta _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_token_stats"      -> textTokenStatsSql,
+    "text_quality"          -> textQualitySql,
+    "text_langid"           -> textLangIdSql,
+    "text_fingerprint"      -> textFingerprintSql,
+    "dedup_exact_text"      -> dedupExactTextSql,
+    "dedup_minhash_lsh"     -> dedupMinhashSql,
+    "dedup_simhash"         -> dedupSimhashSql,
+    "dedup_ngram_jaccard"   -> dedupNgramJaccardSql,
+    "dedup_embed_cosine"    -> dedupEmbedCosineSql,
+    "sim_topk_cosine"       -> simTopKSql,
+    "sim_ann_bucketed"      -> simAnnBucketedSql,
+    "embed_norm_stats"      -> embedNormStatsSql,
+    "events_tumbling_hourly" -> eventsTumblingHourlySql,
+    "events_sessionize"     -> eventsSessionizeSql,
+    "events_hourly_users"   -> eventsHourlyUsersSql,
+    "mm_binary_meta"        -> mmBinaryMetaSql
+  )
+}
