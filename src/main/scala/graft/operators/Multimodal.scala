@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (SURVEY.md §2 B6): media payloads ride as
+  * opaque `binary` columns next to relational ones; decode / feature
+  * extraction runs partition-parallel over the binary column with a
+  * batch-shaped API.
+  *
+  * The real codecs (image/audio libs) are NOT in this environment, so the
+  * decode kernel is a clearly-marked deterministic stub — the Spark-side
+  * contract (schema, encoders, mapPartitions batching, partition
+  * parallelism) is real and tested. Swapping `decodeKernel` for a JNI/
+  * library call is the only change needed at deployment.
+  */
+object Multimodal {
+
+  /** A media row: relational id + opaque payload + typed metadata. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted features (what a decoder would emit). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      checksum: Long,
+      width: Int,
+      height: Int,
+      mean_luma: Double
+  )
+
+  /** STUB decode kernel — stands in for an image/audio codec. Deterministic
+    * byte-level "features" so tests are reproducible; replace the body with
+    * the real library call (e.g. TwelveMonkeys/ffmpeg via JNI) in
+    * production. Runs once per row *inside* mapPartitions so per-partition
+    * setup (codec init, native buffers) amortizes — the shape a real codec
+    * needs.
+    */
+  private def decodeKernel(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    // fake dimensions derived from content — a real kernel parses the header
+    val w = 16 + (sum % 64).toInt
+    val h = 16 + ((sum / 64) % 64).toInt
+    MediaFeatures(
+      doc_id = row.doc_id,
+      media_type = row.media_type,
+      n_bytes = bytes.length.toLong,
+      checksum = sum,
+      width = w,
+      height = h,
+      mean_luma = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+    )
+  }
+
+  /** Decode a media Dataset partition-parallel. mapPartitions (not map) so
+    * a real codec can hoist expensive init out of the per-row loop; the
+    * iterator stays lazy — no partition-sized buffering.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real impl: val codec = Codec.open(); rows.map(decodeWith(codec))
+      rows.map(decodeKernel)
+    }
+  }
+
+  /** Deterministic frame-sample offsets for a (fake) video payload: `n`
+    * evenly spaced byte offsets. A real impl samples frames at these
+    * timestamps; the plumbing (explode to one row per frame, carry-through
+    * of relational columns) is what matters at scale.
+    */
+  def frameOffsets(df: DataFrame, lenCol: String, n: Int): DataFrame =
+    df.withColumn(
+      "frame_offsets",
+      transform(sequence(lit(0), lit(n - 1)), i => (col(lenCol) * i / n).cast("long"))
+    )
+
+  /** Build a MediaRow Dataset from the documents fixture (text bytes as a
+    * stand-in payload) — harness glue for tests/benchmarks.
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id"),
+        lit("text/plain").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload")
+      )
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.Envelope
+import graft.enrich.Enrichment
+
+/** The reference's three topologies re-expressed as Structured Streaming
+  * pipelines (SURVEY.md §3):
+  *
+  *  - eventTransform / animalTransform (§3.1): CDC envelope stream →
+  *    tombstone/delete/invalid-id filter → lookup-enrich → branch →
+  *    success sink + DLQ sink (original envelope, reference
+  *    AnimalTransformerStream.java:56-59).
+  *  - animalDlqTransform (§3.2): on-demand replay of the DLQ against the
+  *    repair dimension, throttled (max.poll.records ≈ maxFilesPerTrigger /
+  *    maxOffsetsPerTrigger).
+  *  - manual export (§3.3): one-row synchronous push.
+  *
+  * Sinks here are parquet paths (the test harness's stand-in for Kafka
+  * topics — no Kafka broker/jars in this environment); the enrichment and
+  * branching logic is sink-agnostic. Per micro-batch the dimension is
+  * re-read (`dim` is a thunk) so each batch observes current table state,
+  * exactly like the reference's per-record REST lookup — but as one
+  * broadcast hash join instead of N HTTP calls.
+  */
+object Pipelines {
+
+  /** A3→A8 as one batch transform. Returns (success records re-keyed by id
+    * — A11, failed original envelopes — A9's DLQ payload).
+    */
+  def enrichBatch(
+      batch: DataFrame,
+      dim: DataFrame,
+      dimKey: String,
+      dimCols: Seq[String]
+  ): (DataFrame, DataFrame) = {
+    val valid = Envelope
+      .dropTombstones(batch)
+      .filter(col("value.after").isNotNull)
+      .filter(col("value.after.id").isNotNull && col("value.after.id") =!= 0)
+
+    val d = broadcast(dim.select(dimKey, dimCols: _*))
+    val joined = valid.join(d, col("value.after.id") === d(dimKey), "left")
+
+    val success = joined
+      .filter(d(dimKey).isNotNull)
+      .select(
+        struct(col("value.after.id").as("id")).as("key") +:
+          col("value.after.*") +:
+          dimCols.map(col): _*
+      )
+    val failed = joined
+      .filter(d(dimKey).isNull)
+      .select(col("key"), col("value"))
+    (success, failed)
+  }
+
+  /** §3.1 main pipeline: stream of envelope records → enrich → success
+    * parquet + DLQ parquet. `dim` is re-evaluated every micro-batch.
+    */
+  def startEnrichPipeline(
+      name: String,
+      source: DataFrame,
+      dim: () => DataFrame,
+      dimKey: String,
+      dimCols: Seq[String],
+      successPath: String,
+      dlqPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    source.writeStream
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // cache once, branch twice (A8) — mirrors KStream.branch without
+        // recomputing the join per sink
+        batch.persist()
+        try {
+          val (ok, failed) = enrichBatch(batch, dim(), dimKey, dimCols)
+          ok.write.mode("append").parquet(successPath)
+          failed.write.mode("append").parquet(dlqPath)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** §3.2 DLQ replay: consume the DLQ (file-based stand-in), re-run the
+    * same enrichment against the *repair* dimension, append to the success
+    * sink. `maxFilesPerTrigger` throttles like max.poll.records: 10.
+    * Started on demand (auto-startup: false) via StreamRegistry.
+    */
+  def startDlqReplay(
+      name: String,
+      spark: SparkSession,
+      dlqPath: String,
+      dlqSchema: org.apache.spark.sql.types.StructType,
+      repairDim: () => DataFrame,
+      dimKey: String,
+      dimCols: Seq[String],
+      successPath: String,
+      checkpoint: String,
+      maxFilesPerTrigger: Int = 10
+  ): StreamingQuery = {
+    val source = spark.readStream
+      .schema(dlqSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dlqPath)
+    source.writeStream
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (ok, _) = enrichBatch(batch, repairDim(), dimKey, dimCols)
+        ok.write.mode("append").parquet(successPath)
+        ()
+      }
+      .start()
+  }
+
+  /** §3.3 manual export: push one JSON record (plain or envelope-shaped —
+    * the `after` member wins, reference ManualAnimalExportController
+    * .java:53-56) synchronously into the success sink. Returns the parsed
+    * row count written (0 = unparseable, the 422 case).
+    */
+  def manualExport(
+      spark: SparkSession,
+      json: String,
+      payload: org.apache.spark.sql.types.StructType,
+      successPath: String
+  ): Long = {
+    import spark.implicits._
+    val envSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("after", payload, nullable = true) +: payload.fields
+    )
+    val parsed = Seq(json)
+      .toDF("raw")
+      .select(from_json(col("raw"), envSchema).as("j"))
+      .select(
+        // envelope-shaped input wins; else treat fields as the row itself
+        when(col("j.after").isNotNull, col("j.after"))
+          .otherwise(struct(payload.fieldNames.toSeq.map(f => col(s"j.$f")): _*))
+          .as("row")
+      )
+      .filter(col("row.id").isNotNull && col("row.id") =!= 0)
+      .select(struct(col("row.id").as("id")).as("key"), col("row.*"))
+    val n = parsed.count()
+    if (n > 0) parsed.write.mode("append").parquet(successPath)
+    n
+  }
+}

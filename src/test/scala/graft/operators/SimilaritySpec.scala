@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.GraftSpecBase
+
+class SimilaritySpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.8f, 0.6f), 0),
+    (2L, Array(0.0f, 1.0f), 1),
+    (3L, Array(-1.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force top-k ranks by cosine desc with id tie-break") {
+    val out = Similarity
+      .bruteForceTopK(emb, emb.filter($"vec_id" === 0L), "vec_id", "embedding", k = 3)
+      .select("corpus_id", "cosine", "rank").as[(Long, Double, Long)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))     // 0.8, 0.0, -1.0
+    assert(out.head._2 === 0.8)
+    assert(out.last._2 === -1.0)
+  }
+
+  test("bucketed top-k only scans the query's bucket") {
+    val out = Similarity
+      .bucketedTopK(emb, emb.filter($"vec_id" === 2L), "vec_id", "embedding", "label", k = 3)
+      .select("corpus_id").as[Long].collect()
+    assert(out.toSeq === Seq(3L))   // only label-1 candidates
+  }
+
+  test("sign bucket sketch is deterministic") {
+    val b = emb.select(Similarity.signBucket($"embedding", 2).as("b"))
+      .as[Long].collect()
+    assert(b.toSeq === Seq(1L, 3L, 2L, 0L))
+  }
+}
