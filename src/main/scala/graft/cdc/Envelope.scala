@@ -90,9 +90,6 @@ object Envelope {
     * `@Version` optimistic-lock counter generalized (SURVEY.md §2 B2):
     * per key keep the max (orderCol, tieBreak) row.
     */
-  def latestWins(df: DataFrame, keyCol: String, orderCol: String, tieBreak: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).desc, col(tieBreak).desc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  def latestWins(df: DataFrame, keyCol: String, orderCol: String, tieBreak: String): DataFrame =
+    graft.operators.Dedup.latestWins(df, Seq(keyCol), Seq(col(orderCol), col(tieBreak)))
 }

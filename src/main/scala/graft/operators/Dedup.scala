@@ -16,14 +16,29 @@ import graft.operators.TextAnalysis._
   */
 object Dedup {
 
+  /** Tiny-input guard: a single small parquet file arrives as one
+    * partition, which would serialize the expensive per-document shingle /
+    * signature computation on a many-core executor. Real datasets arrive
+    * in many splits and skip this; the threshold keeps the repartition
+    * from adding a shuffle where the scan is already parallel.
+    */
+  private def spreadSmallInput(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** B1 — exact dedup on arbitrary key columns: keeps the row with the
     * minimal tie-break per key. One hash aggregation (map-side partial
     * combine), no window needed.
     */
   def exact(df: DataFrame, keyCols: Seq[String], tieBreak: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreak).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    // min_by over the whole row: one hash aggregation with map-side partial
+    // combine — at scale this beats the window row_number form, which must
+    // shuffle + sort every full row before discarding the losers.
+    val cols = df.columns
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*), col(tieBreak)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
   }
 
   /** B2 — latest-wins compaction: per key keep the row with max order
@@ -31,21 +46,26 @@ object Dedup {
     * `@Version` counter semantics (SURVEY.md §1.2).
     */
   def latestWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    // max_by with a struct ordering key (lexicographic) — same single
+    // aggregation shape as `exact`; ties must be broken by a unique final
+    // order column, as in the reference's version counter + offset.
+    val cols = df.columns
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), struct(orderCols: _*)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
   }
 
   /** Per-document MinHash signature: array of `Hashing.Perms.length` min
     * values of (a*h32(shingle)+b) mod P. Pure expression work — fuses into
     * the scan stage; the only shuffle is whatever the caller does next.
     */
-  def minhashSignature(shingles: Column): Column = {
-    val hashed = transform(shingles, s => Hashing.h32(s))
-    array(Hashing.Perms.map { case (a, b) =>
-      array_min(transform(hashed, x => (lit(a) * x + lit(b)) % Hashing.MinhashP))
-    }: _*)
-  }
+  def minhashSignature(shingles: Column): Column =
+    graft.functions.VectorExpressions.minhashSig(
+      transform(shingles, s => Hashing.h32(s)),
+      Hashing.Perms.map(_._1),
+      Hashing.Perms.map(_._2),
+      Hashing.MinhashP
+    )
 
   /** B3 — MinHash+LSH near-duplicate pairs.
     *
@@ -66,11 +86,17 @@ object Dedup {
   ): DataFrame = {
     val spark = docs.sparkSession
 
-    val withShingles = docs
+    // One pass computes shingle set + signature; persisted because three
+    // downstream branches (banding, set explode, sizes) would otherwise
+    // each recompute the shingling — at scale this is the materialized
+    // "signature table" a real pipeline would checkpoint.
+    val withShingles = spreadSmallInput(docs)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleWords).as("shingles"))
       .withColumn("shingle_set", array_distinct(col("shingles")))
       .withColumn("set_size", size(col("shingle_set")).cast("long"))
       .withColumn("sig", minhashSignature(col("shingles")))
+      .drop("shingles")
+      .persist()
 
     val bands = 4
     val rowsPerBand = Hashing.Perms.length / bands
@@ -119,23 +145,18 @@ object Dedup {
     * (doc, bit) rows, no pairwise work.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok")
-    )
-    val tokHash = toks.withColumn("h", Hashing.h60(col("tok")))
-    val bits = tokHash
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("bit"))
-      .withColumn("vote", expr("(shiftright(h, bit) & 1) * 2 - 1"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("vote")).as("votes"))
-    bits
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("votes") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(lit(0L)))
-          .cast("long")
-          .as("simhash")
-      )
+    val tokHash = spreadSmallInput(docs)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", Hashing.h60(col("tok")))
+    // 60 per-bit vote sums as one hash aggregation over (doc, token) rows —
+    // no (doc, token, bit) explosion, one shuffle instead of two, and the
+    // bit extraction stays inside whole-stage codegen.
+    val voteCols = (0 until 60).map(b => sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"v$b"))
+    val votes    = tokHash.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val packed = (0 until 60)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), packed.cast("long").as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found via
@@ -175,19 +196,39 @@ object Dedup {
       shingleWords: Int,
       tau: Double
   ): DataFrame = {
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      col(blockCol).as("block"),
-      array_distinct(wordShingles(col(textCol), shingleWords)).as("shingle_set")
-    )
-    base.as("x")
-      .join(base.as("y"), col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+    // Explode-join form: shuffle on (block, shingle) so a pair costs
+    // O(|intersection|) instead of O(|block|² · |set|) array intersections.
+    // Pairs with zero overlap never materialize — identical output for any
+    // tau > 0. The shingle table is persisted so the self-join's two sides
+    // read it instead of re-shingling.
+    val base = spreadSmallInput(docs)
       .select(
+        col(idCol).as("doc_id"),
+        col(blockCol).as("block"),
+        array_distinct(wordShingles(col(textCol), shingleWords)).as("shingle_set")
+      )
+      .withColumn("set_size", size(col("shingle_set")).cast("long"))
+    val sets = base
+      .select(col("doc_id"), col("block"), col("set_size"), explode(col("shingle_set")).as("shingle"))
+      .persist()
+    sets.as("x")
+      .join(
+        sets.as("y"),
+        col("x.block") === col("y.block") && col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") < col("y.doc_id")
+      )
+      .groupBy(
         col("x.doc_id").as("id_a"),
         col("y.doc_id").as("id_b"),
+        col("x.set_size").as("sza"),
+        col("y.set_size").as("szb")
+      )
+      .agg(count(lit(1)).as("n_inter"))
+      .select(
+        col("id_a"),
+        col("id_b"),
         round(
-          size(array_intersect(col("x.shingle_set"), col("y.shingle_set"))).cast("double") /
-            size(array_union(col("x.shingle_set"), col("y.shingle_set"))).cast("double"),
+          col("n_inter").cast("double") / (col("sza") + col("szb") - col("n_inter")).cast("double"),
           6
         ).as("jaccard")
       )
@@ -205,7 +246,7 @@ object Dedup {
       bucketCol: String,
       tau: Double
   ): DataFrame = {
-    val base = embeddings.select(
+    val base = spreadSmallInput(embeddings).select(
       col(idCol).as("vec_id"),
       col(bucketCol).as("bucket"),
       transform(col(vecCol), x => x.cast("double")).as("v")

@@ -34,18 +34,13 @@ object TextAnalysis {
   }
 
   /** Word k-gram shingles (joined with a single space); short docs fall back
-    * to the whole normalized text.
+    * to the whole normalized text (= all tokens re-joined). Implemented as
+    * a native expression (functions.WordKGrams) — the composable
+    * transform/slice/array_join form costs an interpreted lambda per
+    * shingle and dominated the dedup pipeline.
     */
-  def wordShingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
-    when(
-      size(toks) >= k,
-      transform(
-        sequence(lit(1), size(toks) - (k - 1)),
-        i => array_join(slice(toks, i, lit(k)), " ")
-      )
-    ).otherwise(array(normalize(c)))
-  }
+  def wordShingles(c: Column, k: Int): Column =
+    graft.functions.VectorExpressions.wordKGrams(tokens(c), k)
 
   /** Per-document token/char statistics appended as columns:
     * n_tokens, n_chars_norm, avg_token_len, n_distinct_tokens.
