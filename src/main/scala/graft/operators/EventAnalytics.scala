@@ -31,6 +31,26 @@ object EventAnalytics {
         round(avg(col("value")), 6).as("avg_value")
       )
 
+  /** B7 streaming twin of `tumbling`: watermarked hourly windows in append
+    * mode — late events beyond the watermark are dropped, closed windows
+    * emit exactly once. Identical column contract to the batch form so the
+    * two are interchangeable downstream.
+    */
+  def streamingTumblingHourly(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value")
+      )
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** Distinct users per hour. */
   def hourlyUsers(events: DataFrame): DataFrame =
     events

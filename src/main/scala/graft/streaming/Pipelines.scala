@@ -28,6 +28,8 @@ import graft.enrich.Enrichment
   */
 object Pipelines {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** A3→A8 as one batch transform. Returns (success records re-keyed by id
     * — A11, failed original envelopes — A9's DLQ payload).
     */
@@ -76,14 +78,18 @@ object Pipelines {
       .queryName(name)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // cache once, branch twice (A8) — mirrors KStream.branch without
         // recomputing the join per sink
         batch.persist()
         try {
           val (ok, failed) = enrichBatch(batch, dim(), dimKey, dimCols)
           ok.write.mode("append").parquet(successPath)
+          val nFailed = failed.count()
           failed.write.mode("append").parquet(dlqPath)
+          // A10 peek: side-effect log of DLQ-bound traffic, pass-through
+          // unchanged (reference AnimalTransformerStream.java:58)
+          if (nFailed > 0) log.info(s"[$name] batch $batchId: $nFailed record(s) routed to DLQ")
         } finally batch.unpersist()
         ()
       }

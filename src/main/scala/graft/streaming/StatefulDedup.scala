@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming latest-wins compaction (SURVEY.md §2 B2, streaming form) —
+  * the reference's `@Version` optimistic-lock counter as unbounded keyed
+  * state: per key, emit a record only when its version advances past the
+  * stored high-water mark. Out-of-order and duplicate CDC records are
+  * suppressed.
+  *
+  * State is one Long per key. At 100 TB keyspace that still fits the
+  * state store budget (8 bytes × keys, RocksDB-backed on a real cluster),
+  * but unbounded keys need a TTL policy: pass `ttl` to drop idle keys via
+  * processing-time timeout — the watermark-bounded alternative to keeping
+  * every key forever (documented trade-off: a key silent longer than the
+  * TTL re-emits its next record even if the version regressed).
+  */
+object StatefulDedup {
+
+  /** Records that advance (key, version) survive; others are dropped. */
+  def latestWins[K, V](
+      ds: Dataset[V],
+      key: V => K,
+      version: V => Long,
+      ttl: Option[java.time.Duration] = None
+  )(implicit ke: Encoder[K], ve: Encoder[V], tupleEnc: Encoder[(K, V)]): Dataset[V] = {
+    implicit val stateEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    val timeout =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Long, V](OutputMode.Append, timeout) {
+        (_: K, records: Iterator[V], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var hwm     = state.getOption.getOrElse(Long.MinValue)
+            val emitted = records.filter { r =>
+              val v = version(r)
+              if (v > hwm) { hwm = v; true } else false
+            }.toVector
+            if (emitted.nonEmpty || state.exists) {
+              state.update(hwm)
+              ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            }
+            emitted.iterator
+          }
+      }
+  }
+}
