@@ -445,7 +445,7 @@ object SparkEntry {
     "cdc_enrich_join"      -> (cdcEnrichJoin _),
     "cdc_enrich_dlq"       -> (cdcEnrichDlq _),
     "cdc_dedup_exact"      -> (cdcDedupExact _)
-  ) ++ QueriesExt.queries ++ QueriesExt2.queries
+  ) ++ QueriesExt.queries ++ QueriesExt2.queries ++ QueriesExt3.queries
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -470,5 +470,5 @@ object SparkEntry {
     "cdc_enrich_join"      -> cdcEnrichJoinSql,
     "cdc_enrich_dlq"       -> cdcEnrichDlqSql,
     "cdc_dedup_exact"      -> cdcDedupExactSql
-  ) ++ QueriesExt.oracleSql ++ QueriesExt2.oracleSql
+  ) ++ QueriesExt.oracleSql ++ QueriesExt2.oracleSql ++ QueriesExt3.oracleSql
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each probe row, attach the most recent
+  * build-side values with build_ts <= probe_ts for the same key — the
+  * "what did the dimension look like when this event happened" join that a
+  * CDC history table enables (the reference's REST lookup always reads
+  * current state; this is its point-in-time generalization).
+  *
+  * Spark has no native as-of join; rather than a custom SparkPlan, this
+  * composes built-ins: tag + union both sides, one shuffle+sort per key,
+  * then a running `last(value, ignoreNulls)` window fills build values
+  * forward into probe rows. O(n log n) in the partition like a sort-merge
+  * join, no candidate explosion, AQE-compatible.
+  *
+  * Requirements: (key, build_ts) unique on the build side (pre-compact
+  * with Dedup.latestWins), build value columns non-null (each value column
+  * fills independently).
+  */
+object AsOfJoin {
+
+  def asOf(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      probeTsCol: String,
+      buildTsCol: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val buildSchema = build.schema
+
+    val pTagged = valueCols
+      .foldLeft(probe) { (df, v) =>
+        df.withColumn(v, lit(null).cast(buildSchema(v).dataType))
+      }
+      .withColumn("__ts", col(probeTsCol))
+      .withColumn("__is_build", lit(0))
+
+    val bTagged = probeCols
+      .filterNot(c => c == keyCol)
+      .foldLeft(build.withColumnRenamed(buildTsCol, "__bts")) { (df, c) =>
+        df.withColumn(c, lit(null).cast(probe.schema(c).dataType))
+      }
+      .withColumn("__ts", col("__bts"))
+      .drop("__bts")
+      .withColumn("__is_build", lit(1))
+      .select((probeCols ++ valueCols ++ Seq("__ts", "__is_build")).map(col): _*)
+
+    val unioned = pTagged
+      .select((probeCols ++ valueCols ++ Seq("__ts", "__is_build")).map(col): _*)
+      .unionByName(bTagged)
+
+    // build rows sort before probe rows at equal ts (inclusive <=); the
+    // running last() carries each build value forward to later probe rows
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__ts").asc, col("__is_build").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    valueCols
+      .foldLeft(unioned) { (df, v) =>
+        df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+      }
+      .filter(col("__is_build") === 0)
+      .select((probeCols ++ valueCols).map(col): _*)
+  }
+}

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpecBase
+
+class JoinOpsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("asOf attaches the latest build value at-or-before each probe ts") {
+    val probe = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "early"), (2L, 50L, "other"))
+      .toDF("k", "ts", "tag")
+    val build = Seq((1L, 10L, "v10"), (1L, 15L, "v15"), (2L, 60L, "late"))
+      .toDF("k", "bts", "dim")
+    val out = AsOfJoin.asOf(probe, build, "k", "ts", "bts", Seq("dim"))
+      .select("tag", "dim").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "e1"    -> Some("v10"),   // inclusive: build at ts==10 applies
+      "e2"    -> Some("v15"),
+      "early" -> None,          // before first build version
+      "other" -> None           // build only after probe
+    ))
+  }
+
+  test("saltedJoin equals the plain join") {
+    val fact = graft.Tables.events(spark, sf()).select(col("event_id"), col("user_id"))
+    val dim  = graft.Tables.customer(spark, sf())
+    val plain = fact.join(dim, col("user_id") === col("c_custkey"))
+      .select("event_id", "c_name")
+    val salted = SkewJoin.saltedJoin(
+      fact, dim, "user_id", "c_custkey",
+      graft.functions.Hashing.h32(col("event_id").cast("string")), buckets = 8
+    ).select("event_id", "c_name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
