@@ -33,11 +33,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // min of two runs per query: the shared host shows multi-second
+    // scheduling stalls that would otherwise be attributed to whichever
+    // query they land on (observed: the same trivial query ranging
+    // 0.5s..35s across rounds)
+    def run(name: String): Double = {
+      val a = runOnce(name)
+      val b = runOnce(name)
+      if (a < 0) b else if (b < 0) a else math.min(a, b)
     }
 
     // warmup: exercise scan + join + agg codegen paths once
