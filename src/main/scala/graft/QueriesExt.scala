@@ -130,6 +130,9 @@ object QueriesExt {
        |  FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b)
        |WHERE jaccard >= 0.5""".stripMargin
 
+  /** Shared with QueriesExt3's clustering oracle. */
+  private[graft] def minhashPairsSql: String = dedupMinhashSql
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
 

@@ -226,9 +226,37 @@ object QueriesExt3 {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_nationkey""".stripMargin
 
+  // ------------------------------------------------ dedup cluster collapse
+
+  /** MinHash pairs collapsed to connected components — the canonical-doc
+    * selection step. The oracle recomputes the same pairs and takes the
+    * transitive closure with a recursive CTE: an entirely different
+    * clustering algorithm must land on identical clusters.
+    */
+  private def dedupMinhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.minhashPairs(documents(s, dir), "doc_id", "text", 3, 0.5)
+    graft.operators.Dedup
+      .connectedComponents(pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
+  private val dedupMinhashClustersSql =
+    s"""WITH RECURSIVE mh AS (${QueriesExt.minhashPairsSql}),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM mh UNION SELECT id_b, id_a FROM mh),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT cluster_id, count(*) AS n_members FROM (
+       |  SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src)
+       |GROUP BY cluster_id""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "cdc_asof_enrich"    -> (cdcAsofEnrich _),
     "cdc_enrich_salted"  -> (cdcEnrichSalted _),
     "q7_volume_shipping" -> (q7 _),
@@ -241,6 +269,7 @@ object QueriesExt3 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_clusters" -> dedupMinhashClustersSql,
     "cdc_asof_enrich"    -> cdcAsofEnrichSql,
     // deliberately the same oracle as cdc_enrich_join: the salted physical
     // plan must produce the identical result set

@@ -235,6 +235,50 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Connected components over near-dup pairs: assigns every node the
+    * minimum doc id reachable through the pair graph — the "collapse
+    * candidate pairs into clusters, keep one canonical doc" step that
+    * finishes a dedup pipeline.
+    *
+    * Iterative min-label propagation (the Pregel shape): each round every
+    * node takes the min label among itself and its neighbors; converges in
+    * O(cluster diameter) rounds. The driver loop is control flow only —
+    * per-round work is two shuffles on the edge list, all data stays
+    * distributed. Near-dup clusters are shallow in practice (most are
+    * pairs/triangles), so rounds stay in single digits; `maxIter` bounds
+    * pathological chains.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .persist()
+    var changed  = 1L
+    var iter     = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs within a bucket column (label / IVF
     * cell): cosine >= tau. Double-precision sequential dot product so an
     * independent engine reproduces the value.

@@ -11,6 +11,10 @@ trait GraftSpecBase extends AnyFunSuite {
     .builder("graft-test")
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config(
+      "spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    )
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"

@@ -51,6 +51,13 @@ class DedupSpec extends GraftSpecBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 5L)) // cross-block or low-jaccard
   }
 
+  test("connected components: min label propagates across chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("embedding cosine pairs within bucket") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
