@@ -253,10 +253,62 @@ object QueriesExt3 {
        |  SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src)
        |GROUP BY cluster_id""".stripMargin
 
+  // ----------------------------------------------------- banded range join
+
+  /** Deterministic campaign intervals (40 six-hour windows every 18h from
+    * the fixture epoch) range-joined to events via banding; the oracle
+    * uses the plain non-equi BETWEEN join.
+    */
+  private def eventsRangeCampaigns(s: SparkSession, dir: String): DataFrame = {
+    val baseMs = 1704067200000L // 2024-01-01T00:00Z — fixture epoch
+    val campaigns = s
+      .range(0, 40)
+      .select(
+        col("id").as("campaign_id"),
+        (lit(baseMs) + col("id") * lit(64800000L)).as("start_ms"),
+        (lit(baseMs) + col("id") * lit(64800000L) + lit(21600000L)).as("end_ms")
+      )
+    val pts = events(s, dir).select(unix_millis(col("ts")).as("ms"), col("user_id"))
+    operators.RangeJoin
+      .pointInInterval(pts, campaigns, "ms", "start_ms", "end_ms", bandWidth = 21600000L)
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val eventsRangeCampaignsSql =
+    """WITH c AS (SELECT i AS campaign_id,
+      |    1704067200000 + i*64800000 AS start_ms,
+      |    1704067200000 + i*64800000 + 21600000 AS end_ms
+      |  FROM range(0,40) t(i)),
+      |e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events)
+      |SELECT campaign_id, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM e JOIN c ON e.ms >= c.start_ms AND e.ms < c.end_ms
+      |GROUP BY campaign_id""".stripMargin
+
+  // --------------------------------------------- sketches (no SQL oracle)
+
+  /** Approximate aggregations for 100 TB interactive profiling: HLL
+    * distinct counts and quantile sketches. Approximations are
+    * engine-specific, so there is no DuckDB oracle — the driver records
+    * the weaker rows-only check; the exact columns alongside bound the
+    * error for human review.
+    */
+  private def qApproxSketches(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5, 10000)").as("approx_median_value"),
+        count(lit(1)).as("n_events")
+      )
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
+    "events_range_campaigns" -> (eventsRangeCampaigns _),
+    "q_approx_sketches"  -> (qApproxSketches _),
     "cdc_asof_enrich"    -> (cdcAsofEnrich _),
     "cdc_enrich_salted"  -> (cdcEnrichSalted _),
     "q7_volume_shipping" -> (q7 _),
@@ -270,6 +322,9 @@ object QueriesExt3 {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_clusters" -> dedupMinhashClustersSql,
+    "events_range_campaigns" -> eventsRangeCampaignsSql,
+    // q_approx_sketches intentionally has no oracle: HLL/quantile sketches
+    // are engine-specific (driver falls back to the rows-only check)
     "cdc_asof_enrich"    -> cdcAsofEnrichSql,
     // deliberately the same oracle as cdc_enrich_join: the salted physical
     // plan must produce the identical result set

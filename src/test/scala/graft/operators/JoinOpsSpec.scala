@@ -22,6 +22,18 @@ class JoinOpsSpec extends GraftSpecBase {
     ))
   }
 
+  test("banded range join equals the naive non-equi join") {
+    val pts = Seq((5L, "a"), (10L, "b"), (25L, "c"), (99L, "d")).toDF("pt", "tag")
+    val iv  = Seq((0L, 10L, 1L), (8L, 30L, 2L), (90L, 95L, 3L)).toDF("s", "e", "iid")
+    val banded = RangeJoin.pointInInterval(pts, iv, "pt", "s", "e", bandWidth = 7L)
+      .select("tag", "iid")
+    val naive = pts.join(iv, col("pt") >= col("s") && col("pt") < col("e"))
+      .select("tag", "iid")
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+    // d (99) matches nothing; a (5) matches interval 1 only
+    assert(banded.as[(String, Long)].collect().toSet === Set(("a", 1L), ("b", 2L), ("c", 2L)))
+  }
+
   test("saltedJoin equals the plain join") {
     val fact = graft.Tables.events(spark, sf()).select(col("event_id"), col("user_id"))
     val dim  = graft.Tables.customer(spark, sf())
