@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.GraftSpecBase
+import graft.cdc.Envelope
+
+/** Full-topology assembly: the reference's three-function wiring
+  * (eventTransform;animalTransform;animalDlqTransform) from one config,
+  * with DLQ replay auto-start=false and on-demand start via the registry —
+  * the DlqPipelineIT end-to-end scenario at topology level.
+  */
+class TopologySpec extends GraftSpecBase {
+
+  private val payload = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("name", StringType, nullable = true)
+  ))
+  private val recordSchema = StructType(Seq(
+    StructField("key", StructType(Seq(StructField("id", LongType))), nullable = true),
+    StructField("value", Envelope.envelopeSchema(payload), nullable = true)
+  ))
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("topology: auto-started pipeline + on-demand DLQ replay") {
+    import spark.implicits._
+    val srcDir = tmp("tsrc"); val ok = tmp("tok"); val dlq = tmp("tdlq")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Row(1L), Row(null, Row(1L, "a"), "c", 1L)),
+        Row(Row(9L), Row(null, Row(9L, "miss"), "c", 1L))
+      )),
+      recordSchema
+    ).write.mode("overwrite").parquet(srcDir)
+
+    def dim(ids: Long*) = ids.map(i => (i, s"d$i")).toDF("dim_id", "breed")
+    val dlqSchema = recordSchema
+
+    val registry = Topology.start(spark, Seq(
+      Topology.PipelineDef(
+        name = "animalTransform",
+        source = () => spark.readStream.schema(recordSchema).parquet(srcDir),
+        dimension = () => dim(1),
+        dimKey = "dim_id",
+        dimCols = Seq("breed"),
+        successPath = ok,
+        dlqPath = dlq,
+        checkpointRoot = tmp("tckpt"),
+        dlqReplay = Some(Topology.DlqReplayDef(repairDimension = () => dim(1, 9), dlqSchema = dlqSchema))
+      )
+    ))
+
+    assert(registry.isRunning("animalTransform"))
+    assert(!registry.isRunning("animalTransform-dlq"))   // auto-startup: false
+    // drain the main pipeline
+    spark.streams.active.foreach(_.processAllAvailable())
+    assert(spark.read.parquet(ok).select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(spark.read.parquet(dlq).count() === 1)
+
+    // operator starts the replay on demand (POST /api/dlq/animal/start)
+    registry.start("animalTransform-dlq")
+    spark.streams.active.foreach(_.processAllAvailable())
+    registry.stopAll()
+    assert(spark.read.parquet(ok).select("id").as[Long].collect().sorted === Array(1L, 9L))
+  }
+}
