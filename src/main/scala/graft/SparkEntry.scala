@@ -87,12 +87,15 @@ object SparkEntry {
         col("l_orderkey"),
         col("l_partkey"),
         col("l_quantity"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price")
+        // per-row money math also goes through DECIMAL: round(double, 2)
+        // diverges between engines on .xx5 boundaries (3 rows at sf0.1)
+        round(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))), 2)
+          .cast("double").as("net_price")
       )
 
   private val q2Sql =
     """SELECT l_orderkey, l_partkey, l_quantity,
-      |  round(l_extendedprice * (1 - l_discount), 2) AS net_price
+      |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS net_price
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-03-01'
       |  AND l_quantity < 5""".stripMargin
