@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, Hashing, MinHashSig, WordKGrams}
+
+/** Session extension registering graft's custom expressions as SQL
+  * functions, so the SQL front door has the same surface as the DataFrame
+  * API:
+  *
+  *   SELECT graft_dot(a.embedding, b.embedding)          -- codegen dot
+  *   SELECT graft_minhash_sig(graft_hashes)              -- 16-wide minima
+  *   SELECT graft_word_kgrams(tokens, 3)                 -- shingles
+  *
+  * Installed by GraftSession via builder.withExtensions — the standard
+  * extension point (no registry hacking, survives session cloning).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(args(0), args(1))
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_minhash_sig(hashedShingles)")
+        MinHashSig(args.head, Hashing.Perms.map(_._1), Hashing.Perms.map(_._2), Hashing.MinhashP)
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_word_kgrams"),
+      new ExpressionInfo(classOf[WordKGrams].getName, "graft_word_kgrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_word_kgrams(tokens, k)")
+        val k = args(1).eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+        }
+        WordKGrams(args.head, k)
+      }
+    ))
+  }
+}

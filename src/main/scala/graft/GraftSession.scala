@@ -18,6 +18,7 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

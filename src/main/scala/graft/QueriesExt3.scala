@@ -303,12 +303,26 @@ object QueriesExt3 {
         count(lit(1)).as("n_events")
       )
 
+  /** IVF ANN over the embeddings fixture (8 cells, 2 probes, top-5 for
+    * queries vec_id < 10). KMeans centroids are not SQL-expressible, so
+    * no oracle — rows-only check; IVF recall vs the exact brute force is
+    * asserted in SimilaritySpec instead.
+    */
+  private def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    operators.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2
+    )
+  }
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_clusters" -> (dedupMinhashClusters _),
     "events_range_campaigns" -> (eventsRangeCampaigns _),
     "q_approx_sketches"  -> (qApproxSketches _),
+    "sim_ivf_topk"       -> (simIvfTopK _),
     "cdc_asof_enrich"    -> (cdcAsofEnrich _),
     "cdc_enrich_salted"  -> (cdcEnrichSalted _),
     "q7_volume_shipping" -> (q7 _),

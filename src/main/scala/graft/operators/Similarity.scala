@@ -104,4 +104,81 @@ object Similarity {
     (0 until bits)
       .map(i => when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** IVF (inverted-file) ANN: learn `nCells` KMeans centroids over the
+    * corpus (seeded — deterministic), assign every corpus vector to its
+    * nearest cell, then for each query scan only the `nProbe` nearest
+    * cells' vectors. This is the standard first real ANN index (FAISS
+    * IVFFlat): at 100 TB the corpus partitions by cell id, queries fan out
+    * to nProbe/nCells of the data, and recall/latency trades via nProbe.
+    *
+    * The centroid model is tiny (nCells × dim doubles) and broadcasts via
+    * literal arrays — cell assignment is a codegen'd argmin over
+    * `DotProduct`-style expressions, no ML pipeline in the hot path.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = corpus.sparkSession
+    val train = spread(corpus).select(array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    // nearest-cell expression: argmin over squared distance to each
+    // centroid, built from codegen'd dot products on literal arrays
+    def cellOf(vec: Column): Column = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        val cl = array(c.map(lit): _*)
+        val diffDot = dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
+        struct(diffDot.as("d"), lit(i).as("cell"))
+      }
+      least(dists: _*).getField("cell")
+    }
+
+    val c = spread(corpus)
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cell", cellOf(col("cv")))
+
+    // per query: the nProbe nearest cells
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn(
+        "probe_cells",
+        slice(
+          array_sort(
+            array(centroids.zipWithIndex.map { case (cc, i) =>
+              val cl = array(cc.map(lit): _*)
+              struct(
+                (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), cl) + lit(cc.map(x => x * x).sum)).as("d"),
+                lit(i).as("cell")
+              )
+            }: _*)
+          ),
+          1,
+          nProbe
+        )
+      )
+      .select(col("query_id"), col("qv"), explode(col("probe_cells.cell")).as("cell"))
+
+    val scored = c
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -1,0 +1,36 @@
+package graft.tools
+
+/** Plan audit: flags anti-patterns (nested-loop / cartesian joins,
+  * missing pushdown) across every registered query. Run:
+  *   runMain graft.tools.PlanAudit <sfDir>
+  */
+object PlanAudit {
+
+  /** Queries where a nested-loop join is the intended plan:
+    *  - q22_idle_customers: scalar-subquery pattern — a 1-row aggregate
+    *    broadcast; the "loop" runs once per probe row against one row.
+    *  - sim_topk_cosine: exhaustive brute-force baseline — every
+    *    (query, corpus) pair must be scored by definition; corpus streams
+    *    partition-parallel against the broadcast query set, which IS the
+    *    scalable all-pairs plan (the bucketed variants avoid it).
+    */
+  private val intendedNestedLoop = Set("q22_idle_customers", "sim_topk_cosine")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.builder("graft-plan-audit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var flagged = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val issues = Seq(
+        "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") && !intendedNestedLoop(name)),
+        "CartesianProduct"        -> plan.contains("CartesianProduct")
+      ).collect { case (tag, true) => tag }
+      if (issues.nonEmpty) { flagged += 1; println(s"FLAG $name: ${issues.mkString(", ")}") }
+    }
+    println(s"audit done: $flagged flagged of ${graft.SparkEntry.queries.size}")
+    spark.stop()
+    if (flagged > 0) sys.exit(1)
+  }
+}

@@ -29,6 +29,17 @@ class SimilaritySpec extends GraftSpecBase {
     assert(out.toSeq === Seq(3L))   // only label-1 candidates
   }
 
+  test("IVF top-k achieves high recall vs exact brute force on the fixture") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5, nCells = 4, nProbe = 2)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (ivf=${ivf.size}, exact=${exact.size})")
+  }
+
   test("sign bucket sketch is deterministic") {
     val b = emb.select(Similarity.signBucket($"embedding", 2).as("b"))
       .as[Long].collect()

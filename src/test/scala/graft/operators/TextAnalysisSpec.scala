@@ -53,6 +53,15 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(!r.getAs[Boolean]("raw_ok"))   // bare body: wrong magic
   }
 
+  test("custom expressions are callable from SQL via GraftExtensions") {
+    assert(spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0) === 11.0)
+    val grams = spark.sql("SELECT graft_word_kgrams(array('a','b','c','d'), 3) AS g")
+      .head().getSeq[String](0)
+    assert(grams === Seq("a b c", "b c d"))
+    val sig = spark.sql("SELECT graft_minhash_sig(array(1L, 2L, 3L)) AS s").head().getSeq[Long](0)
+    assert(sig.length === 16 && sig.forall(_ >= 0))
+  }
+
   test("multimodal decode stub emits deterministic features partition-parallel") {
     val docs = graft.Tables.documents(spark, sf())
     val feats = Multimodal.decode(Multimodal.fromDocuments(spark, docs.limit(10)))
