@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Layout
+
+/** Fifth query batch: storage-layout operators — int8 embedding
+  * quantization (the 4× storage cut a 100 TB embedding corpus takes
+  * before anything else) and z-order layout values. Both use only
+  * engine-portable math (floor/abs/bitwise — no round-on-double).
+  */
+object QueriesExt4 {
+
+  // ------------------------------------------------- int8 quantization
+
+  /** Per-vector symmetric int8 quantization: scale = 127/max|x|,
+    * q = clamp(floor(x·scale + 0.5)); reports saturation count and max
+    * reconstruction error. floor() is bit-deterministic in both engines
+    * (unlike round-on-double).
+    */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    embeddings(s, dir)
+      .withColumn("e", e)
+      .withColumn("max_abs", greatest(array_max(transform(col("e"), x => abs(x))), lit(1e-12)))
+      .withColumn(
+        "qv",
+        transform(col("e"), x => greatest(lit(-127.0), least(lit(127.0), floor(x * lit(127.0) / col("max_abs") + lit(0.5)))))
+      )
+      .withColumn(
+        "errs",
+        zip_with(col("e"), col("qv"), (x, q) => abs(x - q * col("max_abs") / lit(127.0)))
+      )
+      .select(
+        col("vec_id"),
+        round(col("max_abs"), 6).as("max_abs"),
+        size(filter(col("qv"), q => abs(q) === 127.0)).cast("long").as("n_saturated"),
+        round(array_max(col("errs")), 6).as("max_err")
+      )
+  }
+
+  private val qEmbedQuantizeSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |m AS (SELECT vec_id, e, greatest(list_max([abs(x) for x in e]), 1e-12) AS max_abs FROM v),
+      |q AS (SELECT vec_id, e, max_abs,
+      |  [greatest(-127.0, least(127.0, floor(x * 127.0 / max_abs + 0.5))) for x in e] AS qv FROM m)
+      |SELECT vec_id, round(max_abs, 6) AS max_abs,
+      |  CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS BIGINT) AS n_saturated,
+      |  round(list_max([abs(e[i] - qv[i] * max_abs / 127.0) for i in range(1, len(e)+1)]), 6) AS max_err
+      |FROM q""".stripMargin
+
+  // ------------------------------------------------------------ z-order
+
+  /** Z-order bucket profile over (user_id, value-cents): rows sorted by
+    * this value cluster in both dimensions at once — the write-time
+    * layout for two-column predicate pruning. The oracle reproduces the
+    * bit interleave formula verbatim.
+    */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("a", col("user_id").bitwiseAND(lit(65535L)))
+      // explicit floor(x+0.5): DuckDB's double->BIGINT cast rounds while
+      // Spark's truncates — never cast a fractional double directly
+      .withColumn("b", floor(col("value") * 100 + lit(0.5)).cast("long").bitwiseAND(lit(65535L)))
+      .withColumn("z", Layout.zValue(col("a"), col("b"), 16))
+      .groupBy(expr("z div 16384").as("z_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user")
+      )
+
+  private val qZorderLayoutSql = {
+    val z = Layout.zValueSql("a", "b", 16)
+    s"""WITH t AS (SELECT user_id, (user_id & 65535) AS a,
+       |    (CAST(floor(value * 100 + 0.5) AS BIGINT) & 65535) AS b FROM events),
+       |z AS (SELECT user_id, ($z) AS z FROM t)
+       |SELECT z // 16384 AS z_bucket, count(*) AS n_events,
+       |  min(user_id) AS min_user, max(user_id) AS max_user
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_zorder_layout"  -> (qZorderLayout _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_embed_quantize" -> qEmbedQuantizeSql,
+    "q_zorder_layout"  -> qZorderLayoutSql
+  )
+}
