@@ -82,15 +82,40 @@ object QueriesExt4 {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------- session windows (B7)
+
+  /** Native session_window sessionization; the oracle rebuilds sessions
+    * with a lag/cumulative-sum window — a different algorithm that must
+    * find identical boundaries (new session when gap >= 30 min).
+    */
+  private def eventsSessionWindows(s: SparkSession, dir: String): DataFrame =
+    operators.EventAnalytics.sessionWindows(events(s, dir), "30 minutes")
+
+  private val eventsSessionWindowsSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |l AS (SELECT user_id, event_id, ms, v,
+      |    lag(ms) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS prev_ms FROM e),
+      |sflag AS (SELECT user_id, event_id, ms, v,
+      |    CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+      |sid AS (SELECT user_id, ms, v,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS s FROM sflag)
+      |SELECT user_id, min(ms) AS session_start_ms, count(*) AS n_events,
+      |  CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
+      |FROM sid GROUP BY user_id, s""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_embed_quantize" -> (qEmbedQuantize _),
-    "q_zorder_layout"  -> (qZorderLayout _)
+    "q_embed_quantize"        -> (qEmbedQuantize _),
+    "q_zorder_layout"         -> (qZorderLayout _),
+    "events_session_windows"  -> (eventsSessionWindows _)
   )
 
   def oracleSql: Map[String, String] = Map(
-    "q_embed_quantize" -> qEmbedQuantizeSql,
-    "q_zorder_layout"  -> qZorderLayoutSql
+    "q_embed_quantize"        -> qEmbedQuantizeSql,
+    "q_zorder_layout"         -> qZorderLayoutSql,
+    "events_session_windows"  -> eventsSessionWindowsSql
   )
 }

@@ -51,6 +51,25 @@ object EventAnalytics {
         col("sum_value")
       )
 
+  /** Session windows via the native session_window function — the
+    * streaming-capable form of `sessionize` (works under a watermark in
+    * append mode; state is merged session ranges, not per-event rows).
+    * Event times are truncated to millis first so an engine comparing at
+    * different sub-ms precision draws identical session boundaries.
+    * A new session starts when the gap is >= the gap duration.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts_ms", timestamp_millis(unix_millis(col("ts"))))
+      .groupBy(session_window(col("ts_ms"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** Distinct users per hour. */
   def hourlyUsers(events: DataFrame): DataFrame =
     events
