@@ -84,12 +84,19 @@ object Pipelines {
         batch.persist()
         try {
           val (ok, failed) = enrichBatch(batch, dim(), dimKey, dimCols)
-          ok.write.mode("append").parquet(successPath)
+          // idempotent per-batch partitions: a replayed micro-batch
+          // overwrites its own batch=<id> directory instead of appending
+          // duplicates — checkpoint + idempotent sink = effectively
+          // exactly-once output, one better than the reference's
+          // at-least-once produce (SURVEY.md §4.2 delivery semantics)
+          ok.write.mode("overwrite").parquet(s"$successPath/batch=$batchId")
           val nFailed = failed.count()
-          failed.write.mode("append").parquet(dlqPath)
-          // A10 peek: side-effect log of DLQ-bound traffic, pass-through
-          // unchanged (reference AnimalTransformerStream.java:58)
-          if (nFailed > 0) log.info(s"[$name] batch $batchId: $nFailed record(s) routed to DLQ")
+          if (nFailed > 0) {
+            failed.write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
+            // A10 peek: side-effect log of DLQ-bound traffic, pass-through
+            // unchanged (reference AnimalTransformerStream.java:58)
+            log.info(s"[$name] batch $batchId: $nFailed record(s) routed to DLQ")
+          }
         } finally batch.unpersist()
         ()
       }
@@ -119,9 +126,12 @@ object Pipelines {
     source.writeStream
       .queryName(name)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (ok, _) = enrichBatch(batch, repairDim(), dimKey, dimCols)
-        ok.write.mode("append").parquet(successPath)
+        // replay batches share the batch= partition column (a second
+        // column name would break partition discovery) with a disjoint
+        // value namespace so they can't collide with main-pipeline ids
+        ok.write.mode("overwrite").parquet(s"$successPath/batch=replay-$batchId")
         ()
       }
       .start()
@@ -154,7 +164,12 @@ object Pipelines {
       .filter(col("row.id").isNotNull && col("row.id") =!= 0)
       .select(struct(col("row.id").as("id")).as("key"), col("row.*"))
     val n = parsed.count()
-    if (n > 0) parsed.write.mode("append").parquet(successPath)
+    if (n > 0) {
+      // own value in the shared batch= namespace — root-level files next
+      // to batch= dirs would break partition discovery for readers
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      parsed.write.mode("overwrite").parquet(s"$successPath/batch=manual-$id")
+    }
     n
   }
 }
