@@ -1,0 +1,63 @@
+package graft.enrich
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => PropTest}
+
+import graft.GraftSpecBase
+import graft.operators.Dedup
+
+class EnrichmentSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("enrich marks misses, branch splits, rekey builds the key struct") {
+    val recs = Seq((1L, "a"), (2L, "b"), (9L, "miss")).toDF("ref_id", "payload")
+    val dim  = Seq((1L, "x"), (2L, "y")).toDF("dim_id", "attr")
+    val enriched      = Enrichment.enrich(recs, dim, "ref_id", "dim_id")
+    val (ok, failed)  = Enrichment.branch(enriched)
+    assert(ok.select("ref_id").as[Long].collect().sorted === Array(1L, 2L))
+    assert(failed.select("ref_id").as[Long].collect() === Array(9L))
+    val rekeyed = Enrichment.rekey(ok, "ref_id")
+    assert(rekeyed.select("key.id").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("property: latest-wins compaction is idempotent and keeps max version per key") {
+    val genRows = Gen.listOfN(
+      40,
+      for {
+        id  <- Gen.choose(1L, 6L)
+        ver <- Gen.choose(0L, 20L)
+      } yield (id, ver)
+    )
+    val prop = Prop.forAll(genRows) { rows =>
+      // unique tie-break via index so max_by is well-defined
+      val df = rows.zipWithIndex
+        .map { case ((id, v), i) => (id, v, i.toLong) }
+        .toDF("id", "version", "off")
+      val once  = Dedup.latestWins(df, Seq("id"), Seq(col("version"), col("off")))
+      val twice = Dedup.latestWins(once, Seq("id"), Seq(col("version"), col("off")))
+      val got   = once.select("id", "version").as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      got == expected &&
+      twice.collect().toSet == once.collect().toSet &&
+      once.count() == rows.map(_._1).distinct.size
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: exact dedup is idempotent") {
+    val genRows = Gen.listOfN(
+      30,
+      for { k <- Gen.choose(1L, 5L); tie <- Gen.choose(1L, 100L) } yield (k, tie)
+    )
+    val prop = Prop.forAll(genRows) { rows =>
+      val df    = rows.toDF("k", "tie").withColumn("tie", monotonically_increasing_id())
+      val once  = Dedup.exact(df, Seq("k"), "tie")
+      val twice = Dedup.exact(once, Seq("k"), "tie")
+      once.count() == rows.map(_._1).distinct.size &&
+      twice.collect().toSet == once.collect().toSet
+    }
+    val res = PropTest.check(PropTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
