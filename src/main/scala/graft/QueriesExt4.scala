@@ -105,17 +105,64 @@ object QueriesExt4 {
       |  CAST(round(sum(v), 2) AS DOUBLE) AS sum_value
       |FROM sid GROUP BY user_id, s""".stripMargin
 
+  // ------------------------------------------- end-to-end streaming (A1-A11)
+
+  /** The full CDC topology as one oracle-checked query: synthesize
+    * Debezium envelopes → parquet-backed stream → the real streaming
+    * pipeline (tombstone/delete/id filters, per-batch broadcast
+    * enrichment against customer, DLQ branch, idempotent batch sinks) →
+    * read the success sink back, flattened. The driver's hash compare
+    * covers the entire streaming path, not a batch twin; Bench times the
+    * pipeline end to end including checkpointing and sink I/O.
+    */
+  private def cdcPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("e2e-src").toString
+    val okDir  = Files.createTempDirectory("e2e-ok").toString
+    val dlqDir = Files.createTempDirectory("e2e-dlq").toString
+    val ckpt   = Files.createTempDirectory("e2e-ckpt").toString
+
+    graft.cdc.Envelope
+      .synthesizeFromEvents(events(s, dir))
+      .write.mode("overwrite").parquet(srcDir)
+
+    val srcSchema = s.read.parquet(srcDir).schema
+    val q = graft.streaming.Pipelines.startEnrichPipeline(
+      "cdc-e2e",
+      s.readStream.schema(srcSchema).parquet(srcDir),
+      () => customer(s, dir),
+      "c_custkey",
+      Seq("c_name", "c_mktsegment"),
+      okDir,
+      dlqDir,
+      ckpt
+    )
+    q.awaitTermination()
+
+    s.read
+      .parquet(okDir)
+      .select(col("id"), col("user_id"), col("event_type"), col("value"), col("ts_ms"), col("c_name"), col("c_mktsegment"))
+  }
+
+  private val cdcPipelineE2eSql =
+    """SELECT event_id AS id, user_id, event_type, value, epoch_ms(ts) AS ts_ms,
+      |  c_name, c_mktsegment
+      |FROM events JOIN customer ON event_id = c_custkey
+      |WHERE event_id % 97 != 0 AND event_id % 89 != 0 AND event_id % 83 != 0""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize"        -> (qEmbedQuantize _),
     "q_zorder_layout"         -> (qZorderLayout _),
-    "events_session_windows"  -> (eventsSessionWindows _)
+    "events_session_windows"  -> (eventsSessionWindows _),
+    "cdc_pipeline_e2e"        -> (cdcPipelineE2e _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_embed_quantize"        -> qEmbedQuantizeSql,
     "q_zorder_layout"         -> qZorderLayoutSql,
-    "events_session_windows"  -> eventsSessionWindowsSql
+    "events_session_windows"  -> eventsSessionWindowsSql,
+    "cdc_pipeline_e2e"        -> cdcPipelineE2eSql
   )
 }
