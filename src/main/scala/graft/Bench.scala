@@ -56,9 +56,32 @@ object Bench {
 
     val names   = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> run(n))
-    val qs      = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total   = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // The driver captures only the last ~2000 chars of output, so the
+    // stdout JSON line must stay well under that (a full per-query map
+    // was 1927 chars in round 1 and got truncated past parseability).
+    // Headline queries go on the one parsed line; the complete per-query
+    // breakdown goes to stderr and target/bench_full.json.
+    val headline = Seq(
+      "q1_pricing_summary", "q3_shipping_priority", "q9_product_revenue",
+      "q18_large_orders", "events_session_windows", "dedup_minhash_lsh",
+      "dedup_minhash_clusters", "sim_topk_cosine", "cdc_pipeline_e2e",
+      "text_langid"
+    ).toSet
+    val all   = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val head  = results.filter(r => headline(r._1)).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$all,"sf":"$sfDir"}"""
+    // (not printed to stderr: sbt re-routes forked stderr through its logger
+    // onto stdout, which could push the parseable line out of the driver's
+    // 2000-char tail)
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,16 @@ object AsOfJoin {
     val probeCols = probe.columns.toSeq
     val buildSchema = build.schema
 
+    // withColumn(v, lit(null)) below would silently null out probe data if a
+    // probe column shared a name with a build value column (or the internal
+    // tag columns) — refuse loudly instead of producing wrong output.
+    val collisions = (valueCols ++ Seq("__ts", "__is_build")).filter(probeCols.contains)
+    require(
+      collisions.isEmpty,
+      s"asOf: probe columns collide with build valueCols/internal names: ${collisions.mkString(", ")} — " +
+        "alias the probe (or build) columns before joining"
+    )
+
     val pTagged = valueCols
       .foldLeft(probe) { (df, v) =>
         df.withColumn(v, lit(null).cast(buildSchema(v).dataType))

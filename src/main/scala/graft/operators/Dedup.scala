@@ -124,7 +124,7 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
 
-    inter
+    val out = inter
       .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
       .select(
@@ -137,6 +137,13 @@ object Dedup {
         ).as("jaccard")
       )
       .filter(col("jaccard") >= tau)
+      // materialize the (small) verified-pairs result eagerly so the big
+      // signature table can be released here — localCheckpoint storage is
+      // ContextCleaner-managed, so repeated calls in one session don't
+      // accumulate cached blocks the way a returned persist() handle would
+      .localCheckpoint(true)
+    withShingles.unpersist()
+    out
   }
 
   /** 60-bit SimHash of the token multiset: per bit, sum +-1 votes weighted
@@ -211,7 +218,7 @@ object Dedup {
     val sets = base
       .select(col("doc_id"), col("block"), col("set_size"), explode(col("shingle_set")).as("shingle"))
       .persist()
-    sets.as("x")
+    val out = sets.as("x")
       .join(
         sets.as("y"),
         col("x.block") === col("y.block") && col("x.shingle") === col("y.shingle") &&
@@ -233,6 +240,11 @@ object Dedup {
         ).as("jaccard")
       )
       .filter(col("jaccard") >= tau)
+      // same release discipline as minhashPairs: small verified result out,
+      // big shingle table freed before returning
+      .localCheckpoint(true)
+    sets.unpersist()
+    out
   }
 
   /** Connected components over near-dup pairs: assigns every node the
@@ -249,13 +261,18 @@ object Dedup {
     * pathological chains.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): each iteration references the previous
+    // labels DataFrame twice, so without lineage truncation the logical plan
+    // doubles per round and Catalyst analysis time grows exponentially —
+    // the classic iterative-algorithm trap. Checkpointed storage is
+    // ContextCleaner-managed, so repeated calls don't leak cached blocks.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var changed  = 1L
     var iter     = 0
     while (changed > 0 && iter < maxIter) {
@@ -263,19 +280,20 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nmin"))
+      // carry the previous label alongside so convergence is checked on the
+      // checkpointed result itself — no extra join-back job per round
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
-        .persist()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
-        .count()
-      labels.unpersist()
-      labels = next
+        .select(
+          col("id"),
+          col("cluster_id").as("prev_cluster_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id")
+        )
+        .localCheckpoint(true)
+      changed = next.filter(col("cluster_id") =!= col("prev_cluster_id")).count()
+      labels = next.select(col("id"), col("cluster_id"))
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

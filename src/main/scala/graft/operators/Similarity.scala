@@ -131,8 +131,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val spark = corpus.sparkSession
-    val train = spread(corpus).select(array_to_vector(asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+    // cache the training projection: KMeans runs one job per iteration and
+    // would otherwise re-scan + re-convert the corpus each time
+    val train = spread(corpus).select(array_to_vector(asDouble(col(vecCol))).as("features")).cache()
+    val model =
+      try new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+      finally train.unpersist()
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
     // nearest-cell expression: argmin over squared distance to each

@@ -48,8 +48,14 @@ final class StreamRegistry(spark: SparkSession) {
   def stop(name: String, timeoutMs: Long = 5000): Boolean =
     active.remove(name) match {
       case Some(q) =>
-        q.stop()
-        q.awaitTermination(timeoutMs)
+        // A query that already terminated with an error rethrows its
+        // StreamingQueryException from stop()/awaitTermination(); teardown
+        // must still complete (and stopAll must reach the remaining
+        // queries), so report failure instead of propagating mid-loop.
+        scala.util.Try {
+          q.stop()
+          q.awaitTermination(timeoutMs)
+        }.getOrElse(false)
       case None => false
     }
 

@@ -90,9 +90,15 @@ object Pipelines {
           // exactly-once output, one better than the reference's
           // at-least-once produce (SURVEY.md §4.2 delivery semantics)
           ok.write.mode("overwrite").parquet(s"$successPath/batch=$batchId")
+          // The DLQ batch partition is ALWAYS overwritten — including with an
+          // empty result. A replayed micro-batch (crash between sink write and
+          // checkpoint commit) can succeed against a fresher dimension for
+          // rows that failed on the first attempt; only an unconditional
+          // overwrite wipes the stale batch=<id> DLQ files, keeping the
+          // success sink and the DLQ disjoint (effectively exactly-once).
+          failed.write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
           val nFailed = failed.count()
           if (nFailed > 0) {
-            failed.write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
             // A10 peek: side-effect log of DLQ-bound traffic, pass-through
             // unchanged (reference AnimalTransformerStream.java:58)
             log.info(s"[$name] batch $batchId: $nFailed record(s) routed to DLQ")

@@ -36,15 +36,20 @@ object StatefulDedup {
             state.remove()
             Iterator.empty
           } else {
-            var hwm     = state.getOption.getOrElse(Long.MinValue)
-            val emitted = records.filter { r =>
-              val v = version(r)
-              if (v > hwm) { hwm = v; true } else false
-            }.toVector
-            if (emitted.nonEmpty || state.exists) {
-              state.update(hwm)
-              ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+            val hwm = state.getOption.getOrElse(Long.MinValue)
+            // Reduce the whole micro-batch to the single max-version record
+            // first, so output is independent of same-key arrival order
+            // within the batch (versions [1,2] and [2,1] both emit exactly
+            // the version-2 record) — matching the batch twin
+            // Dedup.latestWins, which emits only the max per key.
+            var best: Option[V] = None
+            records.foreach { r =>
+              if (best.forall(b => version(r) > version(b))) best = Some(r)
             }
+            val emitted = best.filter(r => version(r) > hwm)
+            emitted.foreach(r => state.update(version(r)))
+            if (emitted.nonEmpty || state.exists)
+              ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
             emitted.iterator
           }
       }
