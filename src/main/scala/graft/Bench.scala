@@ -54,7 +54,10 @@ object Bench {
     try SparkEntry.queries("q6_revenue_forecast")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val names   = SparkEntry.queries.keys.toSeq.sorted
+    // dev convenience: SPARK_GRAFT_ONLY=q1,q2 restricts the run while
+    // iterating on specific queries; unset (the driver's case) runs all
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> run(n))
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 

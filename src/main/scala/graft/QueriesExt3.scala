@@ -299,7 +299,9 @@ object QueriesExt3 {
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
-        expr("approx_percentile(value, 0.5, 10000)").as("approx_median_value"),
+        // accuracy 1000 ≈ 0.1% rank error — plenty for profiling, and the
+        // KLL-style summary insert cost scales with the compression target
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_median_value"),
         count(lit(1)).as("n_events")
       )
 

@@ -135,7 +135,7 @@ object Similarity {
     // would otherwise re-scan + re-convert the corpus each time
     val train = spread(corpus).select(array_to_vector(asDouble(col(vecCol))).as("features")).cache()
     val model =
-      try new KMeans().setK(nCells).setSeed(seed).setMaxIter(20).fit(train)
+      try new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).setTol(1e-4).fit(train)
       finally train.unpersist()
     val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
