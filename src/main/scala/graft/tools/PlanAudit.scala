@@ -13,8 +13,12 @@ object PlanAudit {
     *    (query, corpus) pair must be scored by definition; corpus streams
     *    partition-parallel against the broadcast query set, which IS the
     *    scalable all-pairs plan (the bucketed variants avoid it).
+    *  - text_tfidf_top: the corpus doc count N joins in as a 1-row
+    *    broadcast (the scalar-subquery pattern again) — one value against
+    *    the per-term df side.
     */
-  private val intendedNestedLoop = Set("q22_idle_customers", "sim_topk_cosine")
+  private val intendedNestedLoop =
+    Set("q22_idle_customers", "sim_topk_cosine", "text_tfidf_top")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
