@@ -18,6 +18,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulDedup {
 
+  /** B1 streaming form — exact dedup with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps a key's fingerprint only until
+    * the watermark passes it, so state is O(keys per watermark window),
+    * not O(all keys ever) — the difference between a bounded and an
+    * unbounded state store at 100 TB/day. Exactly-one-survivor semantics
+    * hold for duplicates arriving within the watermark delay of each
+    * other (the at-least-once CDC redelivery case); a duplicate arriving
+    * later than the delay is by contract a new record.
+    */
+  def exactWithinWatermark(
+      df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      delay: String
+  ): org.apache.spark.sql.DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Records that advance (key, version) survive; others are dropped. */
   def latestWins[K, V](
       ds: Dataset[V],
