@@ -14,22 +14,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // local-bench knob: the sf0.1 tables are single ~1-10 MB parquet
-      // files, far below the 128 MB default split size — without this the
-      // whole lineitem scan is one task on a 32-thread executor. A real
-      // cluster dataset has many files and keeps the default.
+    // GraftSession (shared configs + GraftExtensions, incl. the custom
+    // as-of strategy) plus the local-bench knob: the sf0.1 tables are
+    // single ~1-10 MB parquet files, far below the 128 MB default split
+    // size — without this the whole lineitem scan is one task on a
+    // 32-thread executor. A real cluster dataset has many files and keeps
+    // the default.
+    val spark = GraftSession
+      .builder("graft-bench")
       .config("spark.sql.files.maxPartitionBytes", (2L * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -20,6 +20,9 @@ import graft.functions.{DotProduct, Hashing, MinHashSig, WordKGrams}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native as-of join (logical node →
+    // AsOfJoinStrategy → merge exec); see graft.plans
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -48,6 +48,24 @@ object QueriesExt3 {
       |SELECT e.event_id, e.user_id, e.ms, d.dim_value
       |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ms >= d.ms""".stripMargin
 
+  /** Same query through the custom AsOfJoinPlan/AsOfJoinExec route (the
+    * whole-operator Catalyst extension) — shares the DuckDB native ASOF
+    * oracle, so the custom physical operator is checked against an
+    * entirely independent engine, and against the composed form via the
+    * shared oracle.
+    */
+  private def cdcAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("ms", unix_millis(col("ts")))
+    val build = ev
+      .filter(col("event_id") % 11 === 0)
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("value")).as("dim_value"))
+    val probe = ev
+      .filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ms"))
+    AsOfJoin.asOfNative(probe, build, "user_id", "ms", "ms", Seq("dim_value"))
+  }
+
   // ------------------------------------------------------ salted skew join
 
   /** Same semantics as cdc_enrich_join (and the same oracle), executed
@@ -326,6 +344,7 @@ object QueriesExt3 {
     "q_approx_sketches"  -> (qApproxSketches _),
     "sim_ivf_topk"       -> (simIvfTopK _),
     "cdc_asof_enrich"    -> (cdcAsofEnrich _),
+    "cdc_asof_native"    -> (cdcAsofNative _),
     "cdc_enrich_salted"  -> (cdcEnrichSalted _),
     "q7_volume_shipping" -> (q7 _),
     "q9_product_revenue" -> (q9 _),
@@ -342,6 +361,8 @@ object QueriesExt3 {
     // q_approx_sketches intentionally has no oracle: HLL/quantile sketches
     // are engine-specific (driver falls back to the rows-only check)
     "cdc_asof_enrich"    -> cdcAsofEnrichSql,
+    // the native (custom SparkPlan) route must land on the identical result
+    "cdc_asof_native"    -> cdcAsofEnrichSql,
     // deliberately the same oracle as cdc_enrich_join: the salted physical
     // plan must produce the identical result set
     "cdc_enrich_salted"  ->

@@ -78,4 +78,53 @@ object AsOfJoin {
       .filter(col("__is_build") === 0)
       .select((probeCols ++ valueCols).map(col): _*)
   }
+
+  /** Native form: same contract as [[asOf]], planned as the custom
+    * AsOfJoinPlan → AsOfJoinExec merge operator (one partition-local
+    * forward pass over each sorted side) instead of the union+window
+    * composition. Requires LongType key and timestamp columns and the
+    * GraftExtensions-enabled session (GraftSession installs it).
+    */
+  def asOfNative(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCol: String,
+      probeTsCol: String,
+      buildTsCol: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.types.LongType
+
+    val collisions = valueCols.filter(probe.columns.contains)
+    require(
+      collisions.isEmpty,
+      s"asOfNative: probe columns collide with build valueCols: ${collisions.mkString(", ")}"
+    )
+    val lp = PlanBridge.analyzed(probe)
+    // Re-alias every build column through a fresh Alias: probe and build
+    // often derive from the same source DataFrame, so their plans share
+    // exprIds — the analyzer's DeduplicateRelations would renumber the
+    // right child and leave this node's right-side attribute fields
+    // pointing at the left. Fresh ids on the build side make the tree
+    // unambiguous before analysis sees it.
+    val rp0 = PlanBridge.analyzed(build)
+    val freshAliases = rp0.output.map(a =>
+      org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()
+    )
+    val rp = org.apache.spark.sql.catalyst.plans.logical.Project(freshAliases, rp0)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asOfNative: column $name not found in ${plan.output.map(_.name)}")
+      )
+    val lk = attr(lp, keyCol); val lt = attr(lp, probeTsCol)
+    val rk = attr(rp, keyCol); val rt = attr(rp, buildTsCol)
+    Seq(lk, lt, rk, rt).foreach { a =>
+      require(a.dataType == LongType, s"asOfNative: ${a.name} must be LongType (got ${a.dataType})")
+    }
+    PlanBridge.ofRows(
+      probe.sparkSession,
+      graft.plans.AsOfJoinPlan(lp, rp, lk, lt, rk, rt, valueCols.map(attr(rp, _)))
+    )
+  }
 }

@@ -22,6 +22,35 @@ class JoinOpsSpec extends GraftSpecBase {
     ))
   }
 
+  test("asOfNative (custom SparkPlan) matches the composed form's semantics") {
+    val probe = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "early"), (2L, 50L, "other"))
+      .toDF("k", "ts", "tag")
+    val build = Seq((1L, 10L, "v10"), (1L, 15L, "v15"), (2L, 60L, "late"))
+      .toDF("k", "bts", "dim")
+    val native = AsOfJoin.asOfNative(probe, build, "k", "ts", "bts", Seq("dim"))
+    // planned through the injected strategy, not a window/join composition
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val out = native.select("tag", "dim").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "e1"    -> Some("v10"),
+      "e2"    -> Some("v15"),
+      "early" -> None,
+      "other" -> None
+    ))
+  }
+
+  test("asOfNative equals the composed asOf on fixture-scale data") {
+    val ev = graft.Tables.events(spark, sf()).withColumn("ms", unix_millis(col("ts")))
+    val build = ev.filter(col("event_id") % 11 === 0)
+      .groupBy(col("user_id"), col("ms")).agg(max(col("value")).as("dim_value"))
+    val probe = ev.filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ms"))
+    val composed = AsOfJoin.asOf(probe, build, "user_id", "ms", "ms", Seq("dim_value"))
+    val native   = AsOfJoin.asOfNative(probe, build, "user_id", "ms", "ms", Seq("dim_value"))
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    assert(native.count() === probe.count()) // left-outer: every probe row survives
+  }
+
   test("banded range join equals the naive non-equi join") {
     val pts = Seq((5L, "a"), (10L, "b"), (25L, "c"), (99L, "d")).toDF("pt", "tag")
     val iv  = Seq((0L, 10L, 1L), (8L, 30L, 2L), (90L, 95L, 3L)).toDF("s", "e", "iid")
