@@ -153,19 +153,79 @@ object QueriesExt7 {
       |  (SELECT s_nationkey % 7 AS k FROM supplier
       |   EXCEPT ALL SELECT c_nationkey % 7 FROM customer)""".stripMargin
 
+  // ------------------------------------------------------- fuzzy matching
+
+  /** Edit-distance fuzzy matching: levenshtein between consecutive
+    * customer names — the record-linkage primitive (blocked here by the
+    * adjacent-key pairing; a real pipeline blocks by
+    * fingerprint/phonetic bucket to keep the O(len²) comparisons inside
+    * small groups).
+    */
+  private def qFuzzyName(s: SparkSession, dir: String): DataFrame = {
+    val a = customer(s, dir).filter(col("c_custkey") < 200)
+      .select(col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+    val b = customer(s, dir)
+      .select(col("c_custkey").as("key_b"), col("c_name").as("name_b"))
+    a.join(b, col("key_b") === col("key_a") + 1)
+      .select(
+        col("key_a"),
+        col("key_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_distance")
+      )
+  }
+
+  private val qFuzzyNameSql =
+    """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      |WHERE a.c_custkey < 200""".stripMargin
+
+  // ------------------------------------------------------ calendar surface
+
+  /** Calendar-function coverage: quarter/week/day-of parts, month-end,
+    * date arithmetic. dayofweek is normalized to ISO-with-Sunday=1 on
+    * both engines (DuckDB counts Sunday=0).
+    */
+  private def qCalendarFuncs(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+        weekofyear(col("o_orderdate")).cast("long").as("o_week"),
+        dayofweek(col("o_orderdate")).cast("long").as("o_dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("o_doy"),
+        unix_millis(last_day(col("o_orderdate")).cast("timestamp")).as("month_end_ms"),
+        unix_millis(date_add(col("o_orderdate"), 30).cast("timestamp")).as("plus30_ms")
+      )
+
+  private val qCalendarFuncsSql =
+    """SELECT o_orderkey,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+      |  CAST(weekofyear(o_orderdate) AS BIGINT) AS o_week,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS o_dow,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS o_doy,
+      |  epoch_ms(CAST(last_day(o_orderdate) AS TIMESTAMP)) AS month_end_ms,
+      |  epoch_ms(o_orderdate + INTERVAL 30 DAY) AS plus30_ms
+      |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin
+
   // --------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_sample"        -> (qHashSample _),
     "dedup_canonical_docs" -> (dedupCanonicalDocs _),
     "q_regexp_extract"     -> (qRegexpExtract _),
-    "q_multiset_ops"       -> (qMultisetOps _)
+    "q_multiset_ops"       -> (qMultisetOps _),
+    "q_fuzzy_name"         -> (qFuzzyName _),
+    "q_calendar_funcs"     -> (qCalendarFuncs _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_hash_sample"        -> qHashSampleSql,
     "dedup_canonical_docs" -> dedupCanonicalDocsSql,
     "q_regexp_extract"     -> qRegexpExtractSql,
-    "q_multiset_ops"       -> qMultisetOpsSql
+    "q_multiset_ops"       -> qMultisetOpsSql,
+    "q_fuzzy_name"         -> qFuzzyNameSql,
+    "q_calendar_funcs"     -> qCalendarFuncsSql
   )
 }
