@@ -52,6 +52,42 @@ object Bench {
     // iterating on specific queries; unset (the driver's case) runs all
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+
+    /** Streaming throughput: envelope rows/sec through the full CDC
+      * enrich pipeline (source scan → extract → broadcast lookup join →
+      * branch → success+DLQ parquet sinks, with checkpointing) — the
+      * single-node analogue of the reference's Kafka-Streams throughput
+      * profile (BASELINE.md). AvailableNow drains the whole fixture in
+      * micro-batches.
+      */
+    def streamThroughput(): (Long, Double) =
+      try {
+        import java.nio.file.Files
+        val srcDir = Files.createTempDirectory("bench-stream-src").toString
+        graft.cdc.Envelope
+          .synthesizeFromEvents(graft.Tables.events(spark, sfDir))
+          .write.mode("overwrite").parquet(srcDir)
+        val n      = spark.read.parquet(srcDir).count()
+        val schema = spark.read.parquet(srcDir).schema
+        val t0     = System.nanoTime()
+        val q = graft.streaming.Pipelines.startEnrichPipeline(
+          "bench-stream",
+          spark.readStream.schema(schema).parquet(srcDir),
+          () => graft.Tables.customer(spark, sfDir),
+          "c_custkey",
+          Seq("c_name", "c_mktsegment"),
+          Files.createTempDirectory("bench-stream-ok").toString,
+          Files.createTempDirectory("bench-stream-dlq").toString,
+          Files.createTempDirectory("bench-stream-ckpt").toString
+        )
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        (n, n / wall)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
+          (0L, -1.0)
+      }
     val results = names.map(n => n -> run(n))
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -69,7 +105,10 @@ object Bench {
     val all   = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val head  = results.filter(r => headline(r._1)).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$all,"sf":"$sfDir"}"""
+    val (streamRows, streamRps) = if (only.isEmpty) streamThroughput() else (0L, -1.0)
+    val streamField =
+      if (streamRps > 0) s""","stream_rows":$streamRows,"stream_rows_per_sec":${fmt(streamRps)}""" else ""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$all$streamField,"sf":"$sfDir"}"""
     // (not printed to stderr: sbt re-routes forked stderr through its logger
     // onto stdout, which could push the parseable line out of the driver's
     // 2000-char tail)
@@ -78,7 +117,7 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head$streamField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
