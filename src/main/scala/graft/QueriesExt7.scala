@@ -65,12 +65,16 @@ object QueriesExt7 {
   private def dedupCanonicalDocs(s: SparkSession, dir: String): DataFrame = {
     val pairs  = Dedup.minhashPairs(documents(s, dir), "doc_id", "text", 3, 0.5)
     val labels = Dedup.connectedComponents(pairs)
+    // score quality ONLY for cluster members: the label set (near-dup docs)
+    // is a small fraction of the corpus, and it broadcasts — the expensive
+    // per-document regexp/tokenize work never touches non-duplicates
+    val members = documents(s, dir)
+      .join(broadcast(labels), col("doc_id") === labels("id"))
     val quality = TextAnalysis
-      .withQuality(documents(s, dir), "text")
-      .select(col("doc_id"), col("quality_score"))
+      .withQuality(members, "text")
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"))
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("quality_score").desc, col("doc_id").asc)
-    labels
-      .join(quality, labels("id") === quality("doc_id"))
+    quality
       .withColumn("rn", row_number().over(w))
       .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .filter(col("rn") === 1)
