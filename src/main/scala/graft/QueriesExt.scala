@@ -133,6 +133,11 @@ object QueriesExt {
   /** Shared with QueriesExt3's clustering oracle. */
   private[graft] def minhashPairsSql: String = dedupMinhashSql
 
+  /** Shared by dedup_jaccard_ppjoin (QueriesExt7): the prefix-filtered
+    * physical route must land on the identical pair set.
+    */
+  private[graft] def ngramJaccardSql: String = dedupNgramJaccardSql
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
 

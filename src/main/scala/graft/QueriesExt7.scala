@@ -157,6 +157,14 @@ object QueriesExt7 {
       |  (SELECT s_nationkey % 7 AS k FROM supplier
       |   EXCEPT ALL SELECT c_nationkey % 7 FROM customer)""".stripMargin
 
+  /** Same semantics/oracle as dedup_ngram_jaccard, executed through the
+    * PPJoin prefix-filtered route: candidates come only from rare-token
+    * prefixes plus a length filter — the plan must differ, the pair set
+    * must not.
+    */
+  private def dedupJaccardPpjoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.ppJaccardPairs(documents(s, dir), "doc_id", "text", "source", shingleWords = 3, tau = 0.5)
+
   // ------------------------------------------------------- fuzzy matching
 
   /** Edit-distance fuzzy matching: levenshtein between consecutive
@@ -221,7 +229,8 @@ object QueriesExt7 {
     "q_regexp_extract"     -> (qRegexpExtract _),
     "q_multiset_ops"       -> (qMultisetOps _),
     "q_fuzzy_name"         -> (qFuzzyName _),
-    "q_calendar_funcs"     -> (qCalendarFuncs _)
+    "q_calendar_funcs"     -> (qCalendarFuncs _),
+    "dedup_jaccard_ppjoin" -> (dedupJaccardPpjoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -230,6 +239,7 @@ object QueriesExt7 {
     "q_regexp_extract"     -> qRegexpExtractSql,
     "q_multiset_ops"       -> qMultisetOpsSql,
     "q_fuzzy_name"         -> qFuzzyNameSql,
-    "q_calendar_funcs"     -> qCalendarFuncsSql
+    "q_calendar_funcs"     -> qCalendarFuncsSql,
+    "dedup_jaccard_ppjoin" -> QueriesExt.ngramJaccardSql
   )
 }

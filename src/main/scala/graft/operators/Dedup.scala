@@ -247,6 +247,96 @@ object Dedup {
     out
   }
 
+  /** PPJoin-style prefix-filtered Jaccard pairs — identical contract and
+    * output to [[blockedJaccardPairs]], different (smaller) candidate
+    * generation: tokens get a global total order by document frequency
+    * (rarest first), and each doc emits only its PREFIX — the first
+    * |s| − ⌈τ·|s|⌉ + 1 ordered tokens. Two sets with Jaccard ≥ τ must
+    * share a prefix token under any common total order (the prefix
+    * filtering theorem, Chaudhuri/Xiao et&nbsp;al.), so candidates from the
+    * prefix self-join are a superset of true pairs; a length filter
+    * (τ·|x| ≤ |y| ≤ |x|/τ) prunes further, and exact verification via
+    * array_intersect runs only on surviving candidates.
+    *
+    * At scale this shuffles |prefix| ≈ (1−τ)·|s| rows per doc instead of
+    * the full set — at τ=0.8 that is 5× less candidate-join input, and
+    * rare-first ordering makes prefix buckets small (frequent tokens
+    * never generate candidates). The trade: two extra aggregations (df
+    * table, per-doc re-sort), which dominate on small corpora — measured
+    * 3.0 s vs 1.2 s for the explode-join at sf0.1/τ=0.5. This is the
+    * high-τ/large-corpus path; [[blockedJaccardPairs]] remains the
+    * default.
+    */
+  def ppJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      shingleWords: Int,
+      tau: Double
+  ): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val base = spreadSmallInput(docs)
+      .select(
+        col(idCol).as("doc_id"),
+        col(blockCol).as("block"),
+        array_distinct(wordShingles(col(textCol), shingleWords)).as("sset")
+      )
+      .withColumn("set_size", size(col("sset")).cast("long"))
+      .persist() // consumed by prefix generation AND verification
+
+    // global document frequency per token: the shared total order
+    val dfTab = base
+      .select(explode(col("sset")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+
+    // order each doc's tokens rarest-first ((df, tok) — deterministic),
+    // then keep the prefix
+    val prefixLen = (col("set_size") - ceil(col("set_size") * lit(tau)) + 1).cast("int")
+    val prefixes = base
+      .select(col("doc_id"), col("block"), col("set_size"), explode(col("sset")).as("tok"))
+      .join(dfTab, "tok")
+      .groupBy(col("doc_id"), col("block"), col("set_size"))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ordered"))
+      .select(
+        col("doc_id"),
+        col("block"),
+        col("set_size"),
+        explode(slice(transform(col("ordered"), x => x.getField("tok")), lit(1), prefixLen)).as("tok")
+      )
+
+    val candidates = prefixes.as("x")
+      .join(
+        prefixes.as("y"),
+        col("x.block") === col("y.block") && col("x.tok") === col("y.tok") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // length filter: Jaccard >= tau bounds the size ratio
+          col("y.set_size") * lit(tau) <= col("x.set_size") &&
+          col("x.set_size") * lit(tau) <= col("y.set_size")
+      )
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    val out = candidates
+      .join(base.select(col("doc_id"), col("sset").as("sa"), col("set_size").as("sza")), col("id_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(base.select(col("doc_id"), col("sset").as("sb"), col("set_size").as("szb")), col("id_b") === col("doc_id"))
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(
+          col("n_inter").cast("double") / (col("sza") + col("szb") - col("n_inter")).cast("double"),
+          6
+        ).as("jaccard")
+      )
+      .filter(col("jaccard") >= tau)
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
   /** Connected components over near-dup pairs: assigns every node the
     * minimum doc id reachable through the pair graph — the "collapse
     * candidate pairs into clusters, keep one canonical doc" step that

@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.GraftSpecBase
 
 class DedupSpec extends GraftSpecBase {
+
+  test("ppJaccardPairs (prefix-filtered) equals blockedJaccardPairs") {
+    val docs = graft.Tables.documents(spark, sf())
+    val blocked = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 3, 0.5)
+    val pp      = Dedup.ppJaccardPairs(docs, "doc_id", "text", "source", 3, 0.5)
+    assert(pp.exceptAll(blocked).isEmpty && blocked.exceptAll(pp).isEmpty)
+    // and at a higher tau, where prefix filtering prunes hardest
+    val blocked8 = Dedup.blockedJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
+    val pp8      = Dedup.ppJaccardPairs(docs, "doc_id", "text", "source", 3, 0.8)
+    assert(pp8.exceptAll(blocked8).isEmpty && blocked8.exceptAll(pp8).isEmpty)
+  }
   import spark.implicits._
 
   private lazy val docs = Seq(
