@@ -4,9 +4,12 @@ import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 
 /** Logical as-of join (SURVEY.md §2 B9, custom-operator form): for every
-  * probe (left) row, attach the latest build (right) values whose
-  * `rightTs <= leftTs` for the same key; probe rows without an earlier
-  * build row get nulls (left-outer semantics).
+  * probe (left) row, attach the nearest build (right) values at or before
+  * (`backward`: latest `rightTs <= leftTs`) or at or after (`forward`:
+  * earliest `rightTs >= leftTs`) the probe timestamp for the same key;
+  * probe rows with no qualifying build row — including matches farther
+  * than `tolerance` time units away, when set — get nulls (left-outer
+  * semantics).
   *
   * This is the whole-operator Catalyst route — logical node, planner
   * strategy (AsOfJoinStrategy), physical merge exec (AsOfJoinExec) —
@@ -23,8 +26,12 @@ case class AsOfJoinPlan(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    rightValues: Seq[Attribute]
+    rightValues: Seq[Attribute],
+    forward: Boolean = false,
+    tolerance: Option[Long] = None
 ) extends BinaryNode {
+
+  require(tolerance.forall(_ >= 0L), s"as-of tolerance must be >= 0 (got $tolerance)")
 
   // build values are nullable in the output: probe rows with no
   // at-or-before build row emit null
