@@ -49,8 +49,17 @@ object Bench {
     catch { case _: Throwable => () }
 
     // dev convenience: SPARK_GRAFT_ONLY=q1,q2 restricts the run while
-    // iterating on specific queries; unset (the driver's case) runs all
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // iterating on specific queries; unset (the driver's case) runs all.
+    // Unknown names fail loudly — a typo would otherwise print a
+    // valid-looking empty run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(
+        unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}"
+      )
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
 
     /** Streaming throughput: envelope rows/sec through the full CDC
@@ -109,15 +118,26 @@ object Bench {
     val streamField =
       if (streamRps > 0) s""","stream_rows":$streamRows,"stream_rows_per_sec":${fmt(streamRps)}""" else ""
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$all$streamField,"sf":"$sfDir"}"""
-    // (not printed to stderr: sbt re-routes forked stderr through its logger
-    // onto stdout, which could push the parseable line out of the driver's
-    // 2000-char tail)
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
+      // committed history snapshot: keeps per-query breakdowns diffable
+      // across rounds (target/ is cleaned; round 2's breakdown was lost)
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd-HHmmss")
+        .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+      val h = java.nio.file.Paths.get(s"bench_history/bench_full_$stamp.json")
+      java.nio.file.Files.createDirectories(h.getParent)
+      java.nio.file.Files.write(h, fullJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head$streamField,"sf":"$sfDir"}""")
+    // stop Spark BEFORE printing so the parseable headline-subset line is
+    // the very last stdout line (build.sbt's StdoutOutput strategy passes
+    // it through bare — rounds 1-3 lost it behind sbt's "[info] " prefix);
+    // the full per-query map stays in target/bench_full.json to keep this
+    // line inside the driver's 2000-char tail buffer
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$head$streamField,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

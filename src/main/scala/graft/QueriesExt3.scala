@@ -303,13 +303,15 @@ object QueriesExt3 {
       |FROM e JOIN c ON e.ms >= c.start_ms AND e.ms < c.end_ms
       |GROUP BY campaign_id""".stripMargin
 
-  // --------------------------------------------- sketches (no SQL oracle)
+  // ------------------------------------------------------------- sketches
 
   /** Approximate aggregations for 100 TB interactive profiling: HLL
-    * distinct counts and quantile sketches. Approximations are
-    * engine-specific, so there is no DuckDB oracle — the driver records
-    * the weaker rows-only check; the exact columns alongside bound the
-    * error for human review.
+    * distinct counts and quantile sketches. The approximate values
+    * themselves are engine-specific (HLL register layout, KLL summary), so
+    * the output carries the exact companions plus in-query error-bound
+    * assertions: `approx_users_ok` / `approx_median_ok` must be true (the
+    * oracle emits literal TRUE, so a sketch drifting outside its
+    * advertised bound turns the row red in the gate).
     */
   private def qApproxSketches(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
@@ -319,14 +321,31 @@ object QueriesExt3 {
         countDistinct(col("user_id")).as("exact_users"),
         // accuracy 1000 ≈ 0.1% rank error — plenty for profiling, and the
         // KLL-style summary insert cost scales with the compression target
-        expr("approx_percentile(value, 0.5, 1000)").as("approx_median_value"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_median"),
+        expr("percentile(value, 0.5)").as("exact_median"),
         count(lit(1)).as("n_events")
       )
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        round(col("exact_median"), 4).as("exact_median"),
+        col("n_events"),
+        // default HLL rsd is 5%; 15% is a loose-but-meaningful outer bound
+        (abs(col("approx_users") - col("exact_users")) / col("exact_users") < 0.15).as("approx_users_ok"),
+        (abs(col("approx_median") - col("exact_median")) / abs(col("exact_median")) < 0.05).as("approx_median_ok")
+      )
+
+  private val qApproxSketchesSql =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  round(quantile_cont(value, 0.5), 4) AS exact_median, count(*) AS n_events,
+      |  TRUE AS approx_users_ok, TRUE AS approx_median_ok
+      |FROM events GROUP BY 1""".stripMargin
 
   /** IVF ANN over the embeddings fixture (8 cells, 2 probes, top-5 for
-    * queries vec_id < 10). KMeans centroids are not SQL-expressible, so
-    * no oracle — rows-only check; IVF recall vs the exact brute force is
-    * asserted in SimilaritySpec instead.
+    * queries vec_id < 10). The index is fully deterministic — md5-picked
+    * seed centroids, argmin cell assignment, (distance, cell) probe order —
+    * so DuckDB replays the exact same index build and search, making the
+    * one genuinely approximate-index path oracle-checked end to end.
     */
   private def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
@@ -335,6 +354,35 @@ object QueriesExt3 {
       k = 5, nCells = 8, nProbe = 2
     )
   }
+
+  private val simIvfTopKSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |seeds AS (SELECT vec_id AS cell_id, e AS ce FROM v
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+      |assign AS (
+      |  SELECT vec_id, e, cell_id FROM (
+      |    SELECT v.vec_id, v.e, s.cell_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, v.e) - 2.0*list_dot_product(v.e, s.ce) + list_dot_product(s.ce, s.ce) ASC,
+      |        s.cell_id ASC) AS rn
+      |    FROM v CROSS JOIN seeds s)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, e AS qe, cell_id FROM (
+      |    SELECT v.vec_id, v.e, s.cell_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, v.e) - 2.0*list_dot_product(v.e, s.ce) + list_dot_product(s.ce, s.ce) ASC,
+      |        s.cell_id ASC) AS rn
+      |    FROM v CROSS JOIN seeds s
+      |    WHERE v.vec_id < 10)
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(p.qe, a.e), 6) AS cosine
+      |  FROM probes p JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
 
   // ------------------------------------------------------------- registry
 
@@ -358,8 +406,12 @@ object QueriesExt3 {
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_clusters" -> dedupMinhashClustersSql,
     "events_range_campaigns" -> eventsRangeCampaignsSql,
-    // q_approx_sketches intentionally has no oracle: HLL/quantile sketches
-    // are engine-specific (driver falls back to the rows-only check)
+    // sketch values are engine-specific; the oracle checks the exact
+    // companions and expects the in-query error-bound booleans to be TRUE
+    "q_approx_sketches"  -> qApproxSketchesSql,
+    // the deterministic IVF index (md5-seeded coarse quantizer) is replayed
+    // exactly by DuckDB — index build, probe selection, and final ranking
+    "sim_ivf_topk"       -> simIvfTopKSql,
     "cdc_asof_enrich"    -> cdcAsofEnrichSql,
     // the native (custom SparkPlan) route must land on the identical result
     "cdc_asof_native"    -> cdcAsofEnrichSql,

@@ -100,16 +100,20 @@ object QueriesExt5 {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
-  /** Q15: the supplier(s) with maximum revenue in 1997Q1. The Spark form
-    * ranks with a window max; the oracle recomputes via a scalar subquery.
+  /** Q15: the supplier(s) with maximum revenue in 1997Q1. The scalar max
+    * is a 1-row broadcast cross-joined back onto the per-supplier
+    * aggregate — the plan that never degrades (a global window for the
+    * same scalar moves every row to one task at scale). The oracle
+    * recomputes via a scalar subquery.
     */
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val rev = lineitem(s, dir)
       .filter(col("l_shipdate") >= tsLit("1997-01-01") && col("l_shipdate") < tsLit("1997-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(round(revenue, 2).cast("double").as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
     rev
-      .withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+      .join(broadcast(maxRev))
       .filter(col("total_rev") === col("max_rev"))
       .join(supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_rev"))
@@ -255,16 +259,61 @@ object QueriesExt5 {
       |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events)
       |WINDOW w AS (PARTITION BY user_id ORDER BY ms ASC, event_id ASC)""".stripMargin
 
-  /** ntile deciles of order value with per-decile stats. */
+  /** ntile deciles of order value with per-decile stats — via a
+    * distributed two-pass global ranking, not `ntile() OVER (ORDER BY …)`
+    * (a global window moves the whole table to one task; this version
+    * keeps every stage partition-parallel and survives a 100× scale-up):
+    *
+    *  1. value-range buckets from sampled quantile cuts — a pure function
+    *     of the value, so later jobs agree without caching (unlike
+    *     repartitionByRange, whose sampled bounds differ per job);
+    *  2. per-bucket counts → driver (nBuckets rows) → exclusive prefix
+    *     offsets;
+    *  3. per-bucket local row_number + bucket offset = exact global rank,
+    *     then the exact ntile size formula (first N%10 tiles get one extra
+    *     row) reproduces ntile(10) bit-for-bit — the oracle runs real
+    *     SQL ntile to prove it.
+    */
   private def qNtileDeciles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    orders(s, dir)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val o = orders(s, dir).select(col("o_totalprice").as("price"), col("o_orderkey").as("okey"))
+    val nBuckets = 32
+    val cuts = o.stat
+      .approxQuantile("price", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
+      .distinct.sorted
+    val cutArr   = array(cuts.map(lit).toSeq: _*)
+    val bucketed = o.withColumn("bucket", size(filter(cutArr, c => col("price") > c)))
+
+    val counts = bucketed.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    // exclusive prefix sum over bucket ids 0..cuts.length
+    val prefix: Map[Int, Long] = {
+      var acc = 0L
+      (0 to cuts.length).map { b => val base = acc; acc += counts.getOrElse(b, 0L); b -> base }.toMap
+    }
+    val offsetExpr = element_at(
+      map(prefix.toSeq.sortBy(_._1).flatMap { case (b, off) => Seq(lit(b), lit(off)) }: _*),
+      col("bucket")
+    )
+
+    val w   = Window.partitionBy(col("bucket")).orderBy(col("price").asc, col("okey").asc)
+    val q   = total / 10
+    val r   = total % 10
+    val thr = r * (q + 1)
+    bucketed
+      .withColumn("rn", row_number().over(w).cast("long") + offsetExpr)
+      .withColumn(
+        "decile",
+        when(lit(q) === 0L, col("rn"))
+          .when(col("rn") <= thr, floor((col("rn") - 1) / (q + 1)) + 1)
+          .otherwise(lit(r) + floor((col("rn") - 1 - thr) / q) + 1)
+          .cast("long")
+      )
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_orders"),
-        min(col("o_totalprice")).as("min_price"),
-        max(col("o_totalprice")).as("max_price")
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price")
       )
   }
 

@@ -105,16 +105,22 @@ object Similarity {
       .map(i => when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** IVF (inverted-file) ANN: learn `nCells` KMeans centroids over the
-    * corpus (seeded — deterministic), assign every corpus vector to its
-    * nearest cell, then for each query scan only the `nProbe` nearest
-    * cells' vectors. This is the standard first real ANN index (FAISS
-    * IVFFlat): at 100 TB the corpus partitions by cell id, queries fan out
-    * to nProbe/nCells of the data, and recall/latency trades via nProbe.
+  /** IVF (inverted-file) ANN: pick `nCells` deterministic seed centroids
+    * from the corpus (the rows with the smallest md5(id) — a reproducible
+    * uniform sample, the standard random-init coarse quantizer), assign
+    * every corpus vector to its nearest cell, then for each query scan
+    * only the `nProbe` nearest cells' vectors. This is the standard first
+    * real ANN index (FAISS IVFFlat): at 100 TB the corpus partitions by
+    * cell id, queries fan out to nProbe/nCells of the data, and
+    * recall/latency trades via nProbe. Lloyd refinement of the centroids
+    * is orthogonal (it changes the cells, not the query plan) and is
+    * deliberately left out so an independent engine can replay the exact
+    * index: every step here — seed pick, argmin assignment, probe set,
+    * final ranking — is plain deterministic relational algebra.
     *
-    * The centroid model is tiny (nCells × dim doubles) and broadcasts via
-    * literal arrays — cell assignment is a codegen'd argmin over
-    * `DotProduct`-style expressions, no ML pipeline in the hot path.
+    * The centroid "model" is tiny (nCells × dim doubles) and broadcasts
+    * via literal arrays — cell assignment is a codegen'd argmin over
+    * `DotProduct` expressions, no ML pipeline anywhere.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -123,56 +129,41 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int,
-      nProbe: Int,
-      seed: Long = 42L
+      nProbe: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
 
-    val spark = corpus.sparkSession
-    // cache the training projection: KMeans runs one job per iteration and
-    // would otherwise re-scan + re-convert the corpus each time
-    val train = spread(corpus).select(array_to_vector(asDouble(col(vecCol))).as("features")).cache()
-    val model =
-      try new KMeans().setK(nCells).setSeed(seed).setMaxIter(10).setTol(1e-4).fit(train)
-      finally train.unpersist()
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // deterministic seed centroids: nCells corpus rows with the smallest
+    // (md5(id), id) — a TakeOrdered over the scan, cheap at any scale.
+    // Cell id = the seed row's id, so the index is self-describing.
+    val seeds: Array[(Long, Array[Double])] = corpus
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-    // nearest-cell expression: argmin over squared distance to each
-    // centroid, built from codegen'd dot products on literal arrays
-    def cellOf(vec: Column): Column = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        val cl = array(c.map(lit): _*)
-        val diffDot = dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
-        struct(diffDot.as("d"), lit(i).as("cell"))
-      }
-      least(dists: _*).getField("cell")
-    }
+    // squared-distance-to-seed, ordered (distance, cell id) for a total
+    // deterministic order; ||v||² is shared across cells but kept inline so
+    // the expression matches the replayable formula exactly
+    def distStructs(vec: Column): Seq[Column] = seeds.map { case (cellId, c) =>
+      val cl = array(c.map(lit): _*)
+      val d  = dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
+      struct(d.as("d"), lit(cellId).as("cell"))
+    }.toSeq
+
+    def cellOf(vec: Column): Column = least(distStructs(vec): _*).getField("cell")
 
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cell", cellOf(col("cv")))
 
-    // per query: the nProbe nearest cells
+    // per query: the nProbe nearest cells (lexicographic struct sort ==
+    // ORDER BY distance, cell id)
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn(
-        "probe_cells",
-        slice(
-          array_sort(
-            array(centroids.zipWithIndex.map { case (cc, i) =>
-              val cl = array(cc.map(lit): _*)
-              struct(
-                (dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), cl) + lit(cc.map(x => x * x).sum)).as("d"),
-                lit(i).as("cell")
-              )
-            }: _*)
-          ),
-          1,
-          nProbe
-        )
-      )
+      .withColumn("probe_cells", slice(array_sort(array(distStructs(col("qv")): _*)), 1, nProbe))
       .select(col("query_id"), col("qv"), explode(col("probe_cells.cell")).as("cell"))
 
     val scored = c
