@@ -66,6 +66,61 @@ object QueriesExt3 {
     AsOfJoin.asOfNative(probe, build, "user_id", "ms", "ms", Seq("dim_value"))
   }
 
+  /** Forward as-of through the native operator: each probe attaches the
+    * EARLIEST dimension version at-or-after its timestamp ("what will the
+    * dimension become next" — the lookahead join backtesting needs).
+    * DuckDB's native ASOF with a flipped inequality is the independent
+    * oracle.
+    */
+  private def cdcAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("ms", unix_millis(col("ts")))
+    val build = ev
+      .filter(col("event_id") % 11 === 0)
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("value")).as("dim_value"))
+    val probe = ev
+      .filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ms"))
+    AsOfJoin.asOfNative(probe, build, "user_id", "ms", "ms", Seq("dim_value"), direction = "forward")
+  }
+
+  private val cdcAsofForwardSql =
+    """WITH d AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS dim_value
+      |  FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+      |  FROM events WHERE event_id % 11 != 0)
+      |SELECT e.event_id, e.user_id, e.ms, d.dim_value
+      |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ms <= d.ms""".stripMargin
+
+  /** Backward as-of with a 1-hour tolerance: matches farther than the
+    * bound become nulls (stale dimension versions are rejected, not
+    * silently used). The oracle post-filters DuckDB's unbounded ASOF
+    * match with the same bound.
+    */
+  private def cdcAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumn("ms", unix_millis(col("ts")))
+    val build = ev
+      .filter(col("event_id") % 11 === 0)
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("value")).as("dim_value"))
+    val probe = ev
+      .filter(col("event_id") % 11 =!= 0)
+      .select(col("event_id"), col("user_id"), col("ms"))
+    AsOfJoin.asOfNative(
+      probe, build, "user_id", "ms", "ms", Seq("dim_value"),
+      tolerance = Some(3600000L)
+    )
+  }
+
+  private val cdcAsofToleranceSql =
+    """WITH d AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS dim_value
+      |  FROM events WHERE event_id % 11 = 0 GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+      |  FROM events WHERE event_id % 11 != 0)
+      |SELECT e.event_id, e.user_id, e.ms,
+      |  CASE WHEN d.ms >= e.ms - 3600000 THEN d.dim_value END AS dim_value
+      |FROM e ASOF LEFT JOIN d ON e.user_id = d.user_id AND e.ms >= d.ms""".stripMargin
+
   // ------------------------------------------------------ salted skew join
 
   /** Same semantics as cdc_enrich_join (and the same oracle), executed
@@ -393,6 +448,8 @@ object QueriesExt3 {
     "sim_ivf_topk"       -> (simIvfTopK _),
     "cdc_asof_enrich"    -> (cdcAsofEnrich _),
     "cdc_asof_native"    -> (cdcAsofNative _),
+    "cdc_asof_forward"   -> (cdcAsofForward _),
+    "cdc_asof_tolerance" -> (cdcAsofTolerance _),
     "cdc_enrich_salted"  -> (cdcEnrichSalted _),
     "q7_volume_shipping" -> (q7 _),
     "q9_product_revenue" -> (q9 _),
@@ -415,6 +472,8 @@ object QueriesExt3 {
     "cdc_asof_enrich"    -> cdcAsofEnrichSql,
     // the native (custom SparkPlan) route must land on the identical result
     "cdc_asof_native"    -> cdcAsofEnrichSql,
+    "cdc_asof_forward"   -> cdcAsofForwardSql,
+    "cdc_asof_tolerance" -> cdcAsofToleranceSql,
     // deliberately the same oracle as cdc_enrich_join: the salted physical
     // plan must produce the identical result set
     "cdc_enrich_salted"  ->

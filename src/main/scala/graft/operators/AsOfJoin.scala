@@ -84,6 +84,10 @@ object AsOfJoin {
     * forward pass over each sorted side) instead of the union+window
     * composition. Requires LongType key and timestamp columns and the
     * GraftExtensions-enabled session (GraftSession installs it).
+    *
+    * `direction="forward"` matches the earliest build row at-or-after the
+    * probe instead of the latest at-or-before; `tolerance` (same units as
+    * the timestamps) nulls out matches farther than the bound.
     */
   def asOfNative(
       probe: DataFrame,
@@ -91,7 +95,9 @@ object AsOfJoin {
       keyCol: String,
       probeTsCol: String,
       buildTsCol: String,
-      valueCols: Seq[String]
+      valueCols: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Long] = None
   ): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge
     import org.apache.spark.sql.types.LongType
@@ -100,6 +106,10 @@ object AsOfJoin {
     require(
       collisions.isEmpty,
       s"asOfNative: probe columns collide with build valueCols: ${collisions.mkString(", ")}"
+    )
+    require(
+      direction == "backward" || direction == "forward",
+      s"asOfNative: direction must be backward|forward (got $direction)"
     )
     val lp = PlanBridge.analyzed(probe)
     // Re-alias every build column through a fresh Alias: probe and build
@@ -124,7 +134,10 @@ object AsOfJoin {
     }
     PlanBridge.ofRows(
       probe.sparkSession,
-      graft.plans.AsOfJoinPlan(lp, rp, lk, lt, rk, rt, valueCols.map(attr(rp, _)))
+      graft.plans.AsOfJoinPlan(
+        lp, rp, lk, lt, rk, rt, valueCols.map(attr(rp, _)),
+        forward = direction == "forward", tolerance = tolerance
+      )
     )
   }
 }

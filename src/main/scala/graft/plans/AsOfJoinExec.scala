@@ -26,6 +26,10 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * Keys and timestamps are required LongType (checked at construction in
   * AsOfJoin.asOfNative) — the CDC surface this engine serves keys by id
   * and epoch-millis.
+  *
+  * `forward` flips the direction (earliest build row with ts >= probe ts);
+  * `tolerance` nulls out matches farther than the given time units from
+  * the probe (both directions). Both compose with the same one-pass merge.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -34,7 +38,9 @@ case class AsOfJoinExec(
     leftTs: Attribute,
     rightKey: Attribute,
     rightTs: Attribute,
-    rightValues: Seq[Attribute]
+    rightValues: Seq[Attribute],
+    forward: Boolean,
+    tolerance: Option[Long]
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -74,14 +80,23 @@ case class AsOfJoinExec(
     val rightOut   = right.output
     val nValues    = rightValues.length
 
+    val isForward = forward
+    val tol       = tolerance
+
     left.execute().zipPartitions(right.execute()) { (probeIter, buildIter) =>
       val valueProj = UnsafeProjection.create(valueExprs, rightOut)
       val nullVals  = new GenericInternalRow(nValues)
       val joiner    = new JoinedRow
+      // emit UnsafeRows: parents (shuffles, direct collect) assume the
+      // UnsafeRow contract from SparkPlan output — JoinedRow would CCE
+      val resultProj = UnsafeProjection.create(output, output)
 
       new Iterator[InternalRow] {
-        // the single remembered build state: latest values seen for matchKey
+        // the single remembered build state (backward mode): latest values
+        // at-or-before the probe for matchKey, and their timestamp (for
+        // the tolerance check)
         private var matchKey: Long            = 0L
+        private var matchTs: Long             = 0L
         private var matchValid: Boolean       = false
         private var matchVals: InternalRow    = null
         // one-row lookahead into the build side
@@ -101,17 +116,18 @@ case class AsOfJoinExec(
           pending != null
         }
 
-        /** Consume build rows up to and including (pk, pts); the last
-          * consumed row with key == pk becomes the remembered match.
+        /** Backward: consume build rows up to and including (pk, pts); the
+          * last consumed row with key == pk becomes the remembered match.
           * Rows with key < pk are discarded — probes are sorted, so no
           * later probe can want them.
           */
-        private def advanceBuild(pk: Long, pts: Long): Unit = {
+        private def advanceBackward(pk: Long, pts: Long): Unit = {
           var go = true
           while (go && loadPending()) {
             if (pendingKey < pk || (pendingKey == pk && pendingTs <= pts)) {
               if (pendingKey == pk) {
                 matchKey = pk
+                matchTs = pendingTs
                 matchValid = true
                 // copy: UnsafeProjection reuses its buffer and the child
                 // iterator may reuse the row
@@ -122,19 +138,44 @@ case class AsOfJoinExec(
           }
         }
 
+        /** Forward: discard build rows strictly before the probe (key < pk,
+          * or same key with ts < pts) — probe timestamps ascend, so no
+          * later probe can want them either. The lookahead row is then the
+          * earliest at-or-after candidate; it is NOT consumed (the next
+          * probe may need it too).
+          */
+        private def advanceForward(pk: Long, pts: Long): Unit = {
+          var go = true
+          while (go && loadPending()) {
+            if (pendingKey < pk || (pendingKey == pk && pendingTs < pts)) pending = null
+            else go = false
+          }
+        }
+
         override def hasNext: Boolean = probeIter.hasNext
 
         override def next(): InternalRow = {
           val p = probeIter.next()
           numOutputRows += 1
-          if (p.isNullAt(pKeyIdx) || p.isNullAt(pTsIdx)) {
-            joiner(p, nullVals)
-          } else {
-            val pk = p.getLong(pKeyIdx)
-            advanceBuild(pk, p.getLong(pTsIdx))
-            if (matchValid && matchKey == pk) joiner(p, matchVals)
-            else joiner(p, nullVals)
-          }
+          val joined =
+            if (p.isNullAt(pKeyIdx) || p.isNullAt(pTsIdx)) {
+              joiner(p, nullVals)
+            } else {
+              val pk  = p.getLong(pKeyIdx)
+              val pts = p.getLong(pTsIdx)
+              if (isForward) {
+                advanceForward(pk, pts)
+                val ok = pending != null && pendingKey == pk &&
+                  tol.forall(t => pendingTs - pts <= t)
+                if (ok) joiner(p, valueProj(pending)) else joiner(p, nullVals)
+              } else {
+                advanceBackward(pk, pts)
+                val ok = matchValid && matchKey == pk &&
+                  tol.forall(t => pts - matchTs <= t)
+                if (ok) joiner(p, matchVals) else joiner(p, nullVals)
+              }
+            }
+          resultProj(joined)
         }
       }
     }

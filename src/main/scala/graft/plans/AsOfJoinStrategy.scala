@@ -17,7 +17,9 @@ object AsOfJoinStrategy extends SparkStrategy {
         p.leftTs,
         p.rightKey,
         p.rightTs,
-        p.rightValues
+        p.rightValues,
+        p.forward,
+        p.tolerance
       ) :: Nil
     case _ => Nil
   }

@@ -39,6 +39,56 @@ class JoinOpsSpec extends GraftSpecBase {
     ))
   }
 
+  test("asOfNative direct collect() and shuffle-above honor the UnsafeRow contract") {
+    val probe = Seq((1L, 10L, "e1"), (1L, 20L, "e2")).toDF("k", "ts", "tag")
+    val build = Seq((1L, 10L, "v10"), (1L, 15L, "v15")).toDF("k", "bts", "dim")
+    // collect() with NO Project above the exec node: the node's own output
+    // rows go straight into the byte-array collector, which requires
+    // UnsafeRow (a JoinedRow here ClassCastExceptions)
+    val rows = AsOfJoin.asOfNative(probe, build, "k", "ts", "bts", Seq("dim")).collect()
+    assert(rows.map(r => (r.getString(2), r.getString(3))).toSet === Set(("e1", "v10"), ("e2", "v15")))
+    // and an exchange directly above the node consumes its rows too
+    val agg = AsOfJoin.asOfNative(probe, build, "k", "ts", "bts", Seq("dim"))
+      .groupBy("dim").count().as[(String, Long)].collect().toMap
+    assert(agg === Map("v10" -> 1L, "v15" -> 1L))
+  }
+
+  test("asOfNative forward attaches the earliest build value at-or-after") {
+    val probe = Seq((1L, 10L, "eq"), (1L, 12L, "mid"), (1L, 99L, "after"), (2L, 50L, "other"))
+      .toDF("k", "ts", "tag")
+    val build = Seq((1L, 10L, "v10"), (1L, 15L, "v15"), (2L, 60L, "v60"))
+      .toDF("k", "bts", "dim")
+    val out = AsOfJoin
+      .asOfNative(probe, build, "k", "ts", "bts", Seq("dim"), direction = "forward")
+      .select("tag", "dim").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "eq"    -> Some("v10"),   // inclusive: build at ts==10 applies
+      "mid"   -> Some("v15"),
+      "after" -> None,          // no build at-or-after
+      "other" -> Some("v60")
+    ))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(probe, build, "k", "ts", "bts", Seq("dim"), direction = "sideways")
+    }
+  }
+
+  test("asOfNative tolerance nulls matches beyond the bound in both directions") {
+    val probe = Seq((1L, 100L, "near"), (1L, 200L, "far")).toDF("k", "ts", "tag")
+    val build = Seq((1L, 95L, "v95")).toDF("k", "bts", "dim")
+    val back = AsOfJoin
+      .asOfNative(probe, build, "k", "ts", "bts", Seq("dim"), tolerance = Some(10L))
+      .select("tag", "dim").as[(String, Option[String])].collect().toMap
+    assert(back === Map("near" -> Some("v95"), "far" -> None)) // 5 <= 10 < 105
+    val fprobe = Seq((1L, 50L, "ffar"), (1L, 90L, "fnear")).toDF("k", "ts", "tag")
+    val fwd = AsOfJoin
+      .asOfNative(fprobe, build, "k", "ts", "bts", Seq("dim"),
+        direction = "forward", tolerance = Some(10L))
+      .select("tag", "dim").as[(String, Option[String])].collect().toMap
+    // both probes see the same un-consumed lookahead build row; only the
+    // near one is within tolerance
+    assert(fwd === Map("fnear" -> Some("v95"), "ffar" -> None))
+  }
+
   test("asOfNative equals the composed asOf on fixture-scale data") {
     val ev = graft.Tables.events(spark, sf()).withColumn("ms", unix_millis(col("ts")))
     val build = ev.filter(col("event_id") % 11 === 0)
