@@ -53,8 +53,9 @@ object KafkaCdc {
     * (decoded, corrupt).
     *
     * `decode` is pluggable: JSON-encoded envelopes decode with from_json
-    * here; Avro envelopes plug from_avro in at deploy (spark-avro ships
-    * with the cluster, not this test classpath).
+    * here; Confluent-framed Avro envelopes take the schema-registry path
+    * ([[AvroWire.decodeOrDlq]] — same (decoded, corrupt) contract, real
+    * Avro resolution with per-frame writer-schema lookup).
     */
   def decodeOrDlq(
       raw: DataFrame,
