@@ -16,9 +16,12 @@ object PlanAudit {
     *  - text_tfidf_top: the corpus doc count N joins in as a 1-row
     *    broadcast (the scalar-subquery pattern again) — one value against
     *    the per-term df side.
+    *  - q15_top_supplier: the global max revenue is a 1-row broadcast
+    *    cross-joined back onto the per-supplier aggregate (deliberately
+    *    replacing a single-partition global window).
     */
   private val intendedNestedLoop =
-    Set("q22_idle_customers", "sim_topk_cosine", "text_tfidf_top")
+    Set("q22_idle_customers", "sim_topk_cosine", "text_tfidf_top", "q15_top_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
