@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Hashing
+import graft.operators.TextAnalysis
+
+/** Ninth query batch — training-data curation operators a large-scale LLM
+  * pipeline runs on every corpus refresh:
+  *
+  *  - eval-set decontamination: n-gram overlap of every corpus document
+  *    against a benchmark document set (the contamination check run before
+  *    any training shard ships);
+  *  - repetition-based quality signals (Gopher/RefinedWeb-style duplicate
+  *    word/bigram and top-word fractions);
+  *  - per-source stratified deterministic sampling (different keep-rates
+  *    per provenance bucket, reproducible across engines and runs).
+  *
+  * Same parity rules as SparkEntry (round-6 ratios, BIGINT counts, md5
+  * hash buckets).
+  */
+object QueriesExt9 {
+
+  private val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+
+  /** k-word shingle list comprehension with the short-doc fallback used by
+    * the codegen'd WordKGrams expression ([norm] when fewer than k words).
+    */
+  private def shinglesSql(k: Int) =
+    s"CASE WHEN len(toks)>=$k THEN [array_to_string(toks[i:i+${k - 1}],' ') for i in range(1,len(toks)-${k - 2})] ELSE [norm] END"
+
+  // ------------------------------------------------- eval decontamination
+
+  /** 5-word-shingle overlap of every document against the eval set
+    * (doc_id < 10 stands in for the benchmark corpus). Scale shape: the
+    * eval shingle set is tiny and broadcast; the corpus side explodes its
+    * DISTINCT shingles once and hash-aggregates per document — no
+    * all-pairs document comparison anywhere. Flagging threshold on the
+    * rounded fraction so both engines compare identical doubles.
+    */
+  private def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = documents(s, dir).select(
+      col("doc_id"),
+      explode(array_distinct(TextAnalysis.wordShingles(col("text"), 5))).as("shingle")
+    )
+    val evalSet = sh.filter(col("doc_id") < 10).select(col("shingle")).distinct()
+      .withColumn("hit", lit(1L))
+    sh.join(broadcast(evalSet), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_matched")
+      )
+      .withColumn(
+        "overlap_frac",
+        round(col("n_matched").cast("double") / col("n_shingles"), 6)
+      )
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_matched"), col("overlap_frac"),
+        (col("overlap_frac") >= 0.2).as("contaminated")
+      )
+  }
+
+  private val textDecontaminateSql =
+    s"""WITH t AS (SELECT doc_id, $normSql AS norm, string_split($normSql,' ') AS toks FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(${shinglesSql(5)}) AS sset FROM t),
+       |ex AS (SELECT doc_id, unnest(sset) AS shingle FROM sh),
+       |ev AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 10),
+       |m AS (SELECT e.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_matched
+       |      FROM ex e LEFT JOIN ev ON e.shingle = ev.shingle GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_matched,
+       |  round(n_matched::DOUBLE / n_shingles, 6) AS overlap_frac,
+       |  round(n_matched::DOUBLE / n_shingles, 6) >= 0.2 AS contaminated
+       |FROM m""".stripMargin
+
+  // --------------------------------------------- repetition quality signals
+
+  /** Duplicate-content fractions per document: duplicate word fraction,
+    * most-frequent-word fraction, duplicate bigram fraction — the
+    * Gopher-style repetition filters. Array-local metrics stay row-local
+    * (no shuffle); only the top-word count needs an explode + two-level
+    * hash aggregation.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val bg   = TextAnalysis.wordShingles(col("text"), 2)
+    val base = docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      size(array_distinct(toks)).cast("long").as("d_words"),
+      size(bg).cast("long").as("n_bigrams"),
+      size(array_distinct(bg)).cast("long").as("d_bigrams")
+    )
+    val top = docs
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    base.join(top, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(lit(1.0) - col("d_words").cast("double") / col("n_words"), 6).as("dup_word_frac"),
+        round(col("top_cnt").cast("double") / col("n_words"), 6).as("top_word_frac"),
+        round(lit(1.0) - col("d_bigrams").cast("double") / col("n_bigrams"), 6).as("dup_bigram_frac")
+      )
+  }
+
+  private val textRepetitionSql =
+    s"""WITH t AS (SELECT doc_id, $normSql AS norm, string_split($normSql,' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, ${shinglesSql(2)} AS bg FROM t),
+       |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       |  len(list_distinct(toks)) AS d_words, len(bg) AS n_bigrams,
+       |  len(list_distinct(bg)) AS d_bigrams FROM b),
+       |w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) AS top_cnt FROM wc GROUP BY 1)
+       |SELECT doc_id, n_words,
+       |  round(1.0 - d_words::DOUBLE / n_words, 6) AS dup_word_frac,
+       |  round(top_cnt::DOUBLE / n_words, 6) AS top_word_frac,
+       |  round(1.0 - d_bigrams::DOUBLE / n_bigrams, 6) AS dup_bigram_frac
+       |FROM base JOIN top USING (doc_id)""".stripMargin
+
+  // ------------------------------------------------- stratified sampling
+
+  /** Per-source stratified deterministic sampling (B16 generalized):
+    * provenance buckets keep different rates (50% / 25% / 10%), membership
+    * decided by an md5 hash bucket of the key — scan-fused, reproducible
+    * across engines, partitions and reruns, and any source's sample is a
+    * superset of the same source's sample at a lower rate.
+    */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 50L)
+      .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 25L)
+      .otherwise(10L)
+    documents(s, dir)
+      .withColumn("bucket", Hashing.h32(col("doc_id").cast("string")) % 100)
+      .filter(col("bucket") < rate)
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+
+  private val qStratifiedSampleSql =
+    """SELECT doc_id, source,
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 <
+      |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 50
+      |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
+      |       ELSE 10 END""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontaminate"  -> (textDecontaminate _),
+    "text_repetition"     -> (textRepetition _),
+    "q_stratified_sample" -> (qStratifiedSample _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_decontaminate"  -> textDecontaminateSql,
+    "text_repetition"     -> textRepetitionSql,
+    "q_stratified_sample" -> qStratifiedSampleSql
+  )
+}
