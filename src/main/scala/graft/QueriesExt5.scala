@@ -276,39 +276,8 @@ object QueriesExt5 {
     */
   private def qNtileDeciles(s: SparkSession, dir: String): DataFrame = {
     val o = orders(s, dir).select(col("o_totalprice").as("price"), col("o_orderkey").as("okey"))
-    val nBuckets = 32
-    val cuts = o.stat
-      .approxQuantile("price", (1 until nBuckets).map(_.toDouble / nBuckets).toArray, 0.001)
-      .distinct.sorted
-    val cutArr   = array(cuts.map(lit).toSeq: _*)
-    val bucketed = o.withColumn("bucket", size(filter(cutArr, c => col("price") > c)))
-
-    val counts = bucketed.groupBy("bucket").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    // exclusive prefix sum over bucket ids 0..cuts.length
-    val prefix: Map[Int, Long] = {
-      var acc = 0L
-      (0 to cuts.length).map { b => val base = acc; acc += counts.getOrElse(b, 0L); b -> base }.toMap
-    }
-    val offsetExpr = element_at(
-      map(prefix.toSeq.sortBy(_._1).flatMap { case (b, off) => Seq(lit(b), lit(off)) }: _*),
-      col("bucket")
-    )
-
-    val w   = Window.partitionBy(col("bucket")).orderBy(col("price").asc, col("okey").asc)
-    val q   = total / 10
-    val r   = total % 10
-    val thr = r * (q + 1)
-    bucketed
-      .withColumn("rn", row_number().over(w).cast("long") + offsetExpr)
-      .withColumn(
-        "decile",
-        when(lit(q) === 0L, col("rn"))
-          .when(col("rn") <= thr, floor((col("rn") - 1) / (q + 1)) + 1)
-          .otherwise(lit(r) + floor((col("rn") - 1 - thr) / q) + 1)
-          .cast("long")
-      )
+    operators.Ranking
+      .withNtile(o, 10, "price", "okey", "decile")
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_orders"),
