@@ -150,17 +150,76 @@ object QueriesExt9 {
       |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
       |       ELSE 10 END""".stripMargin
 
+  // ------------------------------------------------------ event analytics
+
+  /** Funnel detection: does the ordered (non-contiguous) subsequence
+    * view → click → purchase occur in each user's event stream? One hash
+    * aggregation builds the ordered type sequence per user (total order
+    * (ms, event_id) makes the string deterministic); the subsequence test
+    * is a codegen'd regexp. No self-joins, no window over the raw stream.
+    */
+  private def eventsFunnel(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ms"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")
+          ),
+          ","
+        ).as("seq")
+      )
+      .select(
+        col("user_id"), col("n_events"),
+        col("seq").rlike("view.*click.*purchase").as("has_funnel")
+      )
+
+  private val eventsFunnelSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  regexp_matches(string_agg(event_type, ',' ORDER BY epoch_ms(ts), event_id),
+      |                 'view.*click.*purchase') AS has_funnel
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Cohort retention: users bucketed by first-active day; for each
+    * (cohort day, day offset) the distinct users still active — two hash
+    * aggregations and one equi-join on user_id, every stage
+    * partition-parallel.
+    */
+  private def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val d = events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+    val c = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(c, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val eventsRetentionSql =
+    """WITH d AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+      |SELECT cohort_day, day - cohort_day AS offset_days, count(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontaminate"  -> (textDecontaminate _),
     "text_repetition"     -> (textRepetition _),
-    "q_stratified_sample" -> (qStratifiedSample _)
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "events_funnel"       -> (eventsFunnel _),
+    "events_retention"    -> (eventsRetention _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_decontaminate"  -> textDecontaminateSql,
     "text_repetition"     -> textRepetitionSql,
-    "q_stratified_sample" -> qStratifiedSampleSql
+    "q_stratified_sample" -> qStratifiedSampleSql,
+    "events_funnel"       -> eventsFunnelSql,
+    "events_retention"    -> eventsRetentionSql
   )
 }

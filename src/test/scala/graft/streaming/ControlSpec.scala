@@ -88,6 +88,34 @@ class ControlSpec extends GraftSpecBase {
     registry.stopAll()
   }
 
+  test("reset fully terminates the old run before the new one starts") {
+    // the reference's group-inactive wait (StreamControlService.java:199-219)
+    // guarantees no concurrent consumption during a reset; here the factory
+    // itself checks the previous query is dead at relaunch time
+    val srcDir = tmp("seq-src"); val ckptRoot = tmp("seq-ckpt")
+    writeFile(srcDir, 1L)
+    val registry = new StreamRegistry(spark)
+    @volatile var prevQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    @volatile var overlapped = false
+    registry.registerResettable(
+      "seq",
+      (epoch, _) => {
+        if (prevQ != null && prevQ.isActive) overlapped = true
+        val q = spark.readStream.schema("id LONG").parquet(srcDir)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$ckptRoot/e$epoch")
+          .start()
+        prevQ = q
+        q
+      }
+    )
+    drain()
+    registry.reset("seq", ResetSpec.Earliest)
+    registry.reset("seq", ResetSpec.Earliest)
+    assert(!overlapped, "a relaunched query observed its predecessor still active")
+    registry.stopAll()
+  }
+
   test("lag reports the backlog mid-stream and zero after drain") {
     val srcDir = tmp("lag-src"); val ckpt = tmp("lag-ckpt")
     writeFile(srcDir, 1L)
