@@ -9,6 +9,7 @@ import graft.GraftSpecBase
 
 case class CdcRec(user_id: Long, version: Long, name: String)
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class FunnelEv(user_id: Long, ms: Long, event_type: String)
 
 /** Streaming state operators: latest-wins dedup over flatMapGroupsWithState
   * (B2 streaming form) and the watermarked tumbling aggregation (B7).
@@ -76,5 +77,36 @@ class StatefulSpec extends GraftSpecBase {
     val (decoded, corrupt) = KafkaCdc.decodeOrDlq(raw, schema)
     assert(decoded.select("value.id").collect().map(_.getLong(0)).toSeq === Seq(1L))
     assert(corrupt.count() === 2)
+  }
+
+  test("streaming funnel emits exactly one completion per key, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[FunnelEv]
+    val out = FunnelDetector.detect[Long, FunnelEv](
+      input.toDS(), _.user_id, _.event_type, _.ms,
+      stages = Seq("view", "click", "purchase")
+    )
+    val q = out.writeStream.format("memory").queryName("fn").outputMode("append").start()
+
+    // user 1 progresses view→click in batch 1 (out of order within the
+    // batch — sorted by ms before matching); user 2 clicks without viewing
+    input.addData(
+      FunnelEv(1L, 20L, "click"), FunnelEv(1L, 10L, "view"),
+      FunnelEv(2L, 15L, "click"), FunnelEv(1L, 15L, "error")
+    )
+    q.processAllAvailable()
+    assert(spark.table("fn").count() === 0)   // funnel incomplete
+
+    // purchase completes user 1; a second purchase must not re-emit;
+    // user 2's late view starts (not completes) their funnel
+    input.addData(
+      FunnelEv(1L, 30L, "purchase"), FunnelEv(1L, 40L, "purchase"),
+      FunnelEv(2L, 40L, "view")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    val hits = spark.table("fn").as[(Long, Long)].collect().toSeq
+    assert(hits === Seq((1L, 30L)))
   }
 }
