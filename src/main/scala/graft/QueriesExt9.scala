@@ -150,6 +150,65 @@ object QueriesExt9 {
       |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
       |       ELSE 10 END""".stripMargin
 
+  // -------------------------------------------------- shards & projection
+
+  /** Length-sorted shard assignment — the "write N roughly-equal shards
+    * ordered by document length" packing step before tokenization. The
+    * global order comes from the distributed Ranking operator (no
+    * single-partition window); shard = rank div shardSize.
+    */
+  private def qShardAssign(s: SparkSession, dir: String): DataFrame =
+    operators.Ranking
+      .withGlobalRank(
+        documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "n_chars", "doc_id", "rn"
+      )
+      .select(
+        col("doc_id"), col("n_chars"), col("rn"),
+        floor((col("rn") - 1) / 100).cast("long").as("shard_id")
+      )
+
+  private val qShardAssignSql =
+    """SELECT doc_id, n_chars, rn, (rn - 1) // 100 AS shard_id
+      |FROM (SELECT doc_id, n_chars,
+      |        row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn
+      |      FROM documents)""".stripMargin
+
+  /** Sparse random projection (Achlioptas ±1) of the 64-dim embeddings to
+    * 8 dims: component j = <v, s_j> with a fixed md5-derived sign matrix.
+    * Each output component is one codegen'd sequential-fold dot product
+    * against a literal sign vector — scan-fused, no shuffle, no model.
+    * The oracle replays the identical fold over the same literal matrix.
+    */
+  private val projDims  = 8
+  private val inDims    = 64
+  private val signMatrix: Array[Array[Double]] =
+    Array.tabulate(projDims, inDims) { (j, i) =>
+      // same recipe as the engine's h32: first 8 md5 hex chars as a long
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$j,$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  private def qEmbedProject(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val comps = signMatrix.zipWithIndex.map { case (row, j) =>
+      round(
+        graft.operators.Similarity.dot(v, array(row.map(lit).toIndexedSeq: _*)),
+        6
+      ).as(s"p$j")
+    }
+    embeddings(s, dir).select(col("vec_id") +: comps.toIndexedSeq: _*)
+  }
+
+  private val qEmbedProjectSql = {
+    val comps = signMatrix.zipWithIndex.map { case (row, j) =>
+      val arr = row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"round(list_dot_product(embedding::DOUBLE[], $arr::DOUBLE[]), 6) AS p$j"
+    }
+    s"SELECT vec_id, ${comps.mkString(", ")} FROM embeddings"
+  }
+
   // ------------------------------------------------------ event analytics
 
   /** Funnel detection: does the ordered (non-contiguous) subsequence
@@ -212,7 +271,9 @@ object QueriesExt9 {
     "text_repetition"     -> (textRepetition _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "events_funnel"       -> (eventsFunnel _),
-    "events_retention"    -> (eventsRetention _)
+    "events_retention"    -> (eventsRetention _),
+    "q_shard_assign"      -> (qShardAssign _),
+    "q_embed_project"     -> (qEmbedProject _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -220,6 +281,8 @@ object QueriesExt9 {
     "text_repetition"     -> textRepetitionSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
     "events_funnel"       -> eventsFunnelSql,
-    "events_retention"    -> eventsRetentionSql
+    "events_retention"    -> eventsRetentionSql,
+    "q_shard_assign"      -> qShardAssignSql,
+    "q_embed_project"     -> qEmbedProjectSql
   )
 }
