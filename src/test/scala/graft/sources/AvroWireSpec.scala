@@ -75,6 +75,60 @@ class AvroWireSpec extends GraftSpecBase {
     assert(out === Set((1L, "Buddy", "unknown"), (2L, "Rex", "brown")))
   }
 
+  test("round-trip property: random flat schemas and values survive encode→decode") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    val fieldGen = for {
+      t  <- Gen.oneOf("long", "int", "string", "double", "boolean", "float")
+      nu <- Gen.oneOf(true, false)
+    } yield (t, nu)
+    val schemaGen = for {
+      n  <- Gen.chooseNum(1, 5)
+      fs <- Gen.listOfN(n, fieldGen)
+    } yield fs.zipWithIndex.map { case ((t, nu), i) => (s"f$i", t, nu) }
+
+    def valueGen(t: String, nullable: Boolean): Gen[Any] = {
+      val base: Gen[Any] = t match {
+        case "long"    => Gen.chooseNum(Long.MinValue, Long.MaxValue)
+        case "int"     => Gen.chooseNum(Int.MinValue, Int.MaxValue)
+        case "string"  => Gen.alphaNumStr
+        case "double"  => Gen.chooseNum(-1e6, 1e6) // finite: NaN breaks equality, not the codec
+        case "float"   => Gen.chooseNum(-1e6f, 1e6f)
+        case "boolean" => Gen.oneOf(true, false)
+      }
+      if (nullable) Gen.frequency(3 -> base, 1 -> Gen.const(null)) else base
+    }
+
+    val caseGen = for {
+      fields <- schemaGen
+      nRows  <- Gen.chooseNum(1, 8)
+      rows   <- Gen.listOfN(nRows, Gen.sequence[List[Any], Any](fields.map { case (_, t, nu) => valueGen(t, nu) }))
+    } yield (fields, rows)
+
+    val prop = forAll(caseGen) { case (fields, rows) =>
+      val avroFields = fields.map { case (name, t, nu) =>
+        if (nu) s"""{"name":"$name","type":["null","$t"],"default":null}"""
+        else s"""{"name":"$name","type":"$t"}"""
+      }.mkString(",")
+      val schemaJson = s"""{"type":"record","name":"R","fields":[$avroFields]}"""
+      val structType = AvroWire.structTypeFor(schemaJson)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq), 2),
+        structType
+      )
+      val reg = new InMemorySchemaRegistry
+      val id  = reg.register("r-value", schemaJson)
+      val enc = AvroWire.encodeRows(df, schemaJson, id)
+        .select(lit(null).cast("binary").as("key"), col("avro").as("value"))
+      val got = AvroWire.decodeRows(enc, reg.snapshot, schemaJson)
+        .select("decoded.*").collect().map(_.toSeq).toSet
+      got == rows.map(r => r.toSeq: Seq[Any]).toSet
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("corrupt frames, unknown ids and incomplete records route to the DLQ") {
     val reg = new InMemorySchemaRegistry
     val id1 = reg.register("animals-value", v1)
