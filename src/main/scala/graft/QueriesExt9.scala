@@ -150,6 +150,29 @@ object QueriesExt9 {
       |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
       |       ELSE 10 END""".stripMargin
 
+  // ---------------------------------------------------- incremental dedup
+
+  /** Incremental MinHash dedup: documents with doc_id >= 400 are the
+    * "daily increment" matched against the standing corpus (doc_id < 400)
+    * — fresh-vs-corpus and fresh-vs-fresh pairs only, corpus-vs-corpus
+    * never recomputed. The oracle recomputes the FULL pair set and keeps
+    * pairs with a fresh member (fresh ids are the high range, so that is
+    * exactly id_b >= 400): the incremental path must land on the identical
+    * pairs.
+    */
+  private def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    operators.Dedup.minhashPairsIncremental(
+      docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", shingleWords = 3, tau = 0.5
+    )
+  }
+
+  private val dedupMinhashIncrementalSql =
+    s"""SELECT id_a, id_b, jaccard FROM (${QueriesExt.minhashPairsSql})
+       |WHERE id_b >= 400""".stripMargin
+
   // -------------------------------------------------- shards & projection
 
   /** Length-sorted shard assignment — the "write N roughly-equal shards
@@ -273,7 +296,8 @@ object QueriesExt9 {
     "events_funnel"       -> (eventsFunnel _),
     "events_retention"    -> (eventsRetention _),
     "q_shard_assign"      -> (qShardAssign _),
-    "q_embed_project"     -> (qEmbedProject _)
+    "q_embed_project"     -> (qEmbedProject _),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -283,6 +307,7 @@ object QueriesExt9 {
     "events_funnel"       -> eventsFunnelSql,
     "events_retention"    -> eventsRetentionSql,
     "q_shard_assign"      -> qShardAssignSql,
-    "q_embed_project"     -> qEmbedProjectSql
+    "q_embed_project"     -> qEmbedProjectSql,
+    "dedup_minhash_incremental" -> dedupMinhashIncrementalSql
   )
 }

@@ -77,54 +77,50 @@ object Dedup {
     * pairs; exact verification touches only bucket-colliding pairs. That is
     * the standard web-scale dedup shape (cf. Broder's shingling paper).
     */
-  def minhashPairs(
+  /** The materialized "signature table" a real pipeline checkpoints:
+    * (doc_id, shingle_set, set_size, sig) in one scan-fused pass.
+    */
+  private def signatureTable(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      shingleWords: Int,
-      tau: Double
-  ): DataFrame = {
-    val spark = docs.sparkSession
-
-    // One pass computes shingle set + signature; persisted because three
-    // downstream branches (banding, set explode, sizes) would otherwise
-    // each recompute the shingling — at scale this is the materialized
-    // "signature table" a real pipeline would checkpoint.
-    val withShingles = spreadSmallInput(docs)
+      shingleWords: Int
+  ): DataFrame =
+    spreadSmallInput(docs)
       .select(col(idCol).as("doc_id"), wordShingles(col(textCol), shingleWords).as("shingles"))
       .withColumn("shingle_set", array_distinct(col("shingles")))
       .withColumn("set_size", size(col("shingle_set")).cast("long"))
       .withColumn("sig", minhashSignature(col("shingles")))
       .drop("shingles")
-      .persist()
 
-    val bands = 4
-    val rowsPerBand = Hashing.Perms.length / bands
-    val banded = withShingles.select(
+  private val Bands = 4
+
+  /** (doc_id, band, band_hash) — 4 rows per document; this IS the LSH
+    * index a persisted incremental pipeline keeps around.
+    */
+  private def bandRows(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = Hashing.Perms.length / Bands
+    sigs.select(
       col("doc_id"),
       posexplode(
-        array((0 until bands).map { b =>
+        array((0 until Bands).map { b =>
           Hashing.h32(concat_ws(":", (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
         }: _*)
       ).as(Seq("band", "band_hash"))
     )
+  }
 
-    val candidates = banded.as("x")
-      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-
-    val sets = withShingles.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
-    val sizes = withShingles.select(col("doc_id"), col("set_size"))
-
-    val inter = candidates
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against a
+    * signature table covering every id the candidates mention.
+    */
+  private def verifyPairs(candidates: DataFrame, sigs: DataFrame, tau: Double): DataFrame = {
+    val sets  = sigs.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
+    val sizes = sigs.select(col("doc_id"), col("set_size"))
+    candidates
       .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-
-    val out = inter
       .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
       .select(
@@ -137,12 +133,82 @@ object Dedup {
         ).as("jaccard")
       )
       .filter(col("jaccard") >= tau)
-      // materialize the (small) verified-pairs result eagerly so the big
-      // signature table can be released here — localCheckpoint storage is
-      // ContextCleaner-managed, so repeated calls in one session don't
-      // accumulate cached blocks the way a returned persist() handle would
-      .localCheckpoint(true)
+  }
+
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int,
+      tau: Double
+  ): DataFrame = {
+    // Persisted because three downstream branches (banding, set explode,
+    // sizes) would otherwise each recompute the shingling.
+    val withShingles = signatureTable(docs, idCol, textCol, shingleWords).persist()
+    val banded       = bandRows(withShingles)
+
+    val candidates = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    // materialize the (small) verified-pairs result eagerly so the big
+    // signature table can be released here — localCheckpoint storage is
+    // ContextCleaner-managed, so repeated calls in one session don't
+    // accumulate cached blocks the way a returned persist() handle would
+    val out = verifyPairs(candidates, withShingles, tau).localCheckpoint(true)
     withShingles.unpersist()
+    out
+  }
+
+  /** B3, incremental form — the daily-increment-vs-standing-corpus shape:
+    * near-dup pairs INVOLVING the increment only (fresh-vs-corpus and
+    * fresh-vs-fresh), never recomputing corpus-vs-corpus. The corpus band
+    * table is the persisted LSH index of a standing pipeline (recomputed
+    * here from the corpus frame; at 100 TB it is read, and the fresh
+    * side's 4 rows/doc are appended after the run). Corpus shingle sets
+    * are exploded ONLY for documents that actually collide with the
+    * increment (semi-join pruning) — the property that keeps a small
+    * increment cheap against an arbitrarily large corpus.
+    *
+    * Result is identical to `minhashPairs(corpus ∪ fresh)` restricted to
+    * pairs with at least one fresh member (asserted in DedupSpec and by
+    * the DuckDB oracle).
+    */
+  def minhashPairsIncremental(
+      corpus: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int,
+      tau: Double
+  ): DataFrame = {
+    val cS = signatureTable(corpus, idCol, textCol, shingleWords).persist()
+    val fS = signatureTable(fresh, idCol, textCol, shingleWords).persist()
+    val cB = bandRows(cS)
+    val fB = bandRows(fS)
+
+    val freshVsCorpus = fB.as("x")
+      .join(cB.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b")
+      )
+    val freshVsFresh = fB.as("x")
+      .join(fB.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    val candidates = freshVsCorpus.unionByName(freshVsFresh).distinct()
+
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .unionByName(candidates.select(col("id_b").as("doc_id")))
+      .distinct()
+    val sigsNeeded = cS.unionByName(fS).join(candIds, Seq("doc_id"), "left_semi")
+
+    val out = verifyPairs(candidates, sigsNeeded, tau).localCheckpoint(true)
+    cS.unpersist(); fS.unpersist()
     out
   }
 

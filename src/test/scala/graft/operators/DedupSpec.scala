@@ -49,6 +49,21 @@ class DedupSpec extends GraftSpecBase {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("incremental minhash equals the full recompute restricted to fresh pairs") {
+    val all    = graft.Tables.documents(spark, sf())
+    val corpus = all.filter(col("doc_id") < 400)
+    val fresh  = all.filter(col("doc_id") >= 400)
+    val incremental = Dedup
+      .minhashPairsIncremental(corpus, fresh, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // fresh ids are the high range, so "involves a fresh doc" == id_b >= 400
+    val full = Dedup.minhashPairs(all, "doc_id", "text", 3, 0.5)
+      .filter(col("id_b") >= 400)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(incremental === full)
+    assert(incremental.nonEmpty) // the fixture must actually exercise the path
+  }
+
   test("simhash pairs: exact dup at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
