@@ -23,22 +23,35 @@ object KafkaCdc {
     * group position semantics (A18's reset writes an explicit JSON map
     * here).
     */
+  /** The consumer option contract, separated from the builder so it is
+    * unit-testable without a broker: subscription, group-position
+    * semantics, and the reference's max.poll-style throttle. A18's reset
+    * plugs [[graft.streaming.ResetSpec.kafkaStartingOffsets]] straight
+    * into `startingOffsets`.
+    */
+  def cdcSourceOptions(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Option[Long] = None
+  ): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe"               -> topic,
+      "startingOffsets"         -> startingOffsets
+    ) ++ maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
   def cdcSource(
       spark: SparkSession,
       bootstrapServers: String,
       topic: String,
       startingOffsets: String = "earliest",
       maxOffsetsPerTrigger: Option[Long] = None
-  ): DataFrame = {
-    val base = spark.readStream
+  ): DataFrame =
+    spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-    maxOffsetsPerTrigger
-      .fold(base)(n => base.option("maxOffsetsPerTrigger", n))
+      .options(cdcSourceOptions(bootstrapServers, topic, startingOffsets, maxOffsetsPerTrigger))
       .load()
-  }
 
   /** A2 — DLQ consumption: same source, throttled like max.poll.records:10
     * (application.yml:36).
