@@ -19,6 +19,11 @@ object Topology {
     * @param dlqReplay when set, a companion replay pipeline consumes this
     *        pipeline's DLQ against the repair dimension (the
     *        animalDlqTransform shape), registered `<name>-dlq`.
+    * @param sourceDir when the source is a directory stream, its path —
+    *        enables the full A17/A18 control plane for the pipeline:
+    *        committed-vs-end lag probes and reset-to-latest via
+    *        checkpoint seeding. Kafka sources instead honor resets
+    *        through `startingOffsets` inside `source` itself.
     */
   final case class PipelineDef(
       name: String,
@@ -30,7 +35,8 @@ object Topology {
       dlqPath: String,
       checkpointRoot: String,
       autoStart: Boolean = true,
-      dlqReplay: Option[DlqReplayDef] = None
+      dlqReplay: Option[DlqReplayDef] = None,
+      sourceDir: Option[String] = None
   )
 
   final case class DlqReplayDef(
@@ -46,9 +52,16 @@ object Topology {
   def start(spark: SparkSession, pipelines: Seq[PipelineDef]): StreamRegistry = {
     val registry = new StreamRegistry(spark)
     pipelines.foreach { p =>
-      registry.register(
+      @volatile var curCkpt = s"${p.checkpointRoot}/${p.name}-0"
+      registry.registerResettable(
         p.name,
-        epoch =>
+        (epoch, spec) => {
+          val ckpt = s"${p.checkpointRoot}/${p.name}-$epoch"
+          curCkpt = ckpt
+          // reset-to-latest for directory sources: pre-commit the current
+          // listing into the fresh epoch's checkpoint (seek-to-end)
+          if (spec == ResetSpec.Latest)
+            p.sourceDir.foreach(d => FileSourceReset.seedLatest(spark, ckpt, d))
           Pipelines.startEnrichPipeline(
             s"${p.name}-$epoch",
             p.source(),
@@ -57,14 +70,21 @@ object Topology {
             p.dimCols,
             p.successPath,
             p.dlqPath,
-            s"${p.checkpointRoot}/${p.name}-$epoch"
-          ),
-        autoStart = p.autoStart
+            ckpt
+          )
+        },
+        autoStart = p.autoStart,
+        lagProbe = p.sourceDir.map(d => () => FileSourceLag.unprocessedFiles(curCkpt, d))
       )
       p.dlqReplay.foreach { r =>
-        registry.register(
+        @volatile var dlqCkpt = s"${p.checkpointRoot}/${p.name}-dlq-0"
+        registry.registerResettable(
           s"${p.name}-dlq",
-          epoch =>
+          (epoch, spec) => {
+            val ckpt = s"${p.checkpointRoot}/${p.name}-dlq-$epoch"
+            dlqCkpt = ckpt
+            if (spec == ResetSpec.Latest)
+              FileSourceReset.seedLatest(spark, ckpt, p.dlqPath)
             Pipelines.startDlqReplay(
               s"${p.name}-dlq-$epoch",
               spark,
@@ -74,10 +94,12 @@ object Topology {
               p.dimKey,
               p.dimCols,
               p.successPath,
-              s"${p.checkpointRoot}/${p.name}-dlq-$epoch",
+              ckpt,
               r.maxFilesPerTrigger
-            ),
-          autoStart = r.autoStart
+            )
+          },
+          autoStart = r.autoStart,
+          lagProbe = Some(() => FileSourceLag.unprocessedFiles(dlqCkpt, p.dlqPath))
         )
       }
     }

@@ -67,4 +67,46 @@ class TopologySpec extends GraftSpecBase {
     registry.stopAll()
     assert(spark.read.parquet(ok).select("id").as[Long].collect().sorted === Array(1L, 9L))
   }
+
+  test("topology control plane: sourceDir enables lag probes and reset-to-latest") {
+    import spark.implicits._
+    val srcDir = tmp("t2src"); val ok = tmp("t2ok"); val dlq = tmp("t2dlq")
+    def writeEnv(ids: Long*): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i => Row(Row(i), Row(null, Row(i, s"n$i"), "c", 1L))), 1),
+        recordSchema
+      ).write.mode("append").parquet(srcDir)
+    writeEnv(1L)
+
+    val registry = Topology.start(spark, Seq(
+      Topology.PipelineDef(
+        name = "ctl2",
+        source = () => spark.readStream.schema(recordSchema).parquet(srcDir),
+        dimension = () => Seq((1L, "d1"), (2L, "d2")).toDF("dim_id", "breed"),
+        dimKey = "dim_id",
+        dimCols = Seq("breed"),
+        successPath = ok,
+        dlqPath = dlq,
+        checkpointRoot = tmp("t2ckpt"),
+        sourceDir = Some(srcDir)
+      )
+    ))
+    spark.streams.active.foreach(_.processAllAvailable())
+    assert(spark.read.parquet(ok).select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(registry.lag("ctl2") === Some(0L))
+
+    // a file arriving while the stream is stopped shows as lag (A17:
+    // committed-vs-end, no active query required)
+    registry.stop("ctl2")
+    writeEnv(2L)
+    assert(registry.lag("ctl2") === Some(1L))
+
+    // reset-to-latest skips the backlog (A18 seek-to-end over the
+    // config-driven topology), and lag returns to zero
+    registry.reset("ctl2", ResetSpec.Latest)
+    spark.streams.active.foreach(_.processAllAvailable())
+    assert(spark.read.parquet(ok).select("id").as[Long].collect().toSeq === Seq(1L))
+    assert(registry.lag("ctl2") === Some(0L))
+    registry.stopAll()
+  }
 }
