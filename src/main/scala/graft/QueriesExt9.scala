@@ -152,26 +152,30 @@ object QueriesExt9 {
 
   // ---------------------------------------------------- incremental dedup
 
-  /** Incremental MinHash dedup: documents with doc_id >= 400 are the
-    * "daily increment" matched against the standing corpus (doc_id < 400)
-    * — fresh-vs-corpus and fresh-vs-fresh pairs only, corpus-vs-corpus
-    * never recomputed. The oracle recomputes the FULL pair set and keeps
+  /** Incremental MinHash dedup: the top-fifth id range is the "daily
+    * increment" matched against the standing corpus (the lower four
+    * fifths) — fresh-vs-corpus and fresh-vs-fresh pairs only,
+    * corpus-vs-corpus never recomputed. The proportional split keeps the
+    * increment at 20% of the corpus at every scale factor (the realistic
+    * refresh shape). The oracle recomputes the FULL pair set and keeps
     * pairs with a fresh member (fresh ids are the high range, so that is
-    * exactly id_b >= 400): the incremental path must land on the identical
-    * pairs.
+    * exactly id_b >= threshold): the incremental path must land on the
+    * identical pairs.
     */
   private def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
+    val maxId     = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val threshold = maxId * 4 / 5
     operators.Dedup.minhashPairsIncremental(
-      docs.filter(col("doc_id") < 400),
-      docs.filter(col("doc_id") >= 400),
+      docs.filter(col("doc_id") < threshold),
+      docs.filter(col("doc_id") >= threshold),
       "doc_id", "text", shingleWords = 3, tau = 0.5
     )
   }
 
   private val dedupMinhashIncrementalSql =
     s"""SELECT id_a, id_b, jaccard FROM (${QueriesExt.minhashPairsSql})
-       |WHERE id_b >= 400""".stripMargin
+       |WHERE id_b >= (SELECT max(doc_id) * 4 // 5 FROM documents)""".stripMargin
 
   // -------------------------------------------------- shards & projection
 

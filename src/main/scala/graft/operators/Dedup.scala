@@ -200,7 +200,10 @@ object Dedup {
       .join(fB.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-    val candidates = freshVsCorpus.unionByName(freshVsFresh).distinct()
+    // candidates feed two consumers (the id set for pruning and the
+    // verification join) — materialize the small pair list once instead of
+    // re-running both band joins per consumer
+    val candidates = freshVsCorpus.unionByName(freshVsFresh).distinct().localCheckpoint(true)
 
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .unionByName(candidates.select(col("id_b").as("doc_id")))

@@ -50,15 +50,16 @@ class DedupSpec extends GraftSpecBase {
   }
 
   test("incremental minhash equals the full recompute restricted to fresh pairs") {
-    val all    = graft.Tables.documents(spark, sf())
-    val corpus = all.filter(col("doc_id") < 400)
-    val fresh  = all.filter(col("doc_id") >= 400)
+    val all       = graft.Tables.documents(spark, sf())
+    val threshold = all.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) * 4 / 5
+    val corpus = all.filter(col("doc_id") < threshold)
+    val fresh  = all.filter(col("doc_id") >= threshold)
     val incremental = Dedup
       .minhashPairsIncremental(corpus, fresh, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-    // fresh ids are the high range, so "involves a fresh doc" == id_b >= 400
+    // fresh ids are the high range, so "involves a fresh doc" == id_b >= threshold
     val full = Dedup.minhashPairs(all, "doc_id", "text", 3, 0.5)
-      .filter(col("id_b") >= 400)
+      .filter(col("id_b") >= threshold)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(incremental === full)
     assert(incremental.nonEmpty) // the fixture must actually exercise the path
