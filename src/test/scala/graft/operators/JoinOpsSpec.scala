@@ -89,6 +89,48 @@ class JoinOpsSpec extends GraftSpecBase {
     assert(fwd === Map("fnear" -> Some("v95"), "ffar" -> None))
   }
 
+  test("asOfNative property: all modes match a reference model on random data") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+
+    val caseGen = for {
+      nB     <- Gen.chooseNum(0, 12)
+      nP     <- Gen.chooseNum(1, 15)
+      builds <- Gen.listOfN(nB, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 20L)))
+      probes <- Gen.listOfN(nP, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 20L)))
+      fwd    <- Gen.oneOf(true, false)
+      tol    <- Gen.oneOf(None, Some(3L), Some(0L))
+    } yield (builds.distinctBy(b => (b._1, b._2)), probes, fwd, tol) // (key, ts) unique on build
+
+    val prop = forAll(caseGen) { case (builds, probes, fwd, tol) =>
+      val buildDf = (builds.map { case (k, t) => (k, t, s"v$k-$t") } :+ ((99L, 0L, "pad")))
+        .toDF("k", "bts", "dim")
+      val probeDf = probes.zipWithIndex.map { case ((k, t), i) => (k, t, s"p$i") }
+        .toDF("k", "ts", "tag")
+      val got = AsOfJoin
+        .asOfNative(probeDf, buildDf, "k", "ts", "bts", Seq("dim"),
+          direction = if (fwd) "forward" else "backward", tolerance = tol)
+        .select("tag", "dim").as[(String, Option[String])].collect().toMap
+      val want = probes.zipWithIndex.map { case ((k, t), i) =>
+        val cand =
+          if (fwd) builds.filter(b => b._1 == k && b._2 >= t && tol.forall(b._2 - t <= _)).sortBy(_._2).headOption
+          else builds.filter(b => b._1 == k && b._2 <= t && tol.forall(t - b._2 <= _)).sortBy(_._2).lastOption
+        s"p$i" -> cand.map { case (bk, bt) => s"v$bk-$bt" }
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("asOfNative null-keyed probe rows pass through with null values") {
+    val probe = Seq((Some(1L), 10L, "k1"), (None, 10L, "nk")).toDF("k", "ts", "tag")
+    val build = Seq((1L, 5L, "v5")).toDF("k", "bts", "dim")
+    val out = AsOfJoin.asOfNative(probe, build, "k", "ts", "bts", Seq("dim"))
+      .select("tag", "dim").as[(String, Option[String])].collect().toMap
+    assert(out === Map("k1" -> Some("v5"), "nk" -> None))
+  }
+
   test("asOfNative equals the composed asOf on fixture-scale data") {
     val ev = graft.Tables.events(spark, sf()).withColumn("ms", unix_millis(col("ts")))
     val build = ev.filter(col("event_id") % 11 === 0)
