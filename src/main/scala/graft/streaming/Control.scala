@@ -47,41 +47,50 @@ object FileSourceReset {
     * files currently present. Call before launching the query with this
     * (fresh) checkpoint location.
     */
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  // all paths go through the Hadoop FileSystem API, so checkpoints and
+  // sources on HDFS/S3A work the same as local directories
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
   def seedLatest(spark: SparkSession, checkpointDir: String, srcDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
+    val fs = fsFor(spark, checkpointDir)
 
     // idempotent: once any offsets log exists (this seed, or a batch the
     // restarted query has since run), re-seeding would corrupt the log
-    if (Files.exists(Paths.get(checkpointDir, "offsets", "0"))) return
+    if (fs.exists(new Path(checkpointDir, "offsets/0"))) return
 
-    val src = new java.io.File(srcDir)
-    val dataFiles = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .sortBy(_.getName)
+    val srcFs = fsFor(spark, srcDir)
+    val dataFiles = srcFs.listStatus(new Path(srcDir)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
 
-    def write(rel: String, content: String): Unit = {
-      val p = Paths.get(checkpointDir, rel)
-      Files.createDirectories(p.getParent)
-      Files.write(p, content.getBytes("UTF-8"))
-    }
-
-    // "file://" + absolute path matches how the source stringifies listed
-    // files ("file:///…"), so the restarted source's seen-set hits
+    // the same URI strings the source's own listing produces, so the
+    // restarted source's seen-set hits
     val entries = dataFiles
-      .map(f => s"""{"path":"file://${f.getAbsolutePath}","timestamp":${f.lastModified()},"batchId":0}""")
+      .map(s => s"""{"path":"${s.getPath.toUri.toString}","timestamp":${s.getModificationTime},"batchId":0}""")
       .mkString("\n")
-    write("sources/0/0", if (entries.isEmpty) "v1" else s"v1\n$entries")
+    writeFile(fs, new Path(checkpointDir, "sources/0/0"),
+      if (entries.isEmpty) "v1" else s"v1\n$entries")
 
     // minimal OffsetSeq metadata: absent conf keys fall back to the
     // session's values on restart (Spark logs, then proceeds)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    write(
-      "offsets/0",
+    writeFile(
+      fs,
+      new Path(checkpointDir, "offsets/0"),
       s"""v1
          |{"batchWatermarkMs":0,"batchTimestampMs":${System.currentTimeMillis()},"conf":{"spark.sql.shuffle.partitions":"$shufflePartitions"}}
          |{"logOffset":0}""".stripMargin
     )
-    write("commits/0", "v1\n{\"nextBatchWatermarkMs\":0}")
+    writeFile(fs, new Path(checkpointDir, "commits/0"), "v1\n{\"nextBatchWatermarkMs\":0}")
   }
 
   /** Companion for file sinks: a query restarted over a seeded checkpoint
@@ -91,12 +100,10 @@ object FileSourceReset {
     * nothing") before starting the query.
     */
   def seedSinkLog(sinkDir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val p = Paths.get(sinkDir, "_spark_metadata", "0")
-    if (!Files.exists(p)) {
-      Files.createDirectories(p.getParent)
-      Files.write(p, "v1".getBytes("UTF-8"))
-    }
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val p    = new Path(sinkDir, "_spark_metadata/0")
+    val fs   = p.getFileSystem(conf)
+    if (!fs.exists(p)) writeFile(fs, p, "v1")
   }
 }
 
@@ -109,6 +116,8 @@ object FileSourceReset {
   * the consumer group's committed offsets + AdminClient end offsets.)
   */
 object FileSourceLag {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileSystem, Path}
   import org.json4s._
   import org.json4s.jackson.JsonMethods
 
@@ -116,38 +125,50 @@ object FileSourceLag {
     p.replaceFirst("^file:/+", "/")
 
   /** Number of data files in `srcDir` not yet processed by a committed
-    * micro-batch of the query checkpointed at `checkpointDir`.
+    * micro-batch of the query checkpointed at `checkpointDir`. Paths go
+    * through the Hadoop FileSystem API (HDFS/S3A checkpoints included);
+    * `conf` defaults to the active session's Hadoop configuration.
     */
-  def unprocessedFiles(checkpointDir: String, srcDir: String): Long = {
-    val ckpt = new java.io.File(checkpointDir)
+  def unprocessedFiles(
+      checkpointDir: String,
+      srcDir: String,
+      conf: Configuration = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+  ): Long = {
+    val ckptFs = new Path(checkpointDir).getFileSystem(conf)
 
-    def batchFiles(sub: String): Seq[(Long, java.io.File)] =
-      Option(new java.io.File(ckpt, sub).listFiles()).getOrElse(Array.empty).toSeq
-        .flatMap { f =>
-          val name = f.getName.stripSuffix(".compact")
-          if (name.matches("\\d+")) Some(name.toLong -> f) else None
-        }
+    def batchFiles(sub: String): Seq[(Long, Path)] = {
+      val dir = new Path(checkpointDir, sub)
+      if (!ckptFs.exists(dir)) Seq.empty
+      else ckptFs.listStatus(dir).toSeq.flatMap { s =>
+        val name = s.getPath.getName.stripSuffix(".compact")
+        if (name.matches("\\d+")) Some(name.toLong -> s.getPath) else None
+      }
+    }
 
     val committedMax = batchFiles("commits").map(_._1).reduceOption(_ max _).getOrElse(-1L)
     val processed: Set[String] = batchFiles("sources/0")
       .filter(_._1 <= committedMax)
-      .flatMap { case (_, f) =>
-        val lines = java.nio.file.Files.readAllLines(f.toPath).toArray(Array.empty[String])
-        lines.filter(_.startsWith("{")).flatMap { line =>
+      .flatMap { case (_, p) =>
+        val in = ckptFs.open(p)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        content.linesIterator.filter(_.startsWith("{")).flatMap { line =>
           try {
             JsonMethods.parse(line) \ "path" match {
-              case JString(p) => Some(canonical(p))
-              case _          => None
+              case JString(path) => Some(canonical(path))
+              case _             => None
             }
           } catch { case _: Throwable => None }
         }
       }
       .toSet
 
-    Option(new java.io.File(srcDir).listFiles()).getOrElse(Array.empty)
-      .count(f =>
-        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
-          !processed.contains(canonical(f.getAbsolutePath))
+    val srcFs = new Path(srcDir).getFileSystem(conf)
+    srcFs.listStatus(new Path(srcDir)).toSeq
+      .count(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".") &&
+          !processed.contains(canonical(s.getPath.toUri.toString))
       )
       .toLong
   }

@@ -48,10 +48,12 @@ object IncrementalAgg {
     }
 
   private def versionsIn(spark: SparkSession, path: String): Seq[Long] = {
-    val dir = new java.io.File(path)
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .map(_.getName.stripPrefix("batch=").toLong)
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
   }
 
   /** Latest published snapshot (empty-schema-safe: None before the first
