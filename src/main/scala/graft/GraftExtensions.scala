@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Hashing, MinHashSig, WordKGrams}
+import graft.functions.{DotProduct, Hashing, MinHashSig, TopKByLong, WordKGrams}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so the SQL front door has the same surface as the DataFrame
@@ -50,6 +50,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
         }
         WordKGrams(args.head, k)
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk_by"),
+      new ExpressionInfo(classOf[TopKByLong].getName, "graft_topk_by"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_topk_by(score, id, k)")
+        val k = args(2).eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+        }
+        // a bare AggregateFunction: the analyzer wraps it in the
+        // AggregateExpression for the enclosing Aggregate
+        TopKByLong(args(0), args(1), k)
       }
     ))
   }

@@ -150,6 +150,34 @@ object QueriesExt9 {
       |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 25
       |       ELSE 10 END""".stripMargin
 
+  // ------------------------------------------------- heap-aggregate top-k
+
+  /** Per-group top-k via the custom bounded-heap AGGREGATE (TopKByLong):
+    * only k rows per group cross the shuffle (map-side partial heaps),
+    * versus the window form's full shuffle+sort of every row. The oracle
+    * runs the window form — both must produce identical ranked rows.
+    */
+  private def qTopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKBy.topKByLong(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(
+        col("c_mktsegment"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("o_totalprice"),
+        col("col.id").as("o_orderkey")
+      )
+
+  private val qTopkPerGroupSql =
+    """SELECT c_mktsegment, CAST(rn AS BIGINT) AS rank, o_totalprice, o_orderkey
+      |FROM (SELECT c_mktsegment, o_totalprice, o_orderkey,
+      |        row_number() OVER (PARTITION BY c_mktsegment
+      |                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rn <= 3""".stripMargin
+
   // ---------------------------------------------------- incremental dedup
 
   /** Incremental MinHash dedup: the top-fifth id range is the "daily
@@ -301,7 +329,8 @@ object QueriesExt9 {
     "events_retention"    -> (eventsRetention _),
     "q_shard_assign"      -> (qShardAssign _),
     "q_embed_project"     -> (qEmbedProject _),
-    "dedup_minhash_incremental" -> (dedupMinhashIncremental _)
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
+    "q_topk_per_group"    -> (qTopkPerGroup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -312,6 +341,7 @@ object QueriesExt9 {
     "events_retention"    -> eventsRetentionSql,
     "q_shard_assign"      -> qShardAssignSql,
     "q_embed_project"     -> qEmbedProjectSql,
-    "dedup_minhash_incremental" -> dedupMinhashIncrementalSql
+    "dedup_minhash_incremental" -> dedupMinhashIncrementalSql,
+    "q_topk_per_group"    -> qTopkPerGroupSql
   )
 }
