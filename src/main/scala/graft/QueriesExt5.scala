@@ -444,18 +444,27 @@ object QueriesExt5 {
        |SELECT doc_id, term AS top_term, round(tfidf, 6) AS tfidf
        |FROM scored WHERE rn = 1""".stripMargin
 
-  /** Global token frequency top-k — the corpus vocabulary profile. */
-  private def qWordTopK(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir)
+  /** Global token frequency top-k — the corpus vocabulary profile.
+    *
+    * The rank comes from the distributed Ranking operator over the 20
+    * post-limit rows (negated count → ascending order), not a
+    * partition-less window: a constant `partitionBy` literal gets folded
+    * away by Catalyst and still plans the global WindowExec, so this was
+    * the last source of `No Partition Defined` warnings in the bench
+    * tail — now any such warning flags a genuinely-global window.
+    */
+  private def qWordTopK(s: SparkSession, dir: String): DataFrame = {
+    val top = documents(s, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(20)
-      .withColumn(
-        "rank",
-        row_number().over(Window.orderBy(col("n_occurrences").desc, col("term").asc)).cast("long")
-      )
+      .withColumn("__neg", negate(col("n_occurrences")))
+    operators.Ranking
+      .withGlobalRank(top, "__neg", "term", "rank")
+      .select(col("term"), col("n_occurrences"), col("rank"))
+  }
 
   private val qWordTopKSql =
     s"""SELECT term, n_occurrences,

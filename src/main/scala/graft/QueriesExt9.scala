@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -192,11 +192,15 @@ object QueriesExt9 {
     */
   private def dedupMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val maxId     = docs.agg(max(col("doc_id"))).head.getLong(0)
-    val threshold = maxId * 4 / 5
+    // the split threshold stays a broadcast one-row join (not a driver
+    // action): query construction is fully lazy, and at scale the agg is
+    // a map-side-combined scan reduced to a single broadcast row
+    val thr = docs.agg(expr("max(doc_id) * 4 div 5").cast("long").as("__thr"))
+    def side(pred: Column): DataFrame =
+      docs.join(broadcast(thr)).filter(pred).drop("__thr")
     operators.Dedup.minhashPairsIncremental(
-      docs.filter(col("doc_id") < threshold),
-      docs.filter(col("doc_id") >= threshold),
+      side(col("doc_id") < col("__thr")),
+      side(col("doc_id") >= col("__thr")),
       "doc_id", "text", shingleWords = 3, tau = 0.5
     )
   }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.{coalesce, col, length, lit, struct, sum, to_json}
 
 /** Small-file compaction — the maintenance operator every streaming
   * ingest needs: micro-batches leave a long tail of small files that
@@ -22,9 +23,14 @@ object Compaction {
   ): Long = {
     val total = df.count()
     if (total == 0) return 0
-    val sampled     = df.limit(math.min(sampleRows, Int.MaxValue).toInt)
-    val sampleBytes = sampled.toJSON.collect().map(_.length.toLong).sum
-    val sampleN     = math.max(1L, math.min(total, sampleRows.toLong))
+    // executor-side size estimate: only one scalar crosses to the driver
+    // (the sampled rows themselves never do)
+    val sampled = df.limit(math.min(sampleRows, Int.MaxValue).toInt)
+    val sampleBytes = sampled
+      .select(coalesce(sum(length(to_json(struct(df.columns.map(col): _*)))).cast("long"), lit(0L)))
+      .head()
+      .getLong(0)
+    val sampleN = math.max(1L, math.min(total, sampleRows.toLong))
     // JSON over-counts vs parquet (no encoding/compression); halve it
     val bytesPerRow = math.max(1L, sampleBytes / sampleN / 2)
     val parts       = math.max(1L, total * bytesPerRow / targetBytes).toInt
