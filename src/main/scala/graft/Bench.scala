@@ -43,7 +43,13 @@ object Bench {
     // the timed trials measure steady state; the median resists one-off
     // stalls where min would hide a real regression and mean would inflate
     // it. min/max are kept alongside so per-query spread is auditable.
-    val trials = sys.env.get("SPARK_GRAFT_TRIALS").map(_.trim.toInt).getOrElse(3).max(1)
+    // malformed values (e.g. "3x", "") fail loudly naming the env var
+    // rather than surfacing as a bare NumberFormatException mid-run
+    val trials = sys.env.get("SPARK_GRAFT_TRIALS").map { raw =>
+      scala.util.Try(raw.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(s"SPARK_GRAFT_TRIALS must be an integer, got '$raw'")
+      )
+    }.getOrElse(3).max(1)
 
     final case class QStat(med: Double, min: Double, max: Double)
 
@@ -128,7 +134,10 @@ object Bench {
       "text_langid"
     ).toSet
     // full breakdown keeps every trial stat: med is the reported value,
-    // min/max expose host-noise spread per query across the N trials
+    // min/max expose host-noise spread per query across the N trials.
+    // SCHEMA NOTE: per-query values are {med,min,max} objects since round
+    // 5 (plain min-of-2 numbers before) — history diffing must accept
+    // both (number OR object.med); totals are comparable from r5 onward.
     val all = stats.map { case (k, s) =>
       "\"" + k + "\":{\"med\":" + fmt(s.med) + ",\"min\":" + fmt(s.min) + ",\"max\":" + fmt(s.max) + "}"
     }.mkString("{", ",", "}")

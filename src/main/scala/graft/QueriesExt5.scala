@@ -461,6 +461,10 @@ object QueriesExt5 {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(20)
       .withColumn("__neg", negate(col("n_occurrences")))
+      // 20 rows, but the lineage above them is the full corpus tokenize +
+      // agg; Ranking's quantile/count passes plus the final job would
+      // recompute it ~3x — checkpoint truncates that to a 20-row replay
+      .localCheckpoint()
     operators.Ranking
       .withGlobalRank(top, "__neg", "term", "rank")
       .select(col("term"), col("n_occurrences"), col("rank"))

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions.{coalesce, col, length, lit, struct, sum, 
   */
 object Compaction {
 
+  // backtick-quote so column names containing dots resolve as top-level
+  // columns (bare col("a.b") would be parsed as nested-field access)
+  private def quoted(name: String) = col("`" + name.replace("`", "``") + "`")
+
   def compact(
       df: DataFrame,
       outPath: String,
@@ -27,7 +31,7 @@ object Compaction {
     // (the sampled rows themselves never do)
     val sampled = df.limit(math.min(sampleRows, Int.MaxValue).toInt)
     val sampleBytes = sampled
-      .select(coalesce(sum(length(to_json(struct(df.columns.map(col): _*)))).cast("long"), lit(0L)))
+      .select(coalesce(sum(length(to_json(struct(df.columns.map(quoted): _*)))).cast("long"), lit(0L)))
       .head()
       .getLong(0)
     val sampleN = math.max(1L, math.min(total, sampleRows.toLong))
