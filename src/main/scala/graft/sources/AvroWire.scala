@@ -3,9 +3,7 @@ package graft.sources
 import scala.collection.mutable
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.avro.io.{DecoderFactory, EncoderFactory}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,43 +76,26 @@ final class InMemorySchemaRegistry extends SchemaRegistryClient {
   * looked up by its header id, the caller's reader schema fills defaults
   * for added fields and drops removed ones.
   *
-  * Scale shape: one pass per partition, per-partition reader cache keyed
-  * by writer-schema id (no per-row Schema.parse), decoder/output buffers
-  * reused across rows, corrupt frames routed — never thrown.
+  * Scale shape: the codec is a pair of Catalyst expressions
+  * ([[graft.functions.AvroDecodeExpr]]/[[graft.functions.AvroEncodeExpr]])
+  * evaluated inside the scan/project stage — no RDD boundary, no external
+  * Row round trip for the non-codec columns, per-task reader cache keyed
+  * by writer-schema id, decode/encode buffers reused across rows, corrupt
+  * frames routed as nulls — never thrown.
   */
 object AvroWire {
+  import org.apache.spark.sql.graft.ColumnBridge
 
   /** Spark schema for a flat Avro record schema. */
-  def structTypeFor(schemaJson: String): StructType = {
-    val schema = new Schema.Parser().parse(schemaJson)
-    require(schema.getType == Schema.Type.RECORD, s"record schema required (got ${schema.getType})")
-    StructType(schema.getFields.toArray(Array.empty[Schema.Field]).map { f =>
-      val (dt, nullable) = fieldType(f.schema)
-      StructField(f.name, dt, nullable)
-    })
-  }
-
-  private def fieldType(s: Schema): (DataType, Boolean) = s.getType match {
-    case Schema.Type.UNION =>
-      val branches = s.getTypes.toArray(Array.empty[Schema])
-      val nonNull  = branches.filter(_.getType != Schema.Type.NULL)
-      require(nonNull.length == 1, s"only [null, T] unions supported (got $s)")
-      (fieldType(nonNull.head)._1, true)
-    case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.INT     => (IntegerType, false)
-    case Schema.Type.LONG    => (LongType, false)
-    case Schema.Type.FLOAT   => (FloatType, false)
-    case Schema.Type.DOUBLE  => (DoubleType, false)
-    case Schema.Type.STRING  => (StringType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
-    case t                   => throw new IllegalArgumentException(s"unsupported avro type $t")
-  }
+  def structTypeFor(schemaJson: String): StructType =
+    graft.functions.AvroWireExpressions.structTypeForSchema(new Schema.Parser().parse(schemaJson))
 
   /** Decode a Confluent-framed Avro column: appends `schema_id`
     * (null on malformed frame) and `outCol` (struct per the reader
     * schema; null when the frame is malformed, the id is unknown to the
     * snapshot, or the body doesn't decode) — nulls compose with the A13
-    * deserialization-DLQ split.
+    * deserialization-DLQ split. Both appended columns are expressions in
+    * the same projection, so the decode fuses with the surrounding stage.
     */
   def decodeRows(
       df: DataFrame,
@@ -122,58 +103,24 @@ object AvroWire {
       readerSchemaJson: String,
       valueCol: String = "value",
       outCol: String = "decoded"
-  ): DataFrame = {
-    val readerStruct = structTypeFor(readerSchemaJson)
-    val outSchema    = df.schema.add("schema_id", IntegerType).add(outCol, readerStruct)
-    val valueIdx     = df.schema.fieldIndex(valueCol)
-    val nFields      = readerStruct.length
-
-    val rdd = df.rdd.mapPartitions { it =>
-      val readerSchema = new Schema.Parser().parse(readerSchemaJson)
-      val fieldNames   = readerSchema.getFields.toArray(Array.empty[Schema.Field]).map(_.name)
-      val readers      = mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
-      var binDecoder: org.apache.avro.io.BinaryDecoder = null
-
-      it.map { row =>
-        val bytes = row.get(valueIdx).asInstanceOf[Array[Byte]]
-        var sid: Any    = null
-        var struct: Any = null
-        if (bytes != null && bytes.length >= 5 && bytes(0) == 0) {
-          val id = ((bytes(1) & 0xff) << 24) | ((bytes(2) & 0xff) << 16) |
-            ((bytes(3) & 0xff) << 8) | (bytes(4) & 0xff)
-          sid = id
-          schemas.get(id).foreach { writerJson =>
-            try {
-              val reader = readers.getOrElseUpdate(
-                id,
-                new GenericDatumReader[GenericRecord](
-                  new Schema.Parser().parse(writerJson),
-                  readerSchema
-                )
-              )
-              binDecoder = DecoderFactory.get()
-                .binaryDecoder(bytes, 5, bytes.length - 5, binDecoder)
-              val rec  = reader.read(null, binDecoder)
-              val vals = new Array[Any](nFields)
-              var i    = 0
-              while (i < nFields) {
-                vals(i) = fromAvro(rec.get(fieldNames(i)))
-                i += 1
-              }
-              struct = Row.fromSeq(vals.toIndexedSeq)
-            } catch { case _: Exception => struct = null }
-          }
-        }
-        Row.fromSeq(row.toSeq ++ Seq(sid, struct))
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, outSchema)
-  }
+  ): DataFrame =
+    df.withColumn("schema_id", ConfluentWire.schemaId(col(valueCol)))
+      .withColumn(
+        outCol,
+        ColumnBridge.column(
+          graft.functions.AvroDecodeExpr(
+            ColumnBridge.expression(col(valueCol)),
+            schemas,
+            readerSchemaJson
+          )
+        )
+      )
 
   /** Serialize every row into a Confluent-framed Avro body appended as
     * `outCol` (binary). The record's fields are taken from the DataFrame's
-    * columns by name; `schemaId` goes into the 5-byte header. The A12
-    * typed-sink path: select the framed column as `value` and produce.
+    * columns by name; `schemaId` goes into the 5-byte header (a plain
+    * codegen'd concat via [[ConfluentWire.frame]]). The A12 typed-sink
+    * path: select the framed column as `value` and produce.
     */
   def encodeRows(
       df: DataFrame,
@@ -181,53 +128,17 @@ object AvroWire {
       schemaId: Int,
       outCol: String = "avro"
   ): DataFrame = {
-    val outSchema = df.schema.add(outCol, BinaryType)
-    val fieldIdx: Array[Int] = {
-      val s = new Schema.Parser().parse(schemaJson)
-      s.getFields.toArray(Array.empty[Schema.Field]).map(f => df.schema.fieldIndex(f.name))
-    }
-
-    val rdd = df.rdd.mapPartitions { it =>
-      val schema = new Schema.Parser().parse(schemaJson)
-      val fields = schema.getFields.toArray(Array.empty[Schema.Field])
-      val writer = new GenericDatumWriter[GenericRecord](schema)
-      val baos   = new java.io.ByteArrayOutputStream()
-      var enc: org.apache.avro.io.BinaryEncoder = null
-
-      it.map { row =>
-        baos.reset()
-        baos.write(0)
-        baos.write((schemaId >> 24) & 0xff)
-        baos.write((schemaId >> 16) & 0xff)
-        baos.write((schemaId >> 8) & 0xff)
-        baos.write(schemaId & 0xff)
-        enc = EncoderFactory.get().directBinaryEncoder(baos, enc)
-        val rec = new GenericData.Record(schema)
-        var i   = 0
-        while (i < fields.length) {
-          val v = if (row.isNullAt(fieldIdx(i))) null else toAvro(row.get(fieldIdx(i)))
-          rec.put(fields(i).name, v)
-          i += 1
-        }
-        writer.write(rec, enc)
-        enc.flush()
-        Row.fromSeq(row.toSeq :+ baos.toByteArray)
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, outSchema)
-  }
-
-  private def fromAvro(v: Any): Any = v match {
-    case null                     => null
-    case u: org.apache.avro.util.Utf8 => u.toString
-    case b: java.nio.ByteBuffer =>
-      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
-    case other => other
-  }
-
-  private def toAvro(v: Any): Any = v match {
-    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    case other          => other
+    val fieldCols = new Schema.Parser()
+      .parse(schemaJson)
+      .getFields.toArray(Array.empty[Schema.Field])
+      .map(f => col(f.name))
+    val body = ColumnBridge.column(
+      graft.functions.AvroEncodeExpr(
+        ColumnBridge.expression(struct(fieldCols.toIndexedSeq: _*)),
+        schemaJson
+      )
+    )
+    df.withColumn(outCol, ConfluentWire.frame(body, schemaId))
   }
 
   /** A13 over Avro: decode with the registry snapshot, split valid rows
