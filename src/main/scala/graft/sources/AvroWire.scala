@@ -62,6 +62,15 @@ final class InMemorySchemaRegistry extends SchemaRegistryClient {
   override def latest(subject: String): Option[(Int, String)] =
     lock.synchronized(bySubject.get(subject).flatMap(_.headOption))
   override def snapshot: Map[Int, String]                  = lock.synchronized(byIdMap.toMap)
+
+  /** All subjects, registration order not guaranteed. */
+  def subjects: Seq[String] = lock.synchronized(bySubject.keys.toSeq.sorted)
+
+  /** (id, schema) per version of a subject, OLDEST first — version k of
+    * the Confluent numbering is `versions(subject)(k - 1)`.
+    */
+  def versions(subject: String): Seq[(Int, String)] =
+    lock.synchronized(bySubject.getOrElse(subject, Nil).reverse)
 }
 
 /** Confluent-framed Avro ⇆ DataFrame codec over the core Avro library
