@@ -20,6 +20,39 @@ class EnrichmentSpec extends GraftSpecBase {
     assert(rekeyed.select("key.id").as[Long].collect().sorted === Array(1L, 2L))
   }
 
+  test("enrich reads the dimension via spark.read.jdbc (embedded Derby)") {
+    // the reference's dimension is a Postgres table behind JPA
+    // (AnimalController.java:33-37); Derby-in-memory is the in-process
+    // stand-in exercising the identical spark.read.jdbc path
+    val url = "jdbc:derby:memory:graftdim;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate("CREATE TABLE animals (dim_id BIGINT PRIMARY KEY, attr VARCHAR(32))")
+        st.executeUpdate("INSERT INTO animals VALUES (1, 'x'), (2, 'y')")
+      } finally st.close()
+
+      val provider = graft.sources.JdbcDimension.provider(
+        spark, url, "animals",
+        Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+      )
+      val recs = Seq((1L, "a"), (2L, "b"), (9L, "miss")).toDF("ref_id", "payload")
+      val enriched = Enrichment.enrich(
+        recs, provider().withColumnRenamed("DIM_ID", "dim_id").withColumnRenamed("ATTR", "attr"),
+        "ref_id", "dim_id"
+      )
+      val (ok, failed) = Enrichment.branch(enriched)
+      assert(ok.select("ref_id", "attr").as[(Long, String)].collect().toSet === Set((1L, "x"), (2L, "y")))
+      assert(failed.select("ref_id").as[Long].collect() === Array(9L))
+
+      // provider freshness: a dimension update is visible on the next call
+      val st2 = conn.createStatement()
+      try st2.executeUpdate("INSERT INTO animals VALUES (9, 'z')") finally st2.close()
+      assert(provider().count() === 3L)
+    } finally conn.close()
+  }
+
   test("property: latest-wins compaction is idempotent and keeps max version per key") {
     val genRows = Gen.listOfN(
       40,
