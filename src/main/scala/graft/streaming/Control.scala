@@ -296,6 +296,17 @@ final class StreamRegistry(spark: SparkSession) {
         scala.util.Try {
           q.stop()
           q.awaitTermination(timeoutMs)
+          true
+        }.recover {
+          // stop() marks the query TERMINATED immediately, so isActive is
+          // no witness of the execution thread's death. The thread failing
+          // to die within spark.sql.streaming.stopTimeout surfaces as a
+          // TimeoutException — that (and only that) means a micro-batch
+          // may still be in flight.
+          case _: java.util.concurrent.TimeoutException => false
+          // terminated-with-error still means terminated: the group-
+          // inactive contract only cares that nothing more can commit
+          case _ => !q.isActive
         }.getOrElse(false)
       case None => false
     }
@@ -342,10 +353,27 @@ final class StreamRegistry(spark: SparkSession) {
     * epoch (factories derive a fresh checkpoint + starting position from
     * both), restart. Returns the previous offsets for the reference's
     * response contract (AnimalStreamController reset response).
+    *
+    * Sequencing guard (the reference's consumer-group-inactive wait,
+    * StreamControlService.java:199-219): the relaunch happens ONLY after
+    * the previous run's termination is confirmed. If the old query is
+    * still active when the stop wait expires, reset throws instead of
+    * starting a second run — otherwise two queries could commit
+    * micro-batches concurrently between stop and checkpoint reseed.
     */
-  def reset(name: String, spec: ResetSpec = ResetSpec.Earliest): Seq[(String, String, String, Long)] = {
-    val prev = offsets(name)
-    stop(name)
+  def reset(
+      name: String,
+      spec: ResetSpec = ResetSpec.Earliest,
+      stopTimeoutMs: Long = 60000
+  ): Seq[(String, String, String, Long)] = {
+    val prev       = offsets(name)
+    val wasRunning = isRunning(name)
+    val stopped    = stop(name, stopTimeoutMs)
+    if (wasRunning && !stopped)
+      throw new IllegalStateException(
+        s"reset($name): previous run still active after ${stopTimeoutMs} ms stop wait; " +
+          "refusing to relaunch while the old query can still commit"
+      )
     registered.get(name).foreach { reg => reg.epoch += 1; reg.spec = spec }
     start(name)
     prev

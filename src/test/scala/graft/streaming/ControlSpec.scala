@@ -116,6 +116,124 @@ class ControlSpec extends GraftSpecBase {
     registry.stopAll()
   }
 
+  test("reset under a concurrent writer: nothing commits after stop, batch ids stay contiguous") {
+    // the reference's group-inactive wait (StreamControlService.java:199-219)
+    // exists so that between "stop" and "seek + restart" no poll can
+    // commit; the Spark analogue is: once reset() returns, the OLD
+    // checkpoint's commit log is frozen forever, and each epoch's commit
+    // log is gap-free even while a writer keeps appending source files
+    def commitIds(ckpt: String): Seq[Long] = {
+      val dir = new java.io.File(ckpt, "commits")
+      if (!dir.exists()) Seq.empty
+      else dir.listFiles().toSeq.map(_.getName).filter(_.matches("\\d+")).map(_.toLong).sorted
+    }
+
+    val srcDir = tmp("guard-src"); val ckptRoot = tmp("guard-ckpt"); val okRoot = tmp("guard-ok")
+    writeFile(srcDir, 0L)
+
+    val registry = new StreamRegistry(spark)
+    @volatile var curCkpt = ""
+    registry.registerResettable(
+      "guard",
+      (epoch, _) => {
+        val ckpt = s"$ckptRoot/e$epoch"
+        curCkpt = ckpt
+        spark.readStream.schema("id LONG").option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt)
+          .option("path", s"$okRoot/e$epoch")
+          .start()
+      }
+    )
+    drain()
+
+    // concurrent writer keeps appending through the reset window
+    val stopWriter = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var i = 1L
+      while (!stopWriter.get()) { writeFile(srcDir, i); i += 1; Thread.sleep(20) }
+    })
+    writer.start()
+    try {
+      Thread.sleep(200) // let some mid-flight batches commit
+      val oldCkpt = curCkpt
+      registry.reset("guard", ResetSpec.Earliest)
+
+      // the moment reset() returns the old run is terminated: its commit
+      // log must never advance again, writer or no writer
+      val frozenAt = commitIds(oldCkpt)
+      Thread.sleep(400)
+      assert(commitIds(oldCkpt) === frozenAt,
+        "old run committed a micro-batch after reset() returned")
+    } finally { stopWriter.set(true); writer.join() }
+    drain()
+    val newCkpt = curCkpt
+
+    // both epochs' commit logs are contiguous from 0 — no torn/skipped batch
+    for (ck <- Seq(s"$ckptRoot/e0", newCkpt)) {
+      val ids = commitIds(ck)
+      assert(ids.nonEmpty, s"no commits under $ck")
+      assert(ids === (0L to ids.max), s"commit log has gaps under $ck: $ids")
+    }
+
+    // Earliest replay: the new epoch's sink holds every source file's row
+    // exactly once — nothing was double-consumed during the handover
+    val expected = spark.read.schema("id LONG").parquet(srcDir).as[Long].collect().toSeq.sorted
+    assert(sinkIds(s"$okRoot/e1") === expected)
+    registry.stopAll()
+  }
+
+  test("reset refuses to relaunch while the previous run is still active") {
+    val srcDir = tmp("refuse-src"); val ckptRoot = tmp("refuse-ckpt")
+    writeFile(srcDir, 1L)
+    val gate     = new CountDownLatch(1)
+    val entered  = new CountDownLatch(1)
+    val registry = new StreamRegistry(spark)
+    // stop() interrupts the stream thread; the wedged batch below ignores
+    // the interrupt, so stop must give up after a bounded wait instead of
+    // blocking forever
+    val prevStopTimeout = spark.conf.getOption("spark.sql.streaming.stopTimeout")
+    spark.conf.set("spark.sql.streaming.stopTimeout", "200")
+    try {
+      registry.registerResettable(
+        "refuse",
+        (epoch, _) =>
+          spark.readStream.schema("id LONG").parquet(srcDir)
+            .writeStream
+            .option("checkpointLocation", s"$ckptRoot/e$epoch")
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.count()
+              entered.countDown()
+              // wedge the micro-batch, surviving the stop() interrupt —
+              // the shape of a sink call that genuinely cannot be cancelled
+              var done = false
+              while (!done)
+                try { gate.await(30, TimeUnit.SECONDS); done = true }
+                catch { case _: InterruptedException => () }
+              ()
+            }
+            .start()
+      )
+      // stop cannot confirm termination while batch 0 is wedged → reset
+      // must throw rather than start a concurrent second run
+      assert(entered.await(30, TimeUnit.SECONDS), "batch 0 never reached the wedge")
+      val ex = intercept[IllegalStateException] {
+        registry.reset("refuse", ResetSpec.Earliest, stopTimeoutMs = 500)
+      }
+      assert(ex.getMessage.contains("refusing to relaunch"))
+    } finally {
+      gate.countDown()
+      prevStopTimeout match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stopTimeout", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stopTimeout")
+      }
+      registry.stopAll()
+      // the wedged run was removed from the registry by the failed stop;
+      // make sure nothing leaks into later suites
+      spark.streams.active.foreach(q => scala.util.Try(q.stop()))
+    }
+  }
+
   test("lag reports the backlog mid-stream and zero after drain") {
     val srcDir = tmp("lag-src"); val ckpt = tmp("lag-ckpt")
     writeFile(srcDir, 1L)
