@@ -57,6 +57,36 @@ class StatefulSpec extends GraftSpecBase {
     assert(rows.toSeq === Seq((h1WindowMs, "click", 2L, 3.0)))
   }
 
+  test("latest-wins state runs on the RocksDB store with identical semantics") {
+    // backend parity: the same flatMapGroupsWithState logic over the
+    // RocksDB provider (the 100 TB state path — SSD-spilled, bounded
+    // memory) must emit exactly what the default heap-backed store does
+    implicit val sqlCtx = spark.sqlContext
+    StateBackend.withRocksDB(spark, boundedMemoryMB = Some(256)) {
+      val input = MemoryStream[CdcRec]
+      val out = StatefulDedup.latestWins[Long, CdcRec](input.toDS(), _.user_id, _.version)
+      val q = out.writeStream.format("memory").queryName("lw_rocks").outputMode("append").start()
+
+      input.addData(CdcRec(1, 10, "a"), CdcRec(1, 5, "stale"), CdcRec(2, 7, "x"))
+      q.processAllAvailable()
+      input.addData(CdcRec(1, 20, "b"), CdcRec(2, 7, "dup"), CdcRec(1, 15, "late"))
+      q.processAllAvailable()
+
+      // the run really went through RocksDB: the state operator reports
+      // rocksdb-prefixed custom metrics (absent on the HDFS-backed store)
+      val metrics = q.lastProgress.stateOperators(0).customMetrics
+      assert(metrics.keySet().stream().anyMatch(_.startsWith("rocksdb")),
+        s"no rocksdb metrics in ${metrics.keySet()}")
+      q.stop()
+
+      val rows = spark.table("lw_rocks").as[CdcRec].collect().sortBy(r => (r.user_id, r.version))
+      assert(rows.toSeq === Seq(CdcRec(1, 10, "a"), CdcRec(1, 20, "b"), CdcRec(2, 7, "x")))
+    }
+    // conf restored: the backend choice does not leak into later suites
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty ||
+      !spark.conf.get("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
+  }
+
   test("decodeOrDlq splits well-formed and corrupt frames (A13)") {
     import org.apache.spark.sql.functions._
     import graft.sources.{ConfluentWire, KafkaCdc}
