@@ -176,4 +176,74 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  /** Deterministic ±1 hyperplane matrix — the same md5-derived recipe as
+    * the IVF seed pick: plane j, component i is +1 iff the first 8 md5 hex
+    * chars of "rp:j,i" parse to an even long. Any engine can rebuild the
+    * identical planes from this sentence alone.
+    */
+  def signPlanes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, i) =>
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp:$j,$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
+    }
+
+  /** Random-hyperplane LSH near-neighbor pairs (SimHash for vectors,
+    * Charikar-style): each vector's sign pattern against `bands*bitsPerBand`
+    * fixed hyperplanes is split into bands; two vectors sharing ANY band's
+    * full bit pattern become a candidate pair; candidates are verified
+    * with exact cosine >= tau.
+    *
+    * Scale shape: `bands` rows per vector shuffle on (band, bucket) — the
+    * identical LSH-banding geometry as MinHash dedup, never all-pairs.
+    * The cosine angle between two vectors bounds the per-plane sign-match
+    * probability (1 - θ/π), so banding concentrates true near-neighbors
+    * while the verify step removes the false positives exactly.
+    *
+    * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= tau.
+    */
+  def randomHyperplanePairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      bands: Int = 2,
+      bitsPerBand: Int = 8,
+      dim: Int = 64
+  ): DataFrame = {
+    val planes = signPlanes(bands * bitsPerBand, dim)
+    val base = spread(embeddings).select(
+      col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v")
+    )
+    // bit-pack each band's sign pattern into one long: Σ 2^b · [dot > 0]
+    val bandBuckets = (0 until bands).map { bd =>
+      (0 until bitsPerBand).map { b =>
+        val plane = planes(bd * bitsPerBand + b)
+        when(dot(col("v"), array(plane.map(lit).toIndexedSeq: _*)) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val banded = base
+      .select(col("vec_id"), col("v"), posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    val candidates = banded.as("x")
+      .join(
+        banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id")
+      )
+      // a pair colliding in several bands must verify once, not per band
+      .select(
+        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb")
+      )
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine")
+      )
+      .filter(col("cosine") >= tau)
+  }
 }

