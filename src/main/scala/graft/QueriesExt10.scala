@@ -165,19 +165,126 @@ object QueriesExt10 {
        |WHERE cosine >= 0.3""".stripMargin
   }
 
+  // ------------------------------------------- char-bigram LM score (B5)
+
+  /** CCNet-style language-model quality score, self-trained: a char-bigram
+    * model from the corpus itself (p(c₂|c₁) = cnt(c₁c₂)/cnt(c₁·)), each
+    * document scored by its mean bigram log-probability. Well-formed text
+    * scores high; gibberish scores low — the classic perplexity filter
+    * shape with the KenLM model replaced by an in-query aggregation.
+    *
+    * Scale shape: the model IS the char-bigram vocabulary (≤ |charset|² —
+    * bounded, tiny), so the scoring join broadcasts the model while the
+    * corpus streams; log-probs are rounded to 6 dp and summed in exact
+    * DECIMAL so the per-doc mean is partition-order independent (the
+    * Spark/DuckDB double-sum parity rule).
+    */
+  private def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    val bg = documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.charShingles(col("text"), 2)).as("b"))
+    val m2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val m1 = m2.groupBy(substring(col("b"), 1, 1).as("c")).agg(sum(col("c2")).as("c1"))
+    val lp = m2
+      .join(m1, substring(col("b"), 1, 1) === col("c"))
+      .select(
+        col("b"),
+        round(log(col("c2").cast("double")) - log(col("c1").cast("double")), 6).as("logp")
+      )
+    bg.join(broadcast(lp), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("logp").cast("decimal(18,6)")).as("slp")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_logp")
+      )
+  }
+
+  private val textLmScoreSql =
+    s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |bg AS (SELECT doc_id, unnest(CASE WHEN length(norm) >= 2
+       |         THEN [substr(norm, i, 2) for i in range(1, length(norm))]
+       |         ELSE [norm] END) AS b FROM t),
+       |m2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY 1),
+       |m1 AS (SELECT substr(b,1,1) AS c, CAST(sum(c2) AS BIGINT) AS c1 FROM m2 GROUP BY 1),
+       |lp AS (SELECT b, round(ln(c2::DOUBLE) - ln(c1::DOUBLE), 6) AS logp
+       |       FROM m2 JOIN m1 ON substr(m2.b,1,1) = m1.c),
+       |sc AS (SELECT doc_id, count(*) AS n_bigrams, sum(CAST(logp AS DECIMAL(18,6))) AS slp
+       |       FROM bg JOIN lp USING(b) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, round(slp::DOUBLE / n_bigrams, 6) AS avg_logp FROM sc""".stripMargin
+
+  // ------------------------------------------------ event anomalies (B7)
+
+  /** Per-hour event-count anomalies: for each event_type, hours whose
+    * count deviates from the type's mean by ≥ 2 population standard
+    * deviations. The stats come from exact integer sums (n, Σx, Σx²) via
+    * the closed formula — Welford-style streaming aggregates are
+    * partition-order dependent and can't hash-match an oracle. The stats
+    * table is one row per event_type: broadcast.
+    */
+  private def eventsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = events(s, dir)
+      .select(col("event_type"), expr("unix_millis(ts) div 3600000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2")
+      )
+    hourly
+      .join(broadcast(stats), "event_type")
+      .select(
+        col("event_type"),
+        (col("hour") * 3600000).as("hour_ms"),
+        col("cnt"),
+        when(col("n_hours") * col("s2") === col("s1") * col("s1"), lit(0.0))
+          .otherwise(
+            round(
+              (col("cnt").cast("double") - col("s1").cast("double") / col("n_hours")) /
+                (sqrt((col("n_hours") * col("s2") - col("s1") * col("s1")).cast("double")) / col("n_hours")),
+              6
+            )
+          )
+          .as("z_score")
+      )
+      .withColumn("is_anomaly", abs(col("z_score")) >= 2.0)
+  }
+
+  private val eventsAnomalySql =
+    """WITH hourly AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hour, count(*) AS cnt
+      |                FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, count(*) AS n_hours, CAST(sum(cnt) AS BIGINT) AS s1,
+      |              CAST(sum(cnt*cnt) AS BIGINT) AS s2 FROM hourly GROUP BY 1),
+      |z AS (SELECT h.event_type, h.hour * 3600000 AS hour_ms, h.cnt,
+      |        CASE WHEN n_hours * s2 = s1 * s1 THEN 0.0
+      |             ELSE round((h.cnt::DOUBLE - s1::DOUBLE / n_hours) /
+      |                        (sqrt((n_hours * s2 - s1 * s1)::DOUBLE) / n_hours), 6) END AS z_score
+      |      FROM hourly h JOIN st USING (event_type))
+      |SELECT event_type, hour_ms, cnt, z_score, abs(z_score) >= 2.0 AS is_anomaly FROM z""".stripMargin
+
   // ---------------------------------------------------------- registration
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii_scrub"   -> (textPiiScrub _),
     "text_boilerplate" -> (textBoilerplate _),
     "q_domain_quota"   -> (qDomainQuota _),
-    "sim_rp_lsh"       -> (simRpLsh _)
+    "sim_rp_lsh"       -> (simRpLsh _),
+    "text_lm_score"    -> (textLmScore _),
+    "events_anomaly"   -> (eventsAnomaly _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_pii_scrub"   -> textPiiScrubSql,
     "text_boilerplate" -> textBoilerplateSql,
     "q_domain_quota"   -> qDomainQuotaSql,
-    "sim_rp_lsh"       -> simRpLshSql
+    "sim_rp_lsh"       -> simRpLshSql,
+    "text_lm_score"    -> textLmScoreSql,
+    "events_anomaly"   -> eventsAnomalySql
   )
 }
