@@ -1,0 +1,266 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.TextAnalysis
+
+/** Eleventh query batch — five training-data pipeline operators that round
+  * out the curation surface (SURVEY.md §2 Part B extensions):
+  *
+  *  - sequence packing: concatenate-and-chunk documents into fixed token
+  *    budgets per shard (the GPT-style pretraining batch layout);
+  *  - overlapping chunking: fixed-size / fixed-stride character windows
+  *    (the RAG indexing layout);
+  *  - BPE pair statistics: corpus-wide adjacent-symbol pair counts — the
+  *    inner step of byte-pair-encoding tokenizer training;
+  *  - mixture weighting: per-source token shares and the resampling
+  *    weights that equalize the mixture;
+  *  - duplicated-span scrubbing: CCNet-style removal of spans that repeat
+  *    across many documents, with the scrubbed text re-assembled in order.
+  *
+  * Parity rules as elsewhere: round(x, 6) on ratios, BIGINT casts on
+  * counts, md5 ordering/content hashes so engines compare byte-for-byte.
+  */
+object QueriesExt11 {
+
+  private val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+
+  // -------------------------------------------------- sequence packing
+
+  /** Pack documents into fixed token budgets, shard-parallel.
+    *
+    * Training batches are built by concatenating documents in a
+    * deterministic order and slicing the stream every `budget` tokens;
+    * the bin of a document is floor(tokens-before-it / budget). The
+    * cumulative sum is windowed PER SOURCE (the shard key), never
+    * globally — at 100 TB each shard packs independently in parallel and
+    * a global ordering would serialize the job (sub-shard further with
+    * q_shard_assign's bucket ids when single sources are too large).
+    * Order inside a shard is md5(text): reproducible across engines and
+    * uncorrelated with ingest order, which is what a shuffled pretraining
+    * stream wants.
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256
+    val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    documents(s, dir)
+      .select(
+        col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text")).as("ord")
+      )
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
+
+  private val qPackSequencesSql =
+    s"""WITH t AS (SELECT source, doc_id,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens,
+       |    md5(text) AS ord
+       |  FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum
+       |  FROM t)
+       |SELECT source, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ overlapping chunks
+
+  /** Fixed-size overlapping character windows (RAG indexing): size 200,
+    * stride 150. Pure per-row explode — linear, shuffle-free, fuses into
+    * the scan; output grows ~len/stride per document which is the
+    * operator's contract, not overhead.
+    */
+  private def textChunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val size_ = 200
+    val stride = 150
+    val chunk = substr(col("text"), col("start") + 1, lit(size_))
+    documents(s, dir)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), length(col("text")) - 1, lit(stride))).as("start"),
+        col("text")
+      )
+      .select(
+        col("doc_id"),
+        col("start").cast("long").as("start"),
+        length(chunk).cast("long").as("chunk_len"),
+        md5(chunk).as("chunk_hash")
+      )
+  }
+
+  private val textChunkOverlapSql =
+    """SELECT doc_id, CAST(s AS BIGINT) AS start,
+      |  CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
+      |  md5(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_hash
+      |FROM (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS s FROM documents)""".stripMargin
+
+  // ------------------------------------------------- BPE pair counting
+
+  /** The inner step of BPE tokenizer training: count adjacent character
+    * pairs across the corpus, weighted by word frequency. Aggregating to
+    * the distinct-word level first means the (expensive) pair explosion
+    * runs once per VOCABULARY entry, not once per corpus token — at
+    * 100 TB the word-count aggregate is the only full-data pass and it is
+    * map-side combined. Top 20 with the pair string as tiebreak so the
+    * limit is deterministic.
+    */
+  private def textBpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    words
+      .where(length(col("w")) >= 2)
+      .select(
+        col("cnt"),
+        explode(
+          transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => concat(substr(col("w"), i, lit(1)), lit(" "), substr(col("w"), i + 1, lit(1)))
+          )
+        ).as("pair")
+      )
+      .groupBy("pair").agg(sum(col("cnt")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  private val textBpePairsSql =
+    s"""WITH w AS (SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |p AS (SELECT cnt,
+       |    unnest([substr(w, i, 1) || ' ' || substr(w, i + 1, 1) for i in range(1, length(w))]) AS pair
+       |  FROM w WHERE length(w) >= 2)
+       |SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+       |FROM p GROUP BY 1
+       |ORDER BY pair_count DESC, pair LIMIT 20""".stripMargin
+
+  // ------------------------------------------------- mixture weighting
+
+  /** Per-source token shares and the resampling weight that would
+    * equalize the mixture (weight = uniform-target-share / actual-share).
+    * The corpus-wide totals are a one-row aggregate broadcast back over
+    * the per-source rows — no global window, no driver collect.
+    */
+  private def qMixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = documents(s, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokens(col("text"))).cast("long")).as("n_tokens")
+      )
+    val tot = per.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources")
+    )
+    per.crossJoin(broadcast(tot)).select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      round(col("n_tokens") / col("tot_tokens"), 6).as("token_share"),
+      round((lit(1.0) / col("n_sources")) / (col("n_tokens") / col("tot_tokens")), 6).as("mix_weight")
+    )
+  }
+
+  private val qMixtureWeightsSql =
+    s"""WITH per AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, count(*) AS n_sources FROM per)
+       |SELECT source, n_docs, n_tokens,
+       |  round(n_tokens / tot_tokens, 6) AS token_share,
+       |  round((1.0 / n_sources) / (n_tokens / tot_tokens), 6) AS mix_weight
+       |FROM per, tot""".stripMargin
+
+  // -------------------------------------- duplicated-span scrubbing
+
+  /** CCNet-style duplicated-span removal. The corpus has no newline
+    * structure (TESTDATA.md), so "lines" are staged deterministically as
+    * consecutive 2-token groups of the normalized text — the operator is
+    * generic over any span segmentation. A span is boilerplate when it
+    * occurs in >= 5 distinct documents; each document reports its span
+    * counts and the md5 of its text re-assembled WITHOUT the duplicated
+    * spans, in original order.
+    *
+    * Scale shape: explode + hash-agg for span document-frequencies (map-
+    * side combined), one equi-join back (left to AQE — the duplicated-span
+    * set of a web corpus can exceed broadcast size), and a per-document
+    * ordered re-assembly via sort_array(collect_list(struct(pos, line)))
+    * — grouping is by doc_id, so no global sort and no skew beyond the
+    * largest single document.
+    */
+  private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val W = 2
+    val base = documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn(
+        "lines",
+        transform(
+          sequence(lit(0), ceil(size(col("toks")) / lit(W.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * W + 1, lit(W)), " ")
+        )
+      )
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+    val dup = base
+      .groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 5)
+      .select(col("line").as("dline"))
+    base
+      .join(dup, base("line") === dup("dline"), "left")
+      .select(col("doc_id"), col("pos"), col("line"), col("dline").isNotNull.as("is_dup"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_lines"),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(when(!col("is_dup"), struct(col("pos"), col("line"))))),
+              x => x.getField("line")
+            ),
+            " "
+          )
+        ).as("clean_hash")
+      )
+  }
+
+  private val dedupLinesSql =
+    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
+       |l AS (SELECT doc_id,
+       |    unnest(range(0, CAST(ceil(len(toks) / 2.0) AS INT))) AS pos,
+       |    unnest([array_to_string(toks[i*2+1:i*2+2], ' ')
+       |            for i in range(0, CAST(ceil(len(toks) / 2.0) AS INT))]) AS line
+       |  FROM t),
+       |d AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
+       |      WHERE df >= 5),
+       |m AS (SELECT l.doc_id, l.pos, l.line, d.line IS NOT NULL AS is_dup
+       |      FROM l LEFT JOIN d ON l.line = d.line)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+       |  md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, ' ' ORDER BY pos), '')) AS clean_hash
+       |FROM m GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences"   -> (qPackSequences _),
+    "text_chunk_overlap" -> (textChunkOverlap _),
+    "text_bpe_pairs"     -> (textBpePairs _),
+    "q_mixture_weights"  -> (qMixtureWeights _),
+    "dedup_lines"        -> (dedupLines _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pack_sequences"   -> qPackSequencesSql,
+    "text_chunk_overlap" -> textChunkOverlapSql,
+    "text_bpe_pairs"     -> textBpePairsSql,
+    "q_mixture_weights"  -> qMixtureWeightsSql,
+    "dedup_lines"        -> dedupLinesSql
+  )
+}

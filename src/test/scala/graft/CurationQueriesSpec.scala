@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the QueriesExt11 curation batch. Value-level
+  * correctness is the DuckDB oracle's job (scripts/check.py / the driver
+  * gate); these assert the structural properties the oracle's hash compare
+  * can't articulate — conservation, bounds, ordering.
+  */
+class CurationQueriesSpec extends GraftSpecBase {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf())
+
+  test("q_pack_sequences conserves documents and tokens") {
+    import spark.implicits._
+    val packed = run("q_pack_sequences").cache()
+    val docs = Tables.documents(spark, sf())
+      .select(size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n").as("tok"), count(lit(1)).as("docs"))
+      .as[(Long, Long)].head()
+    val got = packed.agg(sum("bin_tokens"), sum("n_docs")).as[(Long, Long)].head()
+    assert(got === docs)
+    // bins are numbered contiguously from 0 within each source
+    val holes = packed.groupBy("source")
+      .agg(min("bin_id").as("lo"), max("bin_id").as("hi"), count(lit(1)).as("n"))
+      .where(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(holes.count() === 0)
+    packed.unpersist()
+  }
+
+  test("text_chunk_overlap emits ceil(len/stride) bounded chunks per doc") {
+    import spark.implicits._
+    val chunks = run("text_chunk_overlap").cache()
+    assert(chunks.where(col("chunk_len") > 200 || col("chunk_len") < 1).count() === 0)
+    val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val expect = Tables.documents(spark, sf())
+      .select(col("doc_id"), (floor((length(col("text")) - 1) / 150) + 1).as("want"))
+    val bad = perDoc.join(expect, "doc_id").where(col("n_chunks") =!= col("want"))
+    assert(bad.count() === 0)
+    chunks.unpersist()
+  }
+
+  test("text_bpe_pairs returns 20 pairs in descending count order") {
+    import spark.implicits._
+    val rows = run("text_bpe_pairs").as[(String, Long)].collect()
+    assert(rows.length === 20)
+    assert(rows.map(_._2).sliding(2).forall(w => w.head >= w.last))
+    assert(rows.forall { case (p, _) => p.length === 3 && p(1) === ' ' })
+  }
+
+  test("q_mixture_weights shares sum to 1 and weights invert shares") {
+    import spark.implicits._
+    val rows = run("q_mixture_weights")
+      .select(col("token_share"), col("mix_weight")).as[(Double, Double)].collect()
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-4)
+    val n = rows.length.toDouble
+    rows.foreach { case (share, w) => assert(math.abs(w * share - 1.0 / n) < 1e-4) }
+  }
+
+  test("dedup_lines keeps counts within bounds and is deterministic") {
+    import spark.implicits._
+    val a = run("dedup_lines").orderBy("doc_id").collect()
+    val b = run("dedup_lines").orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    val bad = run("dedup_lines").where(col("n_dup_lines") > col("n_lines"))
+    assert(bad.count() === 0)
+  }
+}
