@@ -246,6 +246,44 @@ object QueriesExt11 {
        |  md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, ' ' ORDER BY pos), '')) AS clean_hash
        |FROM m GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------ k-NN graph (B4)
+
+  /** Approximate k-NN graph over embeddings (Similarity.knnGraph): the
+    * building block for semantic clustering / graph-based dedup. Oracle
+    * replays the identical RP-LSH geometry (md5-derived sign planes) and
+    * ranks each node's candidates with a window — rank parity holds
+    * because both engines order by (rounded cosine desc, neighbor asc).
+    */
+  private def simKnnGraph(s: SparkSession, dir: String): DataFrame =
+    operators.Similarity.knnGraph(embeddings(s, dir), "vec_id", "embedding", k = 3, tau = 0.0)
+
+  private val simKnnGraphSql = {
+    val planes = operators.Similarity.signPlanes(16, 64)
+    def arr(row: Array[Double]) =
+      row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val buckets = (0 until 2).map { bd =>
+      (0 until 8).map { b =>
+        s"(CASE WHEN list_dot_product(e, ${arr(planes(bd * 8 + b))}::DOUBLE[]) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, ${buckets.zipWithIndex.map { case (ex, i) => s"($ex) AS b$i" }.mkString(", ")} FROM v),
+       |x AS (SELECT vec_id, unnest([b0, b1]) AS bucket, unnest([0, 1]) AS band FROM b),
+       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |         FROM x JOIN x AS y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT id_a, id_b, cosine FROM (
+       |    SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.e, z.e), 6) AS cosine
+       |    FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v z ON c.id_b = z.vec_id)
+       |  WHERE cosine >= 0.0),
+       |sym AS (SELECT id_a AS src, id_b AS nbr, cosine FROM pairs
+       |        UNION ALL SELECT id_b, id_a, cosine FROM pairs)
+       |SELECT vec_id, CAST(rn AS BIGINT) AS nbr_rank, nbr_id, cosine FROM (
+       |  SELECT src AS vec_id, nbr AS nbr_id, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rn
+       |  FROM sym)
+       |WHERE rn <= 3""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -253,7 +291,8 @@ object QueriesExt11 {
     "text_chunk_overlap" -> (textChunkOverlap _),
     "text_bpe_pairs"     -> (textBpePairs _),
     "q_mixture_weights"  -> (qMixtureWeights _),
-    "dedup_lines"        -> (dedupLines _)
+    "dedup_lines"        -> (dedupLines _),
+    "sim_knn_graph"      -> (simKnnGraph _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -261,6 +300,7 @@ object QueriesExt11 {
     "text_chunk_overlap" -> textChunkOverlapSql,
     "text_bpe_pairs"     -> textBpePairsSql,
     "q_mixture_weights"  -> qMixtureWeightsSql,
-    "dedup_lines"        -> dedupLinesSql
+    "dedup_lines"        -> dedupLinesSql,
+    "sim_knn_graph"      -> simKnnGraphSql
   )
 }

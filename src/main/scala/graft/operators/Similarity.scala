@@ -246,4 +246,41 @@ object Similarity {
       )
       .filter(col("cosine") >= tau)
   }
+
+  /** Approximate k-NN graph over an embedding column: RP-LSH banded
+    * candidate pairs (randomHyperplanePairs) symmetrized in a single pass
+    * (explode to both edge directions — no self-union, so candidate
+    * generation runs once), then each node keeps its k best neighbors via
+    * the bounded-heap TopKBy aggregate: k·nodes rows cross the final
+    * shuffle, never the full candidate edge set. Rank order is
+    * (cosine desc, neighbor id asc) — deterministic under score ties.
+    *
+    * Returns (vec_id, nbr_rank, nbr_id, cosine), rank 1 = best neighbor.
+    */
+  def knnGraph(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tau: Double
+  ): DataFrame =
+    randomHyperplanePairs(embeddings, idCol, vecCol, tau)
+      .select(
+        explode(
+          array(
+            struct(col("id_a").as("src"), col("id_b").as("nbr"), col("cosine")),
+            struct(col("id_b").as("src"), col("id_a").as("nbr"), col("cosine"))
+          )
+        ).as("e")
+      )
+      .select(col("e.src").as("src"), col("e.nbr").as("nbr"), col("e.cosine").as("cosine"))
+      .groupBy("src")
+      .agg(graft.functions.TopKBy.topKByLong(col("cosine"), col("nbr"), k).as("top"))
+      .select(col("src").as("vec_id"), posexplode(col("top")))
+      .select(
+        col("vec_id"),
+        (col("pos") + 1).cast("long").as("nbr_rank"),
+        col("col.id").as("nbr_id"),
+        col("col.score").as("cosine")
+      )
 }

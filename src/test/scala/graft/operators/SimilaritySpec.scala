@@ -70,4 +70,25 @@ class SimilaritySpec extends GraftSpecBase {
     assert(lsh.nonEmpty)
     assert(lsh.forall { case (a, b) => a < b })
   }
+
+  test("knn graph keeps at most k ranked neighbors per node, no self-edges") {
+    val emb64 = graft.Tables.embeddings(spark, sf())
+    val g = Similarity.knnGraph(emb64, "vec_id", "embedding", k = 3, tau = 0.0)
+      .select("vec_id", "nbr_rank", "nbr_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(g.nonEmpty)
+    assert(g.forall { case (v, _, n, _) => v != n })
+    val byNode = g.groupBy(_._1)
+    byNode.values.foreach { edges =>
+      assert(edges.length <= 3)
+      val sorted = edges.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to edges.length).toSeq) // contiguous ranks
+      // rank order follows (cosine desc, nbr asc)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ => ()
+      }
+    }
+  }
 }
