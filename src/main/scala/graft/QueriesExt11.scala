@@ -284,6 +284,103 @@ object QueriesExt11 {
        |WHERE rn <= 3""".stripMargin
   }
 
+  // ---------------------------------------------- pHash near-dup (B6)
+
+  /** Perceptual-hash near-duplicate detection over media payloads
+    * (Multimodal.pHashHex/pHashNearDup). The corpus has no binary media,
+    * so payloads are the documents' text bytes plus staged jittered
+    * copies (one appended char, ids offset by 1e6) that a locality-
+    * preserving hash MUST report as near — the operator is generic over
+    * any payload column. Banding gives the pigeonhole guarantee: Hamming
+    * <= 3 over 4 bands of 4 digits forces at least one exact band match.
+    */
+  private def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val media = docs
+      .select(col("doc_id").as("id"), col("text").as("payload"))
+      .union(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("id"), concat(col("text"), lit("x")).as("payload"))
+      )
+    val hashed = media.select(col("id"), operators.Multimodal.pHashHex(col("payload")).as("phash"))
+    operators.Multimodal.pHashNearDup(hashed, maxDist = 3)
+  }
+
+  private val mmPhashNeardupSql = {
+    val digits = (0 until 16).map { i =>
+      val p = i * 16 + 1
+      s"""substr('0123456789abcdef', CAST((CASE WHEN length(substr(payload, $p, 16)) = 0 THEN 0
+         | ELSE list_sum([unicode(substr(payload, $p + j - 1, 1))
+         |               for j in range(1, length(substr(payload, $p, 16)) + 1)]) END) % 16 AS INT) + 1, 1)""".stripMargin.replace("\n", "")
+    }
+    s"""WITH media AS (
+       |  SELECT doc_id AS id, text AS payload FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS id, text || 'x' AS payload FROM documents WHERE doc_id % 10 = 0),
+       |ph AS (SELECT id, ${digits.mkString(" || ")} AS phash FROM media),
+       |b AS (SELECT id, phash,
+       |      unnest([substr(phash,1,4), substr(phash,5,4), substr(phash,9,4), substr(phash,13,4)]) AS bval,
+       |      unnest([0, 1, 2, 3]) AS band FROM ph),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM b x JOIN b y ON x.band = y.band AND x.bval = y.bval AND x.id < y.id),
+       |h AS (SELECT c.id_a, c.id_b,
+       |      CAST(list_sum([CASE WHEN substr(a.phash, i, 1) != substr(z.phash, i, 1) THEN 1 ELSE 0 END
+       |                     for i in range(1, 17)]) AS BIGINT) AS hamming
+       |      FROM cand c JOIN ph a ON c.id_a = a.id JOIN ph z ON c.id_b = z.id)
+       |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin
+  }
+
+  // ------------------------------------------- URL canonical dedup (B5)
+
+  /** URL canonicalization + dedup (TextAnalysis.canonicalizeUrl): two
+    * staged variants per document — a clean URL and a tracking-laden,
+    * case-jittered, fragment-carrying one — must collapse to the same
+    * canonical form; the group keeps its smallest variant id. Linear
+    * regex/string work fused into the scan plus one hash-agg on the
+    * canonical key.
+    */
+  private def textUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val v0 = docs.select(
+      (col("doc_id") * 2).as("id"),
+      concat(lit("https://"), col("source"), lit(".example.com/a/"), col("doc_id").cast("string")).as("url")
+    )
+    val v1 = docs.select(
+      (col("doc_id") * 2 + 1).as("id"),
+      concat(
+        lit("https://WWW."), upper(col("source")), lit(".EXAMPLE.COM/a/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&ref="), col("source"), lit("#top")
+      ).as("url")
+    )
+    v0.union(v1)
+      .select(col("id"), operators.TextAnalysis.canonicalizeUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_variants"), min(col("id")).as("keeper_id"))
+  }
+
+  private val textUrlNormalizeSql =
+    """WITH raw AS (
+      |  SELECT doc_id * 2 AS id,
+      |    'https://' || source || '.example.com/a/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1 AS id,
+      |    'https://WWW.' || upper(source) || '.EXAMPLE.COM/a/' || CAST(doc_id AS VARCHAR)
+      |      || '?utm_source=feed&ref=' || source || '#top' AS url
+      |  FROM documents),
+      |c AS (SELECT id,
+      |    regexp_replace(lower(regexp_extract(regexp_extract(url, '^([^?#]*)', 1), '^(https?://[^/]+)', 1)),
+      |                   '://www\.', '://')
+      |    || regexp_replace(regexp_extract(url, '^([^?#]*)', 1), '^https?://[^/]+', '')
+      |    || (CASE WHEN array_to_string(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |                                  p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref)=') AND p != ''), '&') != ''
+      |         THEN '?' || array_to_string(list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |                                  p -> NOT regexp_matches(p, '^(utm_[a-z]+|ref)=') AND p != ''), '&')
+      |         ELSE '' END) AS canon_url
+      |  FROM raw)
+      |SELECT canon_url, count(*) AS n_variants, min(id) AS keeper_id
+      |FROM c GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,7 +389,9 @@ object QueriesExt11 {
     "text_bpe_pairs"     -> (textBpePairs _),
     "q_mixture_weights"  -> (qMixtureWeights _),
     "dedup_lines"        -> (dedupLines _),
-    "sim_knn_graph"      -> (simKnnGraph _)
+    "sim_knn_graph"      -> (simKnnGraph _),
+    "mm_phash_neardup"   -> (mmPhashNeardup _),
+    "text_url_normalize" -> (textUrlNormalize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,6 +400,8 @@ object QueriesExt11 {
     "text_bpe_pairs"     -> textBpePairsSql,
     "q_mixture_weights"  -> qMixtureWeightsSql,
     "dedup_lines"        -> dedupLinesSql,
-    "sim_knn_graph"      -> simKnnGraphSql
+    "sim_knn_graph"      -> simKnnGraphSql,
+    "mm_phash_neardup"   -> mmPhashNeardupSql,
+    "text_url_normalize" -> textUrlNormalizeSql
   )
 }

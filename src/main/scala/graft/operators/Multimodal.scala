@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling (SURVEY.md §2 B6): media payloads ride as
@@ -78,6 +78,68 @@ object Multimodal {
       "frame_offsets",
       transform(sequence(lit(0), lit(n - 1)), i => (col(lenCol) * i / n).cast("long"))
     )
+
+  /** Stand-in perceptual hash: 16 hex digits, one per fixed 16-char block
+    * of the payload's first 256 chars — each digit is the block's
+    * char-code sum mod 16 (i.e. block "luminance", the shape of a real
+    * pHash's DCT block signs). Deterministic, engine-replayable (plain
+    * substr/ascii arithmetic), and LOCAL: a small edit to the payload
+    * changes only the digits of the blocks it touches, so near-identical
+    * payloads have near hashes — the property the near-dup join needs.
+    * A real deployment swaps this for a decoded-image pHash; everything
+    * downstream (banding, bucket join, Hamming verify) is unchanged.
+    */
+  def pHashHex(payload: Column): Column = {
+    val hex = "0123456789abcdef"
+    val digits = (0 until 16).map { i =>
+      val blk = substring(payload, i * 16 + 1, 16)
+      val sum = when(length(blk) === 0, lit(0)).otherwise(
+        aggregate(
+          transform(sequence(lit(1), length(blk)), j => ascii(substr(blk, j, lit(1)))),
+          lit(0),
+          (acc, x) => acc + x
+        )
+      )
+      substr(lit(hex), (sum % 16) + 1, lit(1))
+    }
+    concat(digits: _*)
+  }
+
+  /** Hamming distance between two 16-digit pHashes = number of differing
+    * block digits.
+    */
+  def pHashHamming(a: Column, b: Column): Column =
+    aggregate(
+      sequence(lit(1), lit(16)),
+      lit(0),
+      (acc, i) => acc + when(substr(a, i, lit(1)) =!= substr(b, i, lit(1)), lit(1)).otherwise(lit(0))
+    ).cast("long")
+
+  /** Near-duplicate media pairs by pHash: band the 16 digits into 4
+    * bands of 4; two payloads within Hamming distance 3 must agree on at
+    * least one full band (pigeonhole), so candidates come from a bucketed
+    * equi-join on (band, band value) — never all-pairs — and the exact
+    * Hamming verify runs only on collisions. Input: (id, phash).
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= maxDist.
+    */
+  def pHashNearDup(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
+    val banded = hashed.select(
+      col("id"), col("phash"),
+      posexplode(array((0 until 4).map(bd => substring(col("phash"), bd * 4 + 1, 4)): _*))
+        .as(Seq("band", "bval"))
+    )
+    banded.as("x")
+      .join(
+        banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id")
+      )
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), pHashHamming(col("pa"), col("pb")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
 
   /** Build a MediaRow Dataset from the documents fixture (text bytes as a
     * stand-in payload) — harness glue for tests/benchmarks.

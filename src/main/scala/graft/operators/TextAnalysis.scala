@@ -117,6 +117,26 @@ object TextAnalysis {
       .drop(langs.map(l => s"votes_$l"): _*)
   }
 
+  /** Canonicalize a URL for dedup: lowercase the scheme+host, strip a
+    * leading `www.`, drop the fragment, and remove tracking query params
+    * (`utm_*`, `ref`) while preserving the rest of the query string in
+    * order. Pure string/regex column arithmetic — codegen-friendly, and
+    * replayable by any engine with the same regex semantics.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val base   = regexp_extract(u, "^([^?#]*)", 1)
+    val qs     = regexp_extract(u, "\\?([^#]*)", 1)
+    val kept   = filter(split(qs, "&"), p => !p.rlike("^(utm_[a-z]+|ref)=") && p =!= lit(""))
+    val canonQ = array_join(kept, "&")
+    val prefix = regexp_replace(
+      lower(regexp_extract(base, "^(https?://[^/]+)", 1)),
+      "://www\\.",
+      "://"
+    )
+    val path = regexp_replace(base, "^https?://[^/]+", "")
+    concat(prefix, path, when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit("")))
+  }
+
   /** 60-bit content fingerprint of the normalized text (md5-based — see
     * Hashing). Two docs with equal normalized text share a fingerprint.
     */

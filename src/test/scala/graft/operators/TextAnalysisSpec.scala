@@ -107,4 +107,39 @@ class TextAnalysisSpec extends GraftSpecBase {
     assert(out(3L) === ((4L, 1L, 0.25)))
     assert(out(4L) === ((4L, 0L, 0.0)))
   }
+
+  test("canonicalizeUrl lowers host, strips www/fragment/tracking, keeps real params") {
+    import spark.implicits._
+    val in = Seq(
+      "https://WWW.Example.COM/a/1?utm_source=x&ref=y#top",
+      "https://example.com/a/1",
+      "http://Example.com/b?id=7&utm_campaign=z&page=2",
+      "https://example.com/c?utm_medium=m"
+    ).toDF("url")
+    val out = in.select(TextAnalysis.canonicalizeUrl($"url")).as[String].collect()
+    assert(out(0) === "https://example.com/a/1")
+    assert(out(1) === "https://example.com/a/1")
+    assert(out(2) === "http://example.com/b?id=7&page=2")
+    assert(out(3) === "https://example.com/c")
+  }
+
+  test("pHash is local: a one-char edit changes few digits, a rewrite changes many") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 6  // > 256 chars
+    val in = Seq(
+      (1L, base),
+      (2L, base.updated(5, 'X').toString),          // one-char edit in block 0
+      (3L, base.reverse)                            // full rewrite
+    ).toDF("id", "payload")
+    val h = in.select($"id", Multimodal.pHashHex($"payload").as("ph"))
+    val m = h.as[(Long, String)].collect().toMap
+    assert(m(1L).length === 16)
+    def dist(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(dist(m(1L), m(2L)) <= 1)
+    assert(dist(m(1L), m(3L)) > 3)
+    // column-side Hamming agrees with the Scala-side count
+    val d = h.as("x").join(h.as("y"), $"x.id" < $"y.id")
+      .select(Multimodal.pHashHamming($"x.ph", $"y.ph")).as[Long].collect()
+    assert(d.sorted.toSeq === Seq(dist(m(1L), m(2L)), dist(m(1L), m(3L)), dist(m(2L), m(3L))).map(_.toLong).sorted)
+  }
 }
