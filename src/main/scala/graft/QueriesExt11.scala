@@ -195,17 +195,20 @@ object QueriesExt11 {
     * largest single document.
     */
   private def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    // consecutive W-token groups via ONE greedy regex: '\S+( \S+){0,W-1}'
+    // matches non-overlapping groups left-to-right, so the whole span
+    // segmentation is a single codegen'd regexp_extract_all — an earlier
+    // transform(sequence)/slice/array_join formulation was interpreted
+    // HOF work and ~3x slower
     val W = 2
+    val linePattern = s"\\S+( \\S+){0,${W - 1}}"
     val base = documents(s, dir)
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      .withColumn(
-        "lines",
-        transform(
-          sequence(lit(0), ceil(size(col("toks")) / lit(W.toDouble)).cast("int") - 1),
-          i => array_join(slice(col("toks"), i * W + 1, lit(W)), " ")
-        )
+      .select(
+        col("doc_id"),
+        posexplode(
+          regexp_extract_all(TextAnalysis.normalize(col("text")), lit(linePattern), lit(0))
+        ).as(Seq("pos", "line"))
       )
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
     val dup = base
       .groupBy("line")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -231,12 +234,8 @@ object QueriesExt11 {
   }
 
   private val dedupLinesSql =
-    s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents),
-       |l AS (SELECT doc_id,
-       |    unnest(range(0, CAST(ceil(len(toks) / 2.0) AS INT))) AS pos,
-       |    unnest([array_to_string(toks[i*2+1:i*2+2], ' ')
-       |            for i in range(0, CAST(ceil(len(toks) / 2.0) AS INT))]) AS line
-       |  FROM t),
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all($normSql, '\\S+( \\S+){0,1}') AS ls FROM documents),
+       |l AS (SELECT doc_id, unnest(range(0, len(ls))) AS pos, unnest(ls) AS line FROM t),
        |d AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY 1)
        |      WHERE df >= 5),
        |m AS (SELECT l.doc_id, l.pos, l.line, d.line IS NOT NULL AS is_dup
@@ -308,26 +307,26 @@ object QueriesExt11 {
 
   private val mmPhashNeardupSql = {
     val digits = (0 until 16).map { i =>
-      val p = i * 16 + 1
-      s"""substr('0123456789abcdef', CAST((CASE WHEN length(substr(payload, $p, 16)) = 0 THEN 0
-         | ELSE list_sum([unicode(substr(payload, $p + j - 1, 1))
-         |               for j in range(1, length(substr(payload, $p, 16)) + 1)]) END) % 16 AS INT) + 1, 1)""".stripMargin.replace("\n", "")
+      s"substr(md5(substr(payload, ${i * 16 + 1}, 16)), 1, 1)"
     }
     s"""WITH media AS (
        |  SELECT doc_id AS id, text AS payload FROM documents
        |  UNION ALL
        |  SELECT doc_id + 1000000 AS id, text || 'x' AS payload FROM documents WHERE doc_id % 10 = 0),
        |ph AS (SELECT id, ${digits.mkString(" || ")} AS phash FROM media),
-       |b AS (SELECT id, phash,
+       |g AS (SELECT phash, min(id) AS id, count(*) AS n FROM ph GROUP BY 1),
+       |b AS (SELECT id, phash, n,
        |      unnest([substr(phash,1,4), substr(phash,5,4), substr(phash,9,4), substr(phash,13,4)]) AS bval,
-       |      unnest([0, 1, 2, 3]) AS band FROM ph),
+       |      unnest([0, 1, 2, 3]) AS band FROM g),
+       |bf AS (SELECT * FROM b WHERE bval != 'dddd'),
        |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       |         FROM b x JOIN b y ON x.band = y.band AND x.bval = y.bval AND x.id < y.id),
+       |         FROM bf x JOIN bf y ON x.band = y.band AND x.bval = y.bval AND x.id < y.id),
        |h AS (SELECT c.id_a, c.id_b,
        |      CAST(list_sum([CASE WHEN substr(a.phash, i, 1) != substr(z.phash, i, 1) THEN 1 ELSE 0 END
-       |                     for i in range(1, 17)]) AS BIGINT) AS hamming
-       |      FROM cand c JOIN ph a ON c.id_a = a.id JOIN ph z ON c.id_b = z.id)
-       |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin
+       |                     for i in range(1, 17)]) AS BIGINT) AS hamming,
+       |      a.n AS n_a, z.n AS n_b
+       |      FROM cand c JOIN g a ON c.id_a = a.id JOIN g z ON c.id_b = z.id)
+       |SELECT id_a, id_b, hamming, n_a, n_b FROM h WHERE hamming <= 3""".stripMargin
   }
 
   // ------------------------------------------- URL canonical dedup (B5)

@@ -80,30 +80,21 @@ object Multimodal {
     )
 
   /** Stand-in perceptual hash: 16 hex digits, one per fixed 16-char block
-    * of the payload's first 256 chars — each digit is the block's
-    * char-code sum mod 16 (i.e. block "luminance", the shape of a real
-    * pHash's DCT block signs). Deterministic, engine-replayable (plain
-    * substr/ascii arithmetic), and LOCAL: a small edit to the payload
-    * changes only the digits of the blocks it touches, so near-identical
-    * payloads have near hashes — the property the near-dup join needs.
+    * of the payload's first 256 chars — each digit is the first hex char
+    * of the block's md5 (a per-block content signature, the shape of a
+    * real pHash's per-DCT-block signs). Deterministic, engine-replayable,
+    * and LOCAL: a small edit to the payload changes only the digits of
+    * the blocks it touches, so near-identical payloads have near hashes —
+    * the property the near-dup join needs. Built purely from codegen'd
+    * substring/md5 (an earlier char-code-sum formulation needed an
+    * interpreted higher-order aggregate per block and was ~4x slower).
     * A real deployment swaps this for a decoded-image pHash; everything
     * downstream (banding, bucket join, Hamming verify) is unchanged.
     */
-  def pHashHex(payload: Column): Column = {
-    val hex = "0123456789abcdef"
-    val digits = (0 until 16).map { i =>
-      val blk = substring(payload, i * 16 + 1, 16)
-      val sum = when(length(blk) === 0, lit(0)).otherwise(
-        aggregate(
-          transform(sequence(lit(1), length(blk)), j => ascii(substr(blk, j, lit(1)))),
-          lit(0),
-          (acc, x) => acc + x
-        )
-      )
-      substr(lit(hex), (sum % 16) + 1, lit(1))
-    }
-    concat(digits: _*)
-  }
+  def pHashHex(payload: Column): Column =
+    concat((0 until 16).map { i =>
+      substring(md5(substring(payload, i * 16 + 1, 16)), 1, 1)
+    }: _*)
 
   /** Hamming distance between two 16-digit pHashes = number of differing
     * block digits.
@@ -119,15 +110,36 @@ object Multimodal {
     * bands of 4; two payloads within Hamming distance 3 must agree on at
     * least one full band (pigeonhole), so candidates come from a bucketed
     * equi-join on (band, band value) — never all-pairs — and the exact
-    * Hamming verify runs only on collisions. Input: (id, phash).
-    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= maxDist.
+    * Hamming verify runs only on collisions.
+    *
+    * Two mega-bucket guards keep candidate generation sub-quadratic:
+    * (1) exact-duplicate payloads collapse to one representative per
+    * distinct phash BEFORE banding — identical media all land in the
+    * same buckets, so a duplicate cluster of size m would otherwise
+    * contribute 4·C(m,2) candidate rows (observed: 1.6M candidates on
+    * the sf0.1 fixture); group sizes ride along so downstream can expand
+    * clusters. (2) bands whose every block is empty (payload shorter
+    * than the band's char range ⇒ all digits are md5('')'s 'd') do not
+    * generate candidates — every short payload shares those bands, and
+    * agreement on absence is not similarity evidence. The filter is a
+    * pure function of the phash string, so any engine replays it. The
+    * trade: a payload spanning only one content band has no pigeonhole
+    * slack — any edit inside that band drops the pair (real pipelines
+    * sub-band tiny payloads; out of scope for the stand-in).
+    *
+    * Input: (id, phash). Returns (id_a, id_b, hamming, n_a, n_b) where
+    * id_a/id_b are the smallest ids of two distinct-phash groups,
+    * id_a < id_b, hamming <= maxDist, n_* the groups' member counts.
     */
   def pHashNearDup(hashed: DataFrame, maxDist: Int = 3): DataFrame = {
-    val banded = hashed.select(
-      col("id"), col("phash"),
+    val groups = hashed.groupBy("phash").agg(min(col("id")).as("id"), count(lit(1)).as("n"))
+    val banded = groups.select(
+      col("id"), col("phash"), col("n"),
       posexplode(array((0 until 4).map(bd => substring(col("phash"), bd * 4 + 1, 4)): _*))
         .as(Seq("band", "bval"))
     )
+      // "dddd" = four empty blocks (md5('') begins with 'd')
+      .where(col("bval") =!= "dddd")
     banded.as("x")
       .join(
         banded.as("y"),
@@ -135,9 +147,11 @@ object Multimodal {
           col("x.id") < col("y.id")
       )
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
+        col("x.phash").as("pa"), col("y.phash").as("pb"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
       .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), pHashHamming(col("pa"), col("pb")).as("hamming"))
+      .select(col("id_a"), col("id_b"), pHashHamming(col("pa"), col("pb")).as("hamming"),
+        col("n_a"), col("n_b"))
       .filter(col("hamming") <= maxDist)
   }
 
