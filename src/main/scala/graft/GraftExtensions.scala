@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 import graft.functions.{DotProduct, Hashing, MinHashSig, TopKByLong, WordKGrams}
 
@@ -65,6 +66,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // a bare AggregateFunction: the analyzer wraps it in the
         // AggregateExpression for the enclosing Aggregate
         TopKByLong(args(0), args(1), k)
+      }
+    ))
+    // Spark's internal runtime-filter pair (what InjectRuntimeFilter plans
+    // under the hood), exposed as SQL functions so a query can stage an
+    // EXPLICIT bloom prefilter: build a bloom over the dim keys in a
+    // scalar subquery, drop non-matching fact rows before the shuffle,
+    // then let the exact semi-join remove the false positives.
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2, "graft_bloom_agg(xxhash64Col[, estimatedItems])")
+        if (args.length == 1) new BloomFilterAggregate(args.head)
+        else new BloomFilterAggregate(args(0), args(1))
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_might_contain(bloom, xxhash64Value)")
+        BloomFilterMightContain(args(0), args(1))
       }
     ))
   }

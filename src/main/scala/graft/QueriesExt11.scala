@@ -380,6 +380,44 @@ object QueriesExt11 {
       |SELECT canon_url, count(*) AS n_variants, min(id) AS keeper_id
       |FROM c GROUP BY 1""".stripMargin
 
+  // -------------------------------------------- bloom semi-join (B8)
+
+  /** Explicit Bloom-prefiltered semi-join, via Spark's own runtime-filter
+    * expressions registered as SQL functions (GraftExtensions
+    * graft_bloom_agg / graft_might_contain). The bloom over the selective
+    * dim keys is built in a scalar subquery — one small distributed agg
+    * whose result broadcasts as a literal — and drops non-matching fact
+    * rows AT THE SCAN, before any shuffle; the exact IN semi-join then
+    * removes the bloom's false positives, so the result is exact and the
+    * oracle is the plain semi-join. At 100 TB this is the difference
+    * between shuffling the full fact table and shuffling ~the match set;
+    * it is also precisely what AQE's InjectRuntimeFilter plans when it
+    * fires — staged here explicitly so the pattern is available when the
+    * optimizer's cost gate declines it.
+    */
+  private def qBloomSemiJoin(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  round(sum(l_quantity), 2) AS sum_qty,
+         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE graft_might_contain(
+         |        (SELECT graft_bloom_agg(xxhash64(o_orderkey))
+         |         FROM parquet.`$dir/orders.parquet` WHERE o_totalprice > 450000),
+         |        xxhash64(l_orderkey))
+         |  AND l_orderkey IN (SELECT o_orderkey
+         |                     FROM parquet.`$dir/orders.parquet` WHERE o_totalprice > 450000)
+         |GROUP BY l_returnflag""".stripMargin
+    )
+
+  private val qBloomSemiJoinSql =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
+      |GROUP BY l_returnflag""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -390,7 +428,8 @@ object QueriesExt11 {
     "dedup_lines"        -> (dedupLines _),
     "sim_knn_graph"      -> (simKnnGraph _),
     "mm_phash_neardup"   -> (mmPhashNeardup _),
-    "text_url_normalize" -> (textUrlNormalize _)
+    "text_url_normalize" -> (textUrlNormalize _),
+    "q_bloom_semi_join"  -> (qBloomSemiJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -401,6 +440,7 @@ object QueriesExt11 {
     "dedup_lines"        -> dedupLinesSql,
     "sim_knn_graph"      -> simKnnGraphSql,
     "mm_phash_neardup"   -> mmPhashNeardupSql,
-    "text_url_normalize" -> textUrlNormalizeSql
+    "text_url_normalize" -> textUrlNormalizeSql,
+    "q_bloom_semi_join"  -> qBloomSemiJoinSql
   )
 }

@@ -57,6 +57,24 @@ class CurationQueriesSpec extends GraftSpecBase {
     rows.foreach { case (share, w) => assert(math.abs(w * share - 1.0 / n) < 1e-4) }
   }
 
+  test("bloom prefilter changes no rows vs the plain semi-join") {
+    import spark.implicits._
+    val dir = sf()
+    val plain = spark.sql(
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  round(sum(l_quantity), 2) AS sum_qty,
+         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE l_orderkey IN (SELECT o_orderkey
+         |                     FROM parquet.`$dir/orders.parquet` WHERE o_totalprice > 450000)
+         |GROUP BY l_returnflag""".stripMargin
+    ).as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    val bloomed = run("q_bloom_semi_join")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(bloomed.toSeq === plain.toSeq)
+    assert(bloomed.nonEmpty)
+  }
+
   test("dedup_lines keeps counts within bounds and is deterministic") {
     import spark.implicits._
     val a = run("dedup_lines").orderBy("doc_id").collect()
