@@ -418,6 +418,129 @@ object QueriesExt11 {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000)
       |GROUP BY l_returnflag""".stripMargin
 
+  // ------------------------------------------- column profiling (B15)
+
+  /** One-pass column profiler over `orders` (the ANALYZE TABLE shape a
+    * curation pipeline runs before deciding partition/sort keys): per
+    * column — row count, nulls, exact distinct count, numeric min/max
+    * (null for non-numeric). All stats come from a single Aggregate; the
+    * multi-column exact distincts plan as one Expand (rows × #distinct
+    * aggs cross the shuffle) — at 100 TB swap exact for HLL sketches,
+    * which q_approx_sketches already demonstrates.
+    */
+  private def qColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val one = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn_key"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).cast("double").as("mn_key"),
+      max(col("o_orderkey")).cast("double").as("mx_key"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_cust"),
+      countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).cast("double").as("mn_cust"),
+      max(col("o_custkey")).cast("double").as("mx_cust"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("nn_price"),
+      countDistinct(col("o_totalprice")).as("nd_price"),
+      round(min(col("o_totalprice")), 2).as("mn_price"),
+      round(max(col("o_totalprice")), 2).as("mx_price"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_status"),
+      countDistinct(col("o_orderstatus")).as("nd_status")
+    )
+    one.selectExpr(
+      """stack(4,
+        |  'o_orderkey',    n, nn_key,    nd_key,    mn_key,   mx_key,
+        |  'o_custkey',     n, nn_cust,   nd_cust,   mn_cust,  mx_cust,
+        |  'o_totalprice',  n, nn_price,  nd_price,  mn_price, mx_price,
+        |  'o_orderstatus', n, nn_status, nd_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (col_name, n, n_nulls, n_distinct, min_num, max_num)""".stripMargin
+    )
+  }
+
+  private val qColumnProfileSql =
+    """SELECT 'o_orderkey' AS col_name, count(*) AS n,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  count(DISTINCT o_orderkey) AS n_distinct,
+      |  CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', count(*),
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_custkey),
+      |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*),
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_totalprice),
+      |  round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(*),
+      |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  count(DISTINCT o_orderstatus),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------- data-quality gate (B15)
+
+  /** Rule-based data-quality checks (the admission gate a pipeline runs
+    * per ingest batch): each rule reports checked rows, violations, and
+    * the violation rate. Null-key and range rules fuse into their single
+    * table scan; the referential-integrity rule is one left-anti join
+    * against the (broadcastable) parent key set.
+    */
+  private def qDqChecks(s: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(s, dir)
+    val o = orders(s, dir)
+    val scanRules = l.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null_key"),
+      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc")
+    )
+    val orderRules = o.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price")
+    )
+    val orphans = l.join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val nL = l.agg(count(lit(1)).as("n"))
+    val rules =
+      scanRules.selectExpr(
+        "stack(3, 'null_orderkey', n, v_null_key, 'quantity_range', n, v_qty, 'discount_range', n, v_disc) AS (rule, n_checked, n_violations)"
+      ).union(
+        orderRules.selectExpr("stack(1, 'nonpositive_price', n, v_price) AS (rule, n_checked, n_violations)")
+      ).union(
+        orphans.crossJoin(nL).selectExpr("'orphan_lineitem' AS rule", "n AS n_checked", "v AS n_violations")
+      )
+    rules.select(
+      col("rule"), col("n_checked"), col("n_violations"),
+      round(col("n_violations") / col("n_checked"), 6).as("violation_rate")
+    )
+  }
+
+  private val qDqChecksSql =
+    """WITH l AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_key,
+      |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      |  FROM lineitem),
+      |o AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+      |  FROM orders),
+      |orph AS (SELECT count(*) AS v FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |r AS (
+      |  SELECT 'null_orderkey' AS rule, n AS n_checked, v_null_key AS n_violations FROM l
+      |  UNION ALL SELECT 'quantity_range', n, v_qty FROM l
+      |  UNION ALL SELECT 'discount_range', n, v_disc FROM l
+      |  UNION ALL SELECT 'nonpositive_price', n, v_price FROM o
+      |  UNION ALL SELECT 'orphan_lineitem', (SELECT n FROM l), v FROM orph)
+      |SELECT rule, n_checked, n_violations,
+      |  round(n_violations / n_checked, 6) AS violation_rate
+      |FROM r""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,7 +552,9 @@ object QueriesExt11 {
     "sim_knn_graph"      -> (simKnnGraph _),
     "mm_phash_neardup"   -> (mmPhashNeardup _),
     "text_url_normalize" -> (textUrlNormalize _),
-    "q_bloom_semi_join"  -> (qBloomSemiJoin _)
+    "q_bloom_semi_join"  -> (qBloomSemiJoin _),
+    "q_column_profile"   -> (qColumnProfile _),
+    "q_dq_checks"        -> (qDqChecks _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -441,6 +566,8 @@ object QueriesExt11 {
     "sim_knn_graph"      -> simKnnGraphSql,
     "mm_phash_neardup"   -> mmPhashNeardupSql,
     "text_url_normalize" -> textUrlNormalizeSql,
-    "q_bloom_semi_join"  -> qBloomSemiJoinSql
+    "q_bloom_semi_join"  -> qBloomSemiJoinSql,
+    "q_column_profile"   -> qColumnProfileSql,
+    "q_dq_checks"        -> qDqChecksSql
   )
 }
