@@ -496,12 +496,12 @@ object QueriesExt11 {
     val scanRules = l.agg(
       count(lit(1)).as("n"),
       sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null_key"),
-      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
-      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc")
+      sum(when(!col("l_quantity").between(1, 45), 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.08, 1L).otherwise(0L)).as("v_disc")
     )
     val orderRules = o.agg(
       count(lit(1)).as("n"),
-      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price")
+      sum(when(col("o_totalprice") <= 5000, 1L).otherwise(0L)).as("v_price")
     )
     val orphans = l.join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("v"))
@@ -510,7 +510,7 @@ object QueriesExt11 {
       scanRules.selectExpr(
         "stack(3, 'null_orderkey', n, v_null_key, 'quantity_range', n, v_qty, 'discount_range', n, v_disc) AS (rule, n_checked, n_violations)"
       ).union(
-        orderRules.selectExpr("stack(1, 'nonpositive_price', n, v_price) AS (rule, n_checked, n_violations)")
+        orderRules.selectExpr("stack(1, 'price_floor', n, v_price) AS (rule, n_checked, n_violations)")
       ).union(
         orphans.crossJoin(nL).selectExpr("'orphan_lineitem' AS rule", "n AS n_checked", "v AS n_violations")
       )
@@ -523,11 +523,11 @@ object QueriesExt11 {
   private val qDqChecksSql =
     """WITH l AS (SELECT count(*) AS n,
       |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_key,
-      |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
-      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      |    CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 45 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
       |  FROM lineitem),
       |o AS (SELECT count(*) AS n,
-      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
+      |    CAST(sum(CASE WHEN o_totalprice <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
       |  FROM orders),
       |orph AS (SELECT count(*) AS v FROM lineitem
       |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
@@ -535,7 +535,7 @@ object QueriesExt11 {
       |  SELECT 'null_orderkey' AS rule, n AS n_checked, v_null_key AS n_violations FROM l
       |  UNION ALL SELECT 'quantity_range', n, v_qty FROM l
       |  UNION ALL SELECT 'discount_range', n, v_disc FROM l
-      |  UNION ALL SELECT 'nonpositive_price', n, v_price FROM o
+      |  UNION ALL SELECT 'price_floor', n, v_price FROM o
       |  UNION ALL SELECT 'orphan_lineitem', (SELECT n FROM l), v FROM orph)
       |SELECT rule, n_checked, n_violations,
       |  round(n_violations / n_checked, 6) AS violation_rate
