@@ -180,12 +180,29 @@ object QueriesExt10 {
     * Spark/DuckDB double-sum parity rule).
     */
   private def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    // bigram explode as Generate(sequence) + substr projection — all
+    // codegen; the earlier explode(charShingles(...)) built each doc's
+    // bigram ARRAY through an interpreted higher-order transform, and
+    // with the model branches re-deriving this subplan it dominated the
+    // bench (35 s -> ~2 s at sf0.1). substr clamps past the end and
+    // greatest(len-1, 1) keeps one row for len < 2, so the short-text
+    // whole-string fallback of charShingles is preserved exactly.
     val bg = documents(s, dir)
-      .select(col("doc_id"), explode(TextAnalysis.charShingles(col("text"), 2)).as("b"))
+      .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("nrm"))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("nrm")) - 1, lit(1)))).as("i"),
+        col("nrm")
+      )
+      .select(col("doc_id"), substr(col("nrm"), col("i"), lit(2)).as("b"))
     val m2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
-    val m1 = m2.groupBy(substring(col("b"), 1, 1).as("c")).agg(sum(col("c2")).as("c1"))
+    // c1 (first-char totals) as a window over the vocab-bounded m2 rows —
+    // a separate groupBy+join re-derived the whole bigram explode a third
+    // time (exchange reuse across the differently-shaped aggregates is
+    // not guaranteed); the window runs on <= |charset|^2 rows, partitioned
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(substring(col("b"), 1, 1))
     val lp = m2
-      .join(m1, substring(col("b"), 1, 1) === col("c"))
+      .withColumn("c1", sum(col("c2")).over(wc))
       .select(
         col("b"),
         round(log(col("c2").cast("double")) - log(col("c1").cast("double")), 6).as("logp")
