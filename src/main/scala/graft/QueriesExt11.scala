@@ -541,6 +541,70 @@ object QueriesExt11 {
       |  round(n_violations / n_checked, 6) AS violation_rate
       |FROM r""".stripMargin
 
+  // --------------------------------------- curation pipeline e2e (B24+)
+
+  /** The whole curation pipeline as ONE lazy plan — the batch analog of
+    * `cdc_pipeline_e2e` for the training-data side: quality gates
+    * (minimum length, Gopher top-word fraction) → exact dedup on
+    * normalized text (keep min doc_id) → sequence packing of the
+    * survivors into per-source token bins. Every stage is a shuffle-
+    * bounded DataFrame transform: two explode+hash-aggs for the quality
+    * stats, one `min_by`-style dedup agg, one per-source window for the
+    * packing cumsum. A user runs the full admission pipeline with a
+    * single action; Catalyst fuses the gates into the scans.
+    */
+  private def qCuratePipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256
+    val docs = documents(s, dir).select(
+      col("source"), col("doc_id"),
+      TextAnalysis.normalize(col("text")).as("nrm"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")
+    )
+    // Gopher-style repetition gate: most frequent word's share of tokens
+    val topShare = docs
+      .select(col("doc_id"), col("n_tokens"), explode(split(col("nrm"), " ")).as("w"))
+      .groupBy("doc_id", "n_tokens", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"), first(col("n_tokens")).as("nt"))
+      .select(col("doc_id"), (col("top_c") / col("nt")).as("top_frac"))
+    val gated = docs
+      .join(topShare, "doc_id")
+      .where(col("n_tokens") >= 20 && col("top_frac") <= 0.2)
+    // exact dedup on normalized text: keep the smallest doc_id per form
+    val deduped = gated
+      .groupBy("nrm")
+      .agg(
+        min_by(struct(col("source"), col("doc_id"), col("n_tokens")), col("doc_id")).as("k")
+      )
+      .select(col("k.source").as("source"), col("k.doc_id").as("doc_id"),
+        col("k.n_tokens").as("n_tokens"), md5(col("nrm")).as("ord"))
+    val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    deduped
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+  }
+
+  private val qCuratePipelineE2eSql =
+    s"""WITH d AS (SELECT source, doc_id, $normSql AS nrm,
+       |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tw AS (SELECT doc_id, max(c) AS top_c FROM (
+       |    SELECT doc_id, w, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(string_split(nrm, ' ')) AS w FROM d)
+       |    GROUP BY 1, 2) GROUP BY 1),
+       |gated AS (SELECT d.* FROM d JOIN tw USING (doc_id)
+       |  WHERE d.n_tokens >= 20 AND tw.top_c / d.n_tokens <= 0.2),
+       |dd AS (SELECT nrm, min(doc_id) AS doc_id FROM gated GROUP BY 1),
+       |kept AS (SELECT g.source, g.doc_id, g.n_tokens, md5(g.nrm) AS ord
+       |  FROM gated g JOIN dd ON g.doc_id = dd.doc_id),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id) AS cum
+       |  FROM kept)
+       |SELECT source, CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -554,7 +618,8 @@ object QueriesExt11 {
     "text_url_normalize" -> (textUrlNormalize _),
     "q_bloom_semi_join"  -> (qBloomSemiJoin _),
     "q_column_profile"   -> (qColumnProfile _),
-    "q_dq_checks"        -> (qDqChecks _)
+    "q_dq_checks"        -> (qDqChecks _),
+    "curate_pipeline_e2e" -> (qCuratePipelineE2e _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -568,6 +633,7 @@ object QueriesExt11 {
     "text_url_normalize" -> textUrlNormalizeSql,
     "q_bloom_semi_join"  -> qBloomSemiJoinSql,
     "q_column_profile"   -> qColumnProfileSql,
-    "q_dq_checks"        -> qDqChecksSql
+    "q_dq_checks"        -> qDqChecksSql,
+    "curate_pipeline_e2e" -> qCuratePipelineE2eSql
   )
 }
