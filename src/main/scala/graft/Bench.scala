@@ -31,7 +31,19 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Storage isolation between queries: operators that persist() or
+      // localCheckpoint() release their blocks only when the ContextCleaner
+      // GCs the DataFrame — across a 123-query run those leaked blocks
+      // accumulate until eviction pressure lands on whichever query runs
+      // next (observed: dedup_jaccard_ppjoin 2.6 s solo vs 14.3 s median
+      // late in the full suite, bimodal min 4.6/max 14.8). Dropping all
+      // cached/checkpointed blocks after each timed run makes query times
+      // independent of suite position. Cleanup cost is excluded from the
+      // measured time, matching how a per-job cluster would bill it.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator.foreach(_.unpersist(blocking = false))
+      sec
     }
 
     // Median of N trials with an untimed warmup pass per query: the shared
@@ -131,7 +143,7 @@ object Bench {
       "q1_pricing_summary", "q3_shipping_priority", "q9_product_revenue",
       "q18_large_orders", "events_session_windows", "dedup_minhash_lsh",
       "dedup_minhash_clusters", "sim_topk_cosine", "cdc_pipeline_e2e",
-      "text_langid"
+      "text_langid", "curate_pipeline_e2e"
     ).toSet
     // full breakdown keeps every trial stat: med is the reported value,
     // min/max expose host-noise spread per query across the N trials.

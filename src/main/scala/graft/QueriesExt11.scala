@@ -605,6 +605,61 @@ object QueriesExt11 {
        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------- incremental IVF search (B4)
+
+  /** Incremental ANN index refresh — the vector analog of
+    * `dedup_minhash_incremental`: the standing index's centroids (md5-
+    * seeded from the OLD corpus only) are kept, the fresh batch (high
+    * vec_id fifth) is assigned into the existing cells with no
+    * re-clustering, and the fresh vectors are immediately searched
+    * against old + fresh — the "dedup incoming embeddings against the
+    * indexed corpus" refresh shape. The split threshold is the same
+    * bounded driver scalar as the minhash twin (keeps the vec_id
+    * predicates pushed down to both scans).
+    */
+  private def simIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    val thr = emb.agg(expr("max(vec_id) * 4 div 5").cast("long")).head.getLong(0)
+    operators.Similarity.ivfTopK(
+      emb,
+      emb.filter(col("vec_id") >= thr),
+      "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 2,
+      seedSource = Some(emb.filter(col("vec_id") < thr))
+    )
+  }
+
+  private val simIvfIncrementalSql =
+    """WITH thr AS (SELECT max(vec_id) * 4 // 5 AS t FROM embeddings),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |seeds AS (SELECT vec_id AS cell_id, e AS ce FROM v
+      |          WHERE vec_id < (SELECT t FROM thr)
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+      |assign AS (
+      |  SELECT vec_id, e, cell_id FROM (
+      |    SELECT v.vec_id, v.e, s.cell_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, v.e) - 2.0*list_dot_product(v.e, s.ce) + list_dot_product(s.ce, s.ce) ASC,
+      |        s.cell_id ASC) AS rn
+      |    FROM v CROSS JOIN seeds s)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, e AS qe, cell_id FROM (
+      |    SELECT v.vec_id, v.e, s.cell_id,
+      |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |        list_dot_product(v.e, v.e) - 2.0*list_dot_product(v.e, s.ce) + list_dot_product(s.ce, s.ce) ASC,
+      |        s.cell_id ASC) AS rn
+      |    FROM v CROSS JOIN seeds s
+      |    WHERE v.vec_id >= (SELECT t FROM thr))
+      |  WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.query_id, a.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(p.qe, a.e), 6) AS cosine
+      |  FROM probes p JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id != p.query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -619,7 +674,8 @@ object QueriesExt11 {
     "q_bloom_semi_join"  -> (qBloomSemiJoin _),
     "q_column_profile"   -> (qColumnProfile _),
     "q_dq_checks"        -> (qDqChecks _),
-    "curate_pipeline_e2e" -> (qCuratePipelineE2e _)
+    "curate_pipeline_e2e" -> (qCuratePipelineE2e _),
+    "sim_ivf_incremental" -> (simIvfIncremental _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -634,6 +690,7 @@ object QueriesExt11 {
     "q_bloom_semi_join"  -> qBloomSemiJoinSql,
     "q_column_profile"   -> qColumnProfileSql,
     "q_dq_checks"        -> qDqChecksSql,
-    "curate_pipeline_e2e" -> qCuratePipelineE2eSql
+    "curate_pipeline_e2e" -> qCuratePipelineE2eSql,
+    "sim_ivf_incremental" -> simIvfIncrementalSql
   )
 }

@@ -129,14 +129,18 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int,
-      nProbe: Int
+      nProbe: Int,
+      // incremental refresh: pass the STANDING corpus here so centroids
+      // stay those of the existing index while `corpus` includes fresh
+      // rows assigned into the same cells (no re-clustering on update)
+      seedSource: Option[DataFrame] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // deterministic seed centroids: nCells corpus rows with the smallest
     // (md5(id), id) — a TakeOrdered over the scan, cheap at any scale.
     // Cell id = the seed row's id, so the index is self-describing.
-    val seeds: Array[(Long, Array[Double])] = corpus
+    val seeds: Array[(Long, Array[Double])] = seedSource.getOrElse(corpus)
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("h", md5(col("id").cast("string")))
       .orderBy(col("h").asc, col("id").asc)
