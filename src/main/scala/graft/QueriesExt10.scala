@@ -181,12 +181,12 @@ object QueriesExt10 {
     */
   private def textLmScore(s: SparkSession, dir: String): DataFrame = {
     // bigram explode as Generate(sequence) + substr projection — all
-    // codegen; the earlier explode(charShingles(...)) built each doc's
-    // bigram ARRAY through an interpreted higher-order transform, and
-    // with the model branches re-deriving this subplan it dominated the
-    // bench (35 s -> ~2 s at sf0.1). substr clamps past the end and
-    // greatest(len-1, 1) keeps one row for len < 2, so the short-text
-    // whole-string fallback of charShingles is preserved exactly.
+    // codegen; an earlier array-of-bigrams formulation went through an
+    // interpreted higher-order transform, and with the model branches
+    // re-deriving this subplan it dominated the bench (35 s -> ~5 s at
+    // sf0.1). substr clamps past the end and greatest(len-1, 1) keeps
+    // one row for len < 2, preserving the short-text whole-string
+    // fallback the oracle's CASE expresses.
     val bg = documents(s, dir)
       .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("nrm"))
       .select(

@@ -22,16 +22,6 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     split(normalize(c), " ")
 
-  /** Character k-shingles of the normalized text; short texts fall back to
-    * a single whole-string shingle so no row produces an empty set.
-    */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normalize(c)
-    when(
-      length(n) >= k,
-      transform(sequence(lit(1), length(n) - (k - 1)), i => n.substr(i, lit(k)))
-    ).otherwise(array(n))
-  }
 
   /** Word k-gram shingles (joined with a single space); short docs fall back
     * to the whole normalized text (= all tokens re-joined). Implemented as
