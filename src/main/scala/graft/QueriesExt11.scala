@@ -660,6 +660,81 @@ object QueriesExt11 {
       |  FROM scored)
       |SELECT query_id, corpus_id, cosine, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin
 
+  // ------------------------------------------ corpus diagnostics (B13+)
+
+  /** Pairwise source-level content overlap: Jaccard similarity of the
+    * distinct word-3-gram sets of every source pair — the corpus-level
+    * "which providers ship the same content" diagnostic run before
+    * mixture weighting. Scale shape: the shingle self-join is bounded by
+    * O(vocab · nSources²) — each distinct shingle contributes at most one
+    * row per source pair, never per document pair.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ss = documents(s, dir)
+      .select(
+        col("source"),
+        explode(array_distinct(TextAnalysis.wordShingles(col("text"), 3))).as("sh")
+      )
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    ss.as("a")
+      .join(ss.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .select(
+        col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared") / (col("na") + col("nb") - col("n_shared")), 6).as("jaccard")
+      )
+  }
+
+  private val qSourceOverlapSql =
+    s"""WITH tok AS (SELECT source, $normSql AS norm, string_split($normSql, ' ') AS toks FROM documents),
+       |sh AS (SELECT DISTINCT source,
+       |    unnest(CASE WHEN len(toks) >= 3
+       |           THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       |           ELSE [norm] END) AS sh
+       |  FROM tok),
+       |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |p AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_shared,
+       |  round(n_shared / (x.n + y.n - n_shared), 6) AS jaccard
+       |FROM p JOIN sz x ON p.source_a = x.source JOIN sz y ON p.source_b = y.source""".stripMargin
+
+  /** Join-key skew profile: the top-10 heaviest l_orderkey values with
+    * their row share, plus the total key count — the diagnostic that
+    * decides between a plain shuffle join and the salted SkewJoin path.
+    * The heavy-hitter scan uses the bounded-heap TopKBy global aggregate
+    * (10 rows per partition cross the shuffle), not a global window; the
+    * oracle replays it with SQL row_number.
+    */
+  private def qSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = lineitem(s, dir).groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+    val top = counts.agg(
+      graft.functions.TopKBy.topKByLong(col("cnt").cast("double"), col("l_orderkey"), 10).as("top")
+    )
+    val tot = counts.agg(sum(col("cnt")).as("total_rows"), count(lit(1)).as("n_keys"))
+    top.crossJoin(broadcast(tot))
+      .select(posexplode(col("top")).as(Seq("pos", "e")), col("total_rows"), col("n_keys"))
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("l_orderkey"),
+        col("e.score").cast("long").as("cnt"),
+        round(col("e.score") / col("total_rows"), 6).as("key_share"),
+        col("n_keys")
+      )
+  }
+
+  private val qSkewProfileSql =
+    """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS n_keys FROM c),
+      |r AS (SELECT l_orderkey, cnt, row_number() OVER (ORDER BY cnt DESC, l_orderkey) AS rank FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, l_orderkey, CAST(cnt AS BIGINT) AS cnt,
+      |  round(cnt / total_rows, 6) AS key_share, n_keys
+      |FROM r, t WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -675,7 +750,9 @@ object QueriesExt11 {
     "q_column_profile"   -> (qColumnProfile _),
     "q_dq_checks"        -> (qDqChecks _),
     "curate_pipeline_e2e" -> (qCuratePipelineE2e _),
-    "sim_ivf_incremental" -> (simIvfIncremental _)
+    "sim_ivf_incremental" -> (simIvfIncremental _),
+    "q_source_overlap"   -> (qSourceOverlap _),
+    "q_skew_profile"     -> (qSkewProfile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -691,6 +768,8 @@ object QueriesExt11 {
     "q_column_profile"   -> qColumnProfileSql,
     "q_dq_checks"        -> qDqChecksSql,
     "curate_pipeline_e2e" -> qCuratePipelineE2eSql,
-    "sim_ivf_incremental" -> simIvfIncrementalSql
+    "sim_ivf_incremental" -> simIvfIncrementalSql,
+    "q_source_overlap"   -> qSourceOverlapSql,
+    "q_skew_profile"     -> qSkewProfileSql
   )
 }
