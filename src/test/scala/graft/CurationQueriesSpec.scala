@@ -75,6 +75,26 @@ class CurationQueriesSpec extends GraftSpecBase {
     assert(bloomed.nonEmpty)
   }
 
+  test("curate_pipeline_e2e only shrinks the corpus and packs within it") {
+    import spark.implicits._
+    val bins = run("curate_pipeline_e2e")
+      .agg(sum("n_docs"), sum("bin_tokens")).as[(Long, Long)].head()
+    val corpus = Tables.documents(spark, sf())
+      .select(size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .agg(count(lit(1)), sum("n")).as[(Long, Long)].head()
+    assert(bins._1 <= corpus._1 && bins._1 > 0)   // gated+deduped subset
+    assert(bins._2 <= corpus._2)
+  }
+
+  test("q_skew_profile ranks heaviest keys with shares that sum under 1") {
+    import spark.implicits._
+    val rows = run("q_skew_profile")
+      .select("rank", "cnt", "key_share").as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    assert(rows.map(_._2).sliding(2).forall(w => w.head >= w.last))
+    assert(rows.map(_._3).sum <= 1.0 + 1e-9)
+  }
+
   test("dedup_lines keeps counts within bounds and is deterministic") {
     import spark.implicits._
     val a = run("dedup_lines").orderBy("doc_id").collect()
