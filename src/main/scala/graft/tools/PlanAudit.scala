@@ -19,9 +19,15 @@ object PlanAudit {
     *  - q15_top_supplier: the global max revenue is a 1-row broadcast
     *    cross-joined back onto the per-supplier aggregate (deliberately
     *    replacing a single-partition global window).
+    *  - q_mixture_weights / q_skew_profile / q_dq_checks: the same 1-row
+    *    totals-aggregate broadcast, crossed back over per-group rows
+    *    (mixture shares, heavy-hitter shares, orphan-rule n_checked).
     */
   private val intendedNestedLoop =
-    Set("q22_idle_customers", "sim_topk_cosine", "text_tfidf_top", "q15_top_supplier")
+    Set(
+      "q22_idle_customers", "sim_topk_cosine", "text_tfidf_top", "q15_top_supplier",
+      "q_mixture_weights", "q_skew_profile", "q_dq_checks"
+    )
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
