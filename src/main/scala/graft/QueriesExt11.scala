@@ -735,6 +735,92 @@ object QueriesExt11 {
       |  round(cnt / total_rows, 6) AS key_share, n_keys
       |FROM r, t WHERE rank <= 10""".stripMargin
 
+  // -------------------------------------------- containment dedup (B3+)
+
+  /** Asymmetric containment detection — the near-dup class symmetric
+    * Jaccard misses: a short document embedded inside a longer one has
+    * LOW Jaccard (union is the big set) but containment
+    * |A∩B| / min(|A|,|B|) ≈ 1. Candidates come from RARE-shingle
+    * blocking: two docs pair only if they share a shingle with corpus
+    * document-frequency <= 5, so each shingle contributes at most
+    * C(5,2) = 10 pairs — candidate volume is O(vocab · 25), never
+    * O(docs²), and no length filter is applied (length filters are
+    * exactly what containment pairs violate). Excerpt fixtures (the
+    * first 40% of every 10th doc's tokens, ids offset by 2e6) stage the
+    * contained-in relation the corpus lacks organically.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val excerpt = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + 2000000L).as("doc_id"),
+        array_join(
+          slice(toks, lit(1), greatest(ceil(size(toks) * 0.4).cast("int"), lit(3))),
+          " "
+        ).as("text")
+      )
+    val all = docs.union(excerpt)
+    val sets = all.select(
+      col("doc_id"),
+      array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("sset")
+    )
+    val sh = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
+    val sz = sets.select(col("doc_id"), size(col("sset")).cast("long").as("n"))
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 5).select("sh"),
+      "sh"
+    )
+    val cand = rare.as("x")
+      .join(rare.as("y"), col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"), col("n_inter"),
+        round(col("n_inter") / least(col("na"), col("nb")), 6).as("containment")
+      )
+      .filter(col("containment") >= 0.8)
+  }
+
+  private val dedupContainmentSql = {
+    val shingles3 =
+      "CASE WHEN len(toks)>=3 THEN [array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)] ELSE [norm] END"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(list_slice(string_split($normSql, ' '), 1,
+       |      greatest(CAST(ceil(len(string_split($normSql, ' ')) * 0.4) AS INT), 3)), ' ')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks FROM base),
+       |sh0 AS (SELECT doc_id, list_distinct($shingles3) AS sset FROM tok),
+       |sh AS (SELECT doc_id, unnest(sset) AS sh FROM sh0),
+       |sz AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS n FROM sh0),
+       |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+       |rare AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfq USING (sh) WHERE df <= 5),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM rare x JOIN rare y ON x.sh = y.sh AND x.doc_id < y.doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_inter, containment FROM (
+       |  SELECT i.id_a, i.id_b, i.n_inter,
+       |    round(i.n_inter::DOUBLE / least(za.n, zb.n), 6) AS containment
+       |  FROM inter i JOIN sz za ON za.doc_id = i.id_a JOIN sz zb ON zb.doc_id = i.id_b)
+       |WHERE containment >= 0.8""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -752,7 +838,8 @@ object QueriesExt11 {
     "curate_pipeline_e2e" -> (qCuratePipelineE2e _),
     "sim_ivf_incremental" -> (simIvfIncremental _),
     "q_source_overlap"   -> (qSourceOverlap _),
-    "q_skew_profile"     -> (qSkewProfile _)
+    "q_skew_profile"     -> (qSkewProfile _),
+    "dedup_containment"  -> (dedupContainment _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -770,6 +857,7 @@ object QueriesExt11 {
     "curate_pipeline_e2e" -> qCuratePipelineE2eSql,
     "sim_ivf_incremental" -> simIvfIncrementalSql,
     "q_source_overlap"   -> qSourceOverlapSql,
-    "q_skew_profile"     -> qSkewProfileSql
+    "q_skew_profile"     -> qSkewProfileSql,
+    "dedup_containment"  -> dedupContainmentSql
   )
 }
