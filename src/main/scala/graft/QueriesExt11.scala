@@ -821,6 +821,70 @@ object QueriesExt11 {
        |WHERE containment >= 0.8""".stripMargin
   }
 
+  // --------------------------------------- windowed event rankings (B7)
+
+  /** Top-3 event types per day by count — the "trending" leaderboard.
+    * Rank runs in a PARTITIONED window (per day), so the sort is bounded
+    * by one day's type cardinality; the count aggregate underneath is
+    * map-side combined.
+    */
+  private def eventsWindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .select(expr("unix_millis(date_trunc('day', ts))").as("day_ms"), col("event_type"))
+      .groupBy("day_ms", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("day_ms").orderBy(col("cnt").desc, col("event_type").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("day_ms"), col("event_type"), col("cnt"), col("rank"))
+  }
+
+  private val eventsWindowTopkSql =
+    """WITH c AS (SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY day_ms ORDER BY cnt DESC, event_type) AS rank FROM c)
+      |SELECT day_ms, event_type, cnt, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** DAU and rolling-7-day distinct users per day with the stickiness
+    * ratio (DAU / rolling-7 actives). Rolling DISTINCT cannot be
+    * pre-aggregated, so the standard scalable shape is used: distinct
+    * (day, user) pairs each contribute to the 7 target days ending at
+    * day+6 (a 7-row explode), then one hash-agg per target day — never a
+    * distinct-within-window scan of raw events.
+    */
+  private def eventsDauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val roll = du
+      .select(
+        explode(expr("sequence(day, day + interval 6 days, interval 1 day)")).as("tday"),
+        col("user_id")
+      )
+      .distinct()
+      .groupBy("tday")
+      .agg(count(lit(1)).as("rolling7_users"))
+    dau
+      .join(roll, dau("day") === roll("tday"))
+      .select(
+        expr("unix_millis(day)").as("day_ms"),
+        col("dau"), col("rolling7_users"),
+        round(col("dau") / col("rolling7_users"), 6).as("stickiness")
+      )
+  }
+
+  private val eventsDauStickinessSql =
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+      |contrib AS (SELECT DISTINCT t.tday, du.user_id
+      |  FROM du, unnest(generate_series(du.day, du.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS t(tday)),
+      |roll AS (SELECT tday, count(*) AS rolling7_users FROM contrib GROUP BY 1)
+      |SELECT epoch_ms(d.day) AS day_ms, d.dau, r.rolling7_users,
+      |  round(d.dau / r.rolling7_users, 6) AS stickiness
+      |FROM dau d JOIN roll r ON r.tday = d.day""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -839,7 +903,9 @@ object QueriesExt11 {
     "sim_ivf_incremental" -> (simIvfIncremental _),
     "q_source_overlap"   -> (qSourceOverlap _),
     "q_skew_profile"     -> (qSkewProfile _),
-    "dedup_containment"  -> (dedupContainment _)
+    "dedup_containment"  -> (dedupContainment _),
+    "events_window_topk" -> (eventsWindowTopk _),
+    "events_dau_stickiness" -> (eventsDauStickiness _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -858,6 +924,8 @@ object QueriesExt11 {
     "sim_ivf_incremental" -> simIvfIncrementalSql,
     "q_source_overlap"   -> qSourceOverlapSql,
     "q_skew_profile"     -> qSkewProfileSql,
-    "dedup_containment"  -> dedupContainmentSql
+    "dedup_containment"  -> dedupContainmentSql,
+    "events_window_topk" -> eventsWindowTopkSql,
+    "events_dau_stickiness" -> eventsDauStickinessSql
   )
 }
