@@ -82,6 +82,9 @@ object QueriesExt11 {
     val stride = 150
     val chunk = substr(col("text"), col("start") + 1, lit(size_))
     documents(s, dir)
+      // Empty documents: Spark's sequence(0, -1, 150) throws where DuckDB's
+      // range(0, 0, 150) yields an empty list — exclude them in BOTH engines.
+      .where(length(col("text")) > 0)
       .select(
         col("doc_id"),
         explode(sequence(lit(0), length(col("text")) - 1, lit(stride))).as("start"),
@@ -99,7 +102,8 @@ object QueriesExt11 {
     """SELECT doc_id, CAST(s AS BIGINT) AS start,
       |  CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS BIGINT) AS chunk_len,
       |  md5(substr(text, CAST(s AS INT) + 1, 200)) AS chunk_hash
-      |FROM (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS s FROM documents)""".stripMargin
+      |FROM (SELECT doc_id, text, unnest(range(0, length(text), 150)) AS s
+      |      FROM documents WHERE length(text) > 0)""".stripMargin
 
   // ------------------------------------------------- BPE pair counting
 
@@ -503,6 +507,9 @@ object QueriesExt11 {
       count(lit(1)).as("n"),
       sum(when(col("o_totalprice") <= 5000, 1L).otherwise(0L)).as("v_price")
     )
+    // left_anti keeps NULL-key rows as orphans; the oracle uses NOT EXISTS
+    // (not NOT IN, which returns zero rows once any NULL appears) so both
+    // engines pin identical null semantics.
     val orphans = l.join(o.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_anti")
       .agg(count(lit(1)).as("v"))
     val nL = l.agg(count(lit(1)).as("n"))
@@ -529,8 +536,8 @@ object QueriesExt11 {
       |o AS (SELECT count(*) AS n,
       |    CAST(sum(CASE WHEN o_totalprice <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS v_price
       |  FROM orders),
-      |orph AS (SELECT count(*) AS v FROM lineitem
-      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |orph AS (SELECT count(*) AS v FROM lineitem l2
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l2.l_orderkey)),
       |r AS (
       |  SELECT 'null_orderkey' AS rule, n AS n_checked, v_null_key AS n_violations FROM l
       |  UNION ALL SELECT 'quantity_range', n, v_qty FROM l

@@ -122,10 +122,15 @@ object Multimodal {
     * than the band's char range ⇒ all digits are md5('')'s 'd') do not
     * generate candidates — every short payload shares those bands, and
     * agreement on absence is not similarity evidence. The filter is a
-    * pure function of the phash string, so any engine replays it. The
-    * trade: a payload spanning only one content band has no pigeonhole
-    * slack — any edit inside that band drops the pair (real pipelines
-    * sub-band tiny payloads; out of scope for the stand-in).
+    * pure function of the phash string, so any engine replays it. Two
+    * trades: (a) a payload spanning only one content band has no
+    * pigeonhole slack — any edit inside that band drops the pair (real
+    * pipelines sub-band tiny payloads; out of scope for the stand-in);
+    * (b) the filter is value-based, so a NON-empty content band that
+    * happens to hash to "dddd" (~16^-4 ≈ 1.5e-5 per band) is also
+    * dropped, a rare extra false-negative hole in the pigeonhole
+    * guarantee — accepted, because a value-based filter is what keeps
+    * the step replayable by any SQL engine without schema side-channels.
     *
     * Input: (id, phash). Returns (id_a, id_b, hamming, n_a, n_b) where
     * id_a/id_b are the smallest ids of two distinct-phash groups,

@@ -62,12 +62,20 @@ object DqGate {
           tagged.where(size(col("dq_violations")) > 0)
             .write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
           val n = tagged.count()
-          val metrics = tagged
+          // Left-join the per-batch counts onto the static rule list so a
+          // rule with ZERO violations still emits its metrics row each
+          // batch — consumers can tell "rule passed" from "rule not run".
+          val ruleNames = batch.sparkSession
+            .createDataFrame(rules.map(r => Tuple1(r.name))).toDF("rule")
+          val counts = tagged
             .select(explode_outer(col("dq_violations")).as("rule"))
             .where(col("rule").isNotNull)
             .groupBy("rule").agg(count(lit(1)).as("n_violations"))
+          val metrics = ruleNames
+            .join(counts, Seq("rule"), "left")
             .select(
-              lit(batchId).as("batch_id"), col("rule"), col("n_violations"),
+              lit(batchId).as("batch_id"), col("rule"),
+              coalesce(col("n_violations"), lit(0L)).as("n_violations"),
               lit(n).as("n_checked")
             )
           metrics.write.mode("overwrite").parquet(s"$metricsPath/batch=$batchId")

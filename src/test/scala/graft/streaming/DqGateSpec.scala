@@ -58,7 +58,10 @@ class DqGateSpec extends GraftSpecBase {
     val metrics = spark.read.parquet(s"$dir/metrics")
       .select("rule", "n_violations", "n_checked")
       .as[(String, Long, Long)].collect().sortBy(_._1)
+    // null_id has ZERO violations and must STILL emit its metrics row —
+    // "rule passed" is distinguishable from "rule not evaluated".
     assert(metrics.toSeq === Seq(
+      ("null_id", 0L, 3L),
       ("price_floor", 1L, 3L),
       ("qty_range", 2L, 3L)
     ))
