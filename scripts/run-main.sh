@@ -1,0 +1,23 @@
+#!/bin/bash
+# Run a graft main class directly against the compiled classes + the Spark
+# distribution jars, bypassing sbt (so long benchmark runs don't hold the
+# sbt/zinc project lock while development continues). Mirrors build.sbt's
+# forked-run JVM options (JDK17 add-opens, UTC, UI off).
+# Usage: scripts/run-main.sh graft.Bench [args...]   (env vars pass through)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$MAIN" "$@"

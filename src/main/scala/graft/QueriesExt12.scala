@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -37,13 +35,11 @@ object QueriesExt12 {
     * Scale shape: serialize and ingest are both single-pass, per-row
     * codegen projections over splittable line-delimited text; the only
     * exchange is the final sort injected by the harness. The staging dir
-    * is driver-local here (test harness); a cluster deployment points it
-    * at a DFS path.
+    * comes from [[graft.streaming.WorkDirs]] — local tmp by default, a DFS
+    * prefix via spark.graft.stream.workdir on a cluster.
     */
   private def jsonlIngest(s: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft-jsonl-").toFile
-    stage.deleteOnExit()
-    val path = stage.getAbsolutePath + "/docs.jsonl"
+    val path = graft.streaming.WorkDirs.fresh(s, "graft-jsonl") + "/docs.jsonl"
 
     documents(s, dir)
       .select(

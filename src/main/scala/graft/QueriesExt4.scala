@@ -116,11 +116,12 @@ object QueriesExt4 {
     * pipeline end to end including checkpointing and sink I/O.
     */
   private def cdcPipelineE2e(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
-    val srcDir = Files.createTempDirectory("e2e-src").toString
-    val okDir  = Files.createTempDirectory("e2e-ok").toString
-    val dlqDir = Files.createTempDirectory("e2e-dlq").toString
-    val ckpt   = Files.createTempDirectory("e2e-ckpt").toString
+    // cluster-placeable scratch space: local tmp by default, a DFS prefix
+    // via spark.graft.stream.workdir (see WorkDirs)
+    val srcDir = graft.streaming.WorkDirs.fresh(s, "e2e-src")
+    val okDir  = graft.streaming.WorkDirs.fresh(s, "e2e-ok")
+    val dlqDir = graft.streaming.WorkDirs.fresh(s, "e2e-dlq")
+    val ckpt   = graft.streaming.WorkDirs.fresh(s, "e2e-ckpt")
 
     graft.cdc.Envelope
       .synthesizeFromEvents(events(s, dir))

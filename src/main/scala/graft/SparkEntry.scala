@@ -49,20 +49,59 @@ object SparkEntry {
 
   // ------------------------------------------------------- relational (B8)
 
-  private def q1(s: SparkSession, dir: String): DataFrame =
+  /** Money math in exact long-cents instead of a DECIMAL multiply chain.
+    *
+    * The straightforward `DECIMAL(18,2)` formulation multiplies
+    * (18,2)×(18,2)→(37,4)→(38,6) per row — past Spark's compact-long
+    * decimal range, so every product allocates a BigDecimal in the agg
+    * kernel. Because the inputs are 2-decimal quantities, the same exact
+    * rationals are reachable in integer cents/basis-points:
+    * `P·(100−D)·(100+T)` (units of 10⁻⁶ dollars) with plain codegen'd
+    * long multiplies, summed as DECIMAL(38,0) whose per-value magnitudes
+    * stay compact-long; one exact power-of-ten rescale per OUTPUT row (6
+    * rows) restores dollars. Equivalence to the oracle's decimal SQL is
+    * exact: cast-to-(18,2) = round-to-cents, products/sums are the same
+    * integers, and the final HALF_UP round sees identical rationals.
+    * round(x·100) is safe: 2-decimal doubles land within 1e-10 of the
+    * integer. The decimal-chain formulation stays in q2/q3 etc. where the
+    * multiply runs once per row, not inside a 6-way aggregate over the
+    * whole fact table.
+    */
+  private def q1(s: SparkSession, dir: String): DataFrame = {
+    val P = round(col("l_extendedprice") * 100).cast("long") // cents
+    val D = round(col("l_discount") * 100).cast("long")      // percent units
+    val T = round(col("l_tax") * 100).cast("long")
+    // exact rescale: integer sum of 10^-exp dollar units → dollars
+    def dollars(sumCol: org.apache.spark.sql.Column, exp: Int): org.apache.spark.sql.Column =
+      sumCol / lit(math.pow(10, exp).toLong)
+    // sums carry DECIMAL(38,0): a raw long sum of the 10^-6-unit products
+    // (per-row up to ~4e10) would overflow past ~2e8 rows — well inside
+    // the 100 TB row count. Per-VALUE magnitudes stay in the compact-long
+    // decimal range, so the adds never touch BigDecimal.
+    def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = sum(c.cast("decimal(38,0)"))
     lineitem(s, dir)
       .filter(col("l_shipdate") <= tsLit("2000-12-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        decSum(dec(col("l_extendedprice"))).as("sum_base_price"),
-        decSum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("sum_disc_price"),
-        decSum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))) * (lit(1) + dec(col("l_tax")))).as("sum_charge"),
+        dsum(P).as("cents"),
+        dsum(P * (lit(100L) - D)).as("disc4"),
+        dsum(P * (lit(100L) - D) * (lit(100L) + T)).as("charge6"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
-        decAvg(col("l_extendedprice")).as("avg_price"),
-        decAvg(col("l_discount")).as("avg_disc"),
+        dsum(D).as("disc_cents"),
         count(lit(1)).as("count_order")
       )
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        round(dollars(col("cents"), 2), 2).cast("double").as("sum_base_price"),
+        round(dollars(col("disc4"), 4), 2).cast("double").as("sum_disc_price"),
+        round(dollars(col("charge6"), 6), 2).cast("double").as("sum_charge"),
+        col("avg_qty"),
+        round(dollars(col("cents"), 2).cast("double") / col("count_order"), 6).as("avg_price"),
+        round(dollars(col("disc_cents"), 2).cast("double") / col("count_order"), 6).as("avg_disc"),
+        col("count_order")
+      )
+  }
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+import org.apache.spark.sql.functions._
+
+/** PLANS.md as a test gate: the physical-plan properties the engine is
+  * designed around, asserted against `queryExecution.executedPlan` for the
+  * flagship queries so a plan regression (lost pushdown, a broadcast side
+  * falling back to shuffle, a global window sneaking in) fails `sbt test`
+  * instead of waiting for a bench diff.
+  *
+  * Counters are string-pattern based on the plan dump (the same evidence
+  * PLANS.md records): `Exchange hashpartitioning/rangepartitioning/
+  * SinglePartition` counts data shuffles while deliberately excluding
+  * `BroadcastExchange` (broadcasting a filtered dim is the *goal*, not a
+  * shuffle). Window placement is asserted on the optimized logical plan —
+  * a `Window` with an empty partitionSpec is the single-partition
+  * bottleneck shape this engine forbids. The last test breaks a pushdown
+  * on purpose and asserts the detector notices, so the gate can't rot
+  * into vacuously-true string matching.
+  */
+class PlanAuditSpec extends GraftSpecBase {
+
+  private def df(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf())
+
+  private def plan(name: String): String =
+    df(name).queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning", "Exchange SinglePartition")
+      .map(pat => pat.r.findAllIn(p).length).sum
+
+  private def broadcastJoins(p: String): Int = "BroadcastHashJoin".r.findAllIn(p).length
+
+  private def globalWindows(d: DataFrame): Int =
+    d.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }.size
+
+  test("q2_filter_project: every predicate pushed, columns pruned, zero shuffles, codegen") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+    assert(p.contains("IsNotNull(l_quantity)"), p)
+    assert(shuffles(p) === 0, p)
+    // 6 of lineitem's 11 columns read; the rest never leave the reader
+    assert(!p.contains("l_returnflag") && !p.contains("l_tax"), p)
+    assert(p.contains("*("), "expected a WholeStageCodegen span\n" + p)
+  }
+
+  test("q1_pricing_summary: single shuffle between partial and final aggregate") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(shuffles(p) === 1, p)
+    assert("HashAggregate".r.findAllIn(p).length === 2, p) // map-side combine
+  }
+
+  test("q3_shipping_priority: filtered customer+orders broadcast, lineitem never pre-shuffled") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(broadcastJoins(p) === 2 && !p.contains("SortMergeJoin"), p)
+    assert(shuffles(p) === 1, p) // only the groupBy aggregation shuffles
+  }
+
+  test("q5_local_supplier: the whole 5-dim star joins by broadcast") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert(broadcastJoins(p) === 5 && !p.contains("SortMergeJoin"), p)
+    assert(shuffles(p) === 1, p)
+  }
+
+  test("q9_product_revenue: part filter pushed as StringContains, star broadcast") {
+    val p = plan("q9_product_revenue")
+    assert(p.contains("StringContains(p_name,red)"), p)
+    assert(broadcastJoins(p) >= 4 && !p.contains("SortMergeJoin"), p)
+    assert(shuffles(p) === 1, p)
+  }
+
+  test("events_session_windows: native session windows cost exactly one keyed shuffle") {
+    val p = plan("events_session_windows")
+    assert(shuffles(p) === 1, p)
+    assert("HashAggregate".r.findAllIn(p).length === 2, p)
+  }
+
+  test("q_topk_per_group: bounded-heap aggregate, not a rank window") {
+    val d = df("q_topk_per_group")
+    assert(globalWindows(d) === 0)
+    assert(d.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }.isEmpty,
+      "top-k per group must use the TopKBy aggregate, not a window")
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("graft_topk_by"), p)
+  }
+
+  test("flagship plans contain no global (partition-less) window and no cartesian join") {
+    // Curated to construction-cheap queries: the e2e/streaming entries run
+    // real pipelines at construction time and are covered by their own specs.
+    val names = Seq(
+      "q1_pricing_summary", "q2_filter_project", "q3_shipping_priority",
+      "q5_local_supplier", "q9_product_revenue", "q_ntile_deciles",
+      "q_window_rank", "q_running_total", "cdc_apply_merge", "cdc_scd2_history",
+      "events_session_windows", "q_topk_per_group", "q_domain_quota",
+      "q_skew_profile", "events_window_topk"
+    )
+    names.foreach { n =>
+      val d = df(n)
+      assert(globalWindows(d) === 0, s"$n has a partition-less Window")
+      val p = d.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n has a cartesian product:\n$p")
+    }
+  }
+
+  test("cdc_apply_merge: compaction and merge stay within two keyed shuffles") {
+    val p = plan("cdc_apply_merge")
+    assert(shuffles(p) <= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("negative control: an opaque predicate visibly loses its pushdown") {
+    // Same shape as q2's scan, but the shipdate bound is wrapped in an
+    // expression parquet can't evaluate — the PushedFilters assertion that
+    // guards q2 MUST come back false here, proving the gate detects a
+    // broken pushdown rather than matching vacuously.
+    val broken = Tables.lineitem(spark, sf())
+      .filter(expr("length(cast(l_shipdate as string)) > 5 and l_quantity < 5.0"))
+      .select("l_orderkey", "l_quantity")
+    val p = broken.queryExecution.executedPlan.toString
+    assert(!p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThan(l_quantity,5.0)"), p) // the pushable half still pushes
+  }
+}

@@ -53,6 +53,52 @@ class EnrichmentSpec extends GraftSpecBase {
     } finally conn.close()
   }
 
+  test("JDBC dimension maps NUMERIC/TIMESTAMP/DATE/CHAR columns faithfully") {
+    // the reference dimension is Postgres-typed (numeric, timestamptz);
+    // no Postgres server exists in this sandbox, but the JDBC type-mapping
+    // path (java.sql.Types → Catalyst) is the same code for Derby's
+    // NUMERIC/TIMESTAMP/DATE — this pins the decimal precision/scale and
+    // temporal round-trips a Postgres dimension would rely on
+    val url  = "jdbc:derby:memory:grafttyped;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.executeUpdate(
+          """CREATE TABLE dim_typed (
+            |  id BIGINT PRIMARY KEY,
+            |  balance NUMERIC(12,2),
+            |  updated_at TIMESTAMP,
+            |  valid_from DATE,
+            |  code CHAR(3),
+            |  note VARCHAR(64)
+            |)""".stripMargin)
+        st.executeUpdate(
+          "INSERT INTO dim_typed VALUES " +
+            "(1, 12345.67, TIMESTAMP('2026-01-15 10:30:00'), DATE('2026-01-01'), 'abc', 'hello')," +
+            "(2, -0.05, TIMESTAMP('2026-02-01 00:00:00'), DATE('2026-02-01'), 'xy ', NULL)")
+      } finally st.close()
+
+      val df = graft.sources.JdbcDimension.read(
+        spark, url, "dim_typed",
+        Map("driver" -> "org.apache.derby.iapi.jdbc.AutoloadedDriver"))
+
+      val fields = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType.simpleString).toMap
+      assert(fields("balance") === "decimal(12,2)")
+      assert(fields("updated_at") === "timestamp")
+      assert(fields("valid_from") === "date")
+      assert(fields("code") === "string")
+
+      val rows = df.orderBy("ID").collect()
+      assert(rows(0).getDecimal(1) === new java.math.BigDecimal("12345.67"))
+      assert(rows(1).getDecimal(1) === new java.math.BigDecimal("-0.05"))
+      assert(rows(0).getTimestamp(2).toString === "2026-01-15 10:30:00.0")
+      assert(rows(0).getDate(3).toString === "2026-01-01")
+      assert(rows(1).getString(4) === "xy ") // CHAR(3) keeps its pad
+      assert(rows(1).isNullAt(5))
+    } finally conn.close()
+  }
+
   test("property: latest-wins compaction is idempotent and keeps max version per key") {
     val genRows = Gen.listOfN(
       40,

@@ -163,6 +163,54 @@ class HttpSchemaRegistrySpec extends GraftSpecBase {
     }
   }
 
+  test("client-side BACKWARD gate: default-added field passes, type change is rejected before POST") {
+    withStub { (stub, client) =>
+      val id1 = SchemaCompat.registerChecked(client, "animals-value", v1)
+      assert(id1 === 1) // first registration of a subject always passes
+
+      // adding a field WITH a default: new readers fill it on old data — OK
+      val id2 = SchemaCompat.registerChecked(client, "animals-value", v2)
+      assert(id2 !== id1)
+
+      // changing id long → string: Avro resolution can't promote — rejected
+      val typeChanged =
+        """{"type":"record","name":"Animal","fields":[
+          |  {"name":"id","type":"string"},
+          |  {"name":"name","type":["null","string"],"default":null},
+          |  {"name":"color","type":"string","default":"unknown"}
+          |]}""".stripMargin
+      val e = intercept[IllegalArgumentException](
+        SchemaCompat.registerChecked(client, "animals-value", typeChanged))
+      assert(e.getMessage.contains("BACKWARD"))
+      assert(e.getMessage.contains("TYPE_MISMATCH"))
+      // gate fired client-side: the registry never saw the bad schema
+      assert(stub.registry.versions("animals-value").length === 2)
+
+      // required-field addition (no default) is the other canonical reject
+      assert(intercept[IllegalArgumentException](
+        SchemaCompat.registerChecked(client, "animals-value", v3bad))
+        .getMessage.contains("READER_FIELD_MISSING_DEFAULT_VALUE"))
+      assert(stub.registry.versions("animals-value").length === 2)
+    }
+  }
+
+  test("compat modes check the right direction") {
+    // v1 → v2 adds `color` WITH a default: old readers simply skip the new
+    // field, new readers fill the default — compatible both ways.
+    assert(SchemaCompat.check(SchemaCompat.Backward, v1, v2) === Seq.empty)
+    assert(SchemaCompat.check(SchemaCompat.Forward, v1, v2) === Seq.empty)
+    assert(SchemaCompat.check(SchemaCompat.Full, v1, v2) === Seq.empty)
+
+    // v1 → dropped `name`, added required `weight`: BACKWARD broken (a
+    // v3bad reader has no default for weight on v1 data). FORWARD is fine —
+    // a v1 reader on v3bad data ignores weight and fills name from its
+    // null default.
+    assert(SchemaCompat.check(SchemaCompat.Backward, v1, v3bad).nonEmpty)
+    assert(SchemaCompat.check(SchemaCompat.Forward, v1, v3bad) === Seq.empty)
+    assert(SchemaCompat.check(SchemaCompat.Full, v1, v3bad).nonEmpty)
+    assert(SchemaCompat.check(SchemaCompat.None, v1, v3bad) === Seq.empty)
+  }
+
   test("writer-schema evolution through the registry resolves both directions") {
     withStub { (_, client) =>
       val id1 = client.register("animals-value", v1)
