@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.TextAnalysis
+
+/** Round-7 additions: verbatim-passage reuse detection (B41) and
+  * token-budget corpus selection (B42) — the two curation steps a training
+  * pipeline runs between dedup and shard packing.
+  */
+object QueriesExt13 {
+
+  private val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+
+  // ------------------------------------- verbatim passage reuse (B41)
+
+  /** Verbatim-passage reuse: for each document, the maximal consecutive
+    * runs of word-8-gram shingles that also appear in at least one OTHER
+    * document — the memorization-risk metric ("how much of this doc is a
+    * copy of something else in the corpus"), distinct from B19's
+    * boilerplate fraction (distinct-shingle df) because runs measure
+    * contiguous span length, not set overlap.
+    *
+    * Pipeline: positional shingle explode → shingle doc-frequency (distinct
+    * docs per shingle, on the md5 of the shingle so only 32-byte keys cross
+    * the shuffle) → keep instances whose shingle occurs in ≥2 docs →
+    * gaps-and-islands per document (pos − row_number, the window is
+    * per-doc-partitioned — bounded by doc length, never global) → per-doc
+    * longest run / duplicated-position count. Docs with no duplicated
+    * shingle still emit a row (left join, zero defaults).
+    *
+    * Scale shape: the explode is linear in corpus tokens; the df aggregate
+    * is a hash-agg on the shingle key with map-side combine; the join back
+    * shuffles both sides on that key (the df table is corpus-vocab-sized —
+    * NOT broadcastable at 100 TB, same call as B19); the window partitions
+    * by doc_id. No stage is all-pairs, nothing is collected.
+    */
+  private def textDupSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val sh = documents(s, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.wordShingles(col("text"), k)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
+    val dfreq = sh.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val dupPos = sh.join(dfreq.filter(col("df") >= 2).select("h"), "h")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dupPos
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run"))
+    val perDoc = runs.groupBy("doc_id").agg(
+      max("run").cast("long").as("longest_dup_run"),
+      sum("run").cast("long").as("n_dup_positions"),
+      count(lit(1)).cast("long").as("n_spans")
+    )
+    sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("n_dup_positions"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("dup_frac")
+      )
+  }
+
+  private val textDupSpansSql =
+    s"""WITH tok AS (SELECT doc_id, $normSql AS norm, string_split($normSql,' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+       |      THEN [{'pos': i - 1, 'h': md5(array_to_string(toks[i:i+7],' '))} for i in range(1, len(toks) - 6)]
+       |      ELSE [{'pos': 0, 'h': md5(norm)}] END) AS u
+       |    FROM tok)),
+       |dfreq AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1) WHERE df >= 2),
+       |dup AS (SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM sh JOIN dfreq USING (h)),
+       |runs AS (SELECT doc_id, grp, count(*) AS run FROM dup GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_dup_run,
+       |    CAST(sum(run) AS BIGINT) AS n_dup_positions, CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM runs GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1)
+       |SELECT tot.doc_id, n_shingles,
+       |  coalesce(n_dup_positions, 0) AS n_dup_positions,
+       |  coalesce(longest_dup_run, 0) AS longest_dup_run,
+       |  coalesce(n_spans, 0) AS n_spans,
+       |  round(coalesce(n_dup_positions, 0)::DOUBLE / n_shingles, 6) AS dup_frac
+       |FROM tot LEFT JOIN per ON tot.doc_id = per.doc_id""".stripMargin
+
+  // ------------------------------------ token-budget selection (B42)
+
+  /** Token-budget corpus selection: per source, admit documents in quality
+    * order (B5's composite quality score, doc_id tie-break) until the
+    * source's token budget is exhausted — the mixture-curation step that
+    * turns per-source quotas into an actual document list.
+    *
+    * Semantics are prefix selection under the flat per-source order
+    * (quality DESC, doc_id ASC): a document is selected iff its running
+    * token total stays ≤ budget. The ORACLE states exactly that with one
+    * window. The IMPLEMENTATION is the skew-resistant two-level form: at
+    * 100 TB one source is far too large for a single window partition, so
+    * stage 1 aggregates (source, quality_score) groups — the rounded score
+    * has ≤ ~10⁶ distinct values, a bounded model-size table — and runs the
+    * cumulative window over GROUPS; stage 2 opens only the groups the
+    * budget reaches and resolves per-document prefix sums inside a
+    * (source, score) tie-group partition, bounded by tie width, never by
+    * source size. Both forms provably produce the same rows; the driver's
+    * hash compare is the proof.
+    */
+  private def qTokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val scored = TextAnalysis
+      .withQuality(documents(s, dir), "text")
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("quality_score"), col("n_tokens"))
+
+    val grp = scored.groupBy("source", "quality_score")
+      .agg(sum("n_tokens").as("g_tokens"), count(lit(1)).as("g_docs"))
+    val wSrc = Window.partitionBy("source").orderBy(col("quality_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gcum = grp
+      .withColumn("cum_before", coalesce(sum(col("g_tokens")).over(wSrc), lit(0L)))
+      .withColumn("docs_before", coalesce(sum(col("g_docs")).over(wSrc), lit(0L)))
+      .filter(col("cum_before") < budget) // groups wholly past budget drop here
+      .select("source", "quality_score", "cum_before", "docs_before")
+
+    val wTie = Window.partitionBy("source", "quality_score").orderBy(col("doc_id").asc)
+    scored
+      .join(gcum, Seq("source", "quality_score"))
+      .withColumn(
+        "cum_tokens",
+        col("cum_before") + sum(col("n_tokens")).over(wTie.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .withColumn("sel_rank", (col("docs_before") + row_number().over(wTie)).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select(
+        col("doc_id"), col("source"), col("quality_score"), col("n_tokens"),
+        col("cum_tokens").cast("long").as("cum_tokens"), col("sel_rank")
+      )
+  }
+
+  private val qTokenBudgetSelectSql =
+    s"""WITH base AS (SELECT doc_id, source, text, $normSql AS norm FROM documents),
+       |t2 AS (SELECT doc_id, source, text, norm, string_split(norm,' ') AS toks,
+       |  length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS n_punct FROM base),
+       |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  round((CASE WHEN length(norm) BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+       |    + least(round(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+       |        / greatest(len(toks),1), 6) * 4, 1.0)
+       |    + (1.0 - least(round(n_punct::DOUBLE / greatest(length(text),1), 6) * 10, 1.0))) / 3.0, 6) AS quality_score
+       |  FROM t2),
+       |sel AS (SELECT doc_id, source, quality_score, n_tokens,
+       |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY quality_score DESC, doc_id) AS BIGINT) AS sel_rank
+       |  FROM q)
+       |SELECT doc_id, source, quality_score, n_tokens, cum_tokens, sel_rank
+       |FROM sel WHERE cum_tokens <= 2000""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dup_spans"        -> (textDupSpans _),
+    "q_token_budget_select" -> (qTokenBudgetSelect _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_dup_spans"        -> textDupSpansSql,
+    "q_token_budget_select" -> qTokenBudgetSelectSql
+  )
+}
