@@ -169,7 +169,9 @@ object Bench {
         val common = current.keySet.intersect(hist.keySet)
           .filter(k => current(k) > 0 && hist(k) > 0)
         // need most of the suite in common for the ratio to mean anything
-        if (common.size < (current.size * 8) / 10) scala.None
+        // (max(1,…): integer floor would let an EMPTY intersection through
+        // for 1-query dev runs → 0/0 = NaN)
+        if (common.size < math.max(1, (current.size * 8) / 10)) scala.None
         else Some(common.toSeq.map(current).sum / common.toSeq.map(hist).sum)
       }.sorted
       if (ratios.isEmpty) scala.None else Some(ratios(ratios.size / 2))

@@ -163,15 +163,67 @@ object QueriesExt13 {
        |SELECT doc_id, source, quality_score, n_tokens, cum_tokens, sel_rank
        |FROM sel WHERE cum_tokens <= 2000""".stripMargin
 
+  // --------------------------------- embedding centroid outliers (B43)
+
+  /** Embedding-space quality filtering: distance of every vector to its
+    * label's centroid, flagged as an outlier when it exceeds 1.5× the
+    * label's mean distance — the embedding-space pruning step (SemDeDup /
+    * outlier-removal style) a curation pipeline runs before semantic
+    * sampling.
+    *
+    * Scale shape: one positional explode (n_vecs × dim rows — linear),
+    * one (label, dim) hash-agg for centroids whose result is a
+    * labels×dims model-size table (BROADCAST back — never a shuffle of
+    * the big side), per-vec distance re-aggregation co-partitioned with
+    * the explode, and a second broadcast of the per-label mean. Float
+    * dims are widened to double before any arithmetic; distances and
+    * means are round(6)ed — the double-sum associativity drift (~1e-13)
+    * sits far below the rounding grain, so the independent DuckDB replay
+    * hash-matches.
+    */
+  private def simCentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ex = embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("label"), col("dim"), col("v").cast("double").as("v"))
+    val cent = ex.groupBy("label", "dim").agg(avg("v").as("c"))
+    val dist = ex
+      .join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(round(sqrt(sum((col("v") - col("c")) * (col("v") - col("c")))), 6).as("dist"))
+    val stats = dist.groupBy("label").agg(round(avg("dist"), 6).as("mean_dist"))
+    dist
+      .join(broadcast(stats), Seq("label"))
+      .select(
+        col("vec_id"), col("label"), col("dist"), col("mean_dist"),
+        (col("dist") > col("mean_dist") * 1.5).as("is_outlier")
+      )
+  }
+
+  private val simCentroidOutliersSql =
+    """WITH ex AS (SELECT vec_id, label, u.dim AS dim, u.v AS v FROM (
+      |    SELECT vec_id, label,
+      |      unnest([{'dim': i - 1, 'v': embedding[i]::DOUBLE} for i in range(1, len(embedding) + 1)]) AS u
+      |    FROM embeddings)),
+      |cent AS (SELECT label, dim, avg(v) AS c FROM ex GROUP BY 1, 2),
+      |d AS (SELECT vec_id, ex.label AS label,
+      |    round(sqrt(sum((v - c) * (v - c))), 6) AS dist
+      |  FROM ex JOIN cent USING (label, dim) GROUP BY 1, 2),
+      |stats AS (SELECT label, round(avg(dist), 6) AS mean_dist FROM d GROUP BY 1)
+      |SELECT vec_id, d.label AS label, dist, mean_dist,
+      |  dist > mean_dist * 1.5 AS is_outlier
+      |FROM d JOIN stats USING (label)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_spans"        -> (textDupSpans _),
-    "q_token_budget_select" -> (qTokenBudgetSelect _)
+    "q_token_budget_select" -> (qTokenBudgetSelect _),
+    "sim_centroid_outliers" -> (simCentroidOutliers _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_dup_spans"        -> textDupSpansSql,
-    "q_token_budget_select" -> qTokenBudgetSelectSql
+    "q_token_budget_select" -> qTokenBudgetSelectSql,
+    "sim_centroid_outliers" -> simCentroidOutliersSql
   )
 }

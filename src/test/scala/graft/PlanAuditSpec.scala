@@ -103,7 +103,7 @@ class PlanAuditSpec extends GraftSpecBase {
       "q_window_rank", "q_running_total", "cdc_apply_merge", "cdc_scd2_history",
       "events_session_windows", "q_topk_per_group", "q_domain_quota",
       "q_skew_profile", "events_window_topk", "text_dup_spans",
-      "q_token_budget_select"
+      "q_token_budget_select", "sim_centroid_outliers"
     )
     names.foreach { n =>
       val d = df(n)
