@@ -179,7 +179,10 @@ object Bench {
 
     val firstMap = firstPass.toMap.map { case (n, s) => n -> s.med }
     val ratio    = historyRatio(firstMap)
-    val rerun    = ratio.exists(r => r > 1.25 || r < 0.75)
+    // the drift rerun is a FULL-run safeguard: a dev subset's ratio is
+    // still reported for context, but re-running a hand-picked subset
+    // would just double iteration time without protecting any snapshot
+    val rerun    = only.isEmpty && ratio.exists(r => r > 1.25 || r < 0.75)
     val stats =
       if (!rerun) firstPass
       else {
@@ -226,13 +229,18 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
       // committed history snapshot: keeps per-query breakdowns diffable
-      // across rounds (target/ is cleaned; round 2's breakdown was lost)
-      val stamp = java.time.format.DateTimeFormatter
-        .ofPattern("yyyyMMdd-HHmmss")
-        .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
-      val h = java.nio.file.Paths.get(s"bench_history/bench_full_$stamp.json")
-      java.nio.file.Files.createDirectories(h.getParent)
-      java.nio.file.Files.write(h, fullJson.getBytes("UTF-8"))
+      // across rounds (target/ is cleaned; round 2's breakdown was lost).
+      // FULL runs only — SPARK_GRAFT_ONLY dev subsets would litter the
+      // history (they're excluded from the drift ratio anyway, but the
+      // files accumulate in git)
+      if (only.isEmpty) {
+        val stamp = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd-HHmmss")
+          .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+        val h = java.nio.file.Paths.get(s"bench_history/bench_full_$stamp.json")
+        java.nio.file.Files.createDirectories(h.getParent)
+        java.nio.file.Files.write(h, fullJson.getBytes("UTF-8"))
+      }
     } catch { case _: Throwable => () }
     // stop Spark BEFORE printing so the parseable headline-subset line is
     // the very last stdout line (build.sbt's StdoutOutput strategy passes
