@@ -195,28 +195,44 @@ object QueriesExt10 {
         col("nrm")
       )
       .select(col("doc_id"), substr(col("nrm"), col("i"), lit(2)).as("b"))
-    val m2 = bg.groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    // Per-(doc, bigram) counts as the SHARED base consumed by both the
+    // model aggregate and the scoring join, localCheckpointed so the
+    // 5M-row explode materializes exactly once (the previous shape
+    // aggregated the raw explode separately per consumer — the dominant
+    // stage ran twice, 5.3 s in the r7 closing snapshot; measured here:
+    // 3.7 s relying on exchange reuse, 2.9 s checkpointed). Same bounded
+    // localCheckpoint pattern as B13's top-20 lineage cut; Bench's
+    // per-query storage cleanup releases the blocks.
+    val counts = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val m2     = counts.groupBy(col("b")).agg(sum(col("cnt")).as("c2"))
     // c1 (first-char totals) as a window over the vocab-bounded m2 rows —
-    // a separate groupBy+join re-derived the whole bigram explode a third
-    // time (exchange reuse across the differently-shaped aggregates is
-    // not guaranteed); the window runs on <= |charset|^2 rows, partitioned
+    // the window runs on <= |charset|^2 rows, partitioned
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(substring(col("b"), 1, 1))
     val lp = m2
       .withColumn("c1", sum(col("c2")).over(wc))
       .select(
         col("b"),
-        round(log(col("c2").cast("double")) - log(col("c1").cast("double")), 6).as("logp")
+        // log-prob in exact integer micros: the per-row score combine
+        // below becomes a codegen'd long multiply instead of a
+        // DECIMAL(18,6) multiply that allocates BigDecimals (q1's lesson);
+        // round-to-6-then-scale keeps the oracle's rounded-logp semantics
+        // outer round(…, 0): ×1e6 can land at ….999999 in binary — a bare
+        // long cast would truncate one micro off
+        round(round(log(col("c2").cast("double")) - log(col("c1").cast("double")), 6) * 1000000L, 0)
+          .cast("long").as("logp_micro")
       )
-    bg.join(broadcast(lp), "b")
+    counts.join(broadcast(lp), "b")
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(col("logp").cast("decimal(18,6)")).as("slp")
+        sum(col("cnt")).as("n_bigrams"),
+        // DECIMAL(38,0) sum of long micro products: per-value compact,
+        // immune to long overflow at any corpus size
+        sum((col("cnt") * col("logp_micro")).cast("decimal(38,0)")).as("slp_micro")
       )
       .select(
         col("doc_id"),
         col("n_bigrams"),
-        round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_logp")
+        round((col("slp_micro") / lit(1000000L)).cast("double") / col("n_bigrams"), 6).as("avg_logp")
       )
   }
 

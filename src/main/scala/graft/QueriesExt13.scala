@@ -213,17 +213,83 @@ object QueriesExt13 {
       |  dist > mean_dist * 1.5 AS is_outlier
       |FROM d JOIN stats USING (label)""".stripMargin
 
+  // -------------------------------------------- CSV manifest ingest (B44)
+
+  /** CSV sidecar-manifest ingestion over the real wire format: a manifest
+    * row per document (id, source, n_chars, a title carrying embedded
+    * quotes AND commas — the quoting path must genuinely round-trip) is
+    * serialized with `to_csv`, a deterministic fraction (`doc_id % 19 ==
+    * 0`) replaced by a structurally-broken `{bad N}` line, written as
+    * text, and ingested back through `sources.Csv.read`/`branch` — the
+    * text + explicit-schema `from_csv` + corrupt-line DLQ path (A13 over
+    * CSV, the JSONL ingest's sibling). The oracle never parses CSV: it
+    * recomputes every field and the quoted title's md5 directly from
+    * `documents`, so parity proves the serialize→parse round trip restored
+    * each byte and the DLQ caught exactly the corrupted lines.
+    */
+  private def csvIngest(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.streaming.WorkDirs.fresh(s, "graft-csv") + "/manifest.csv"
+    val title = concat(
+      lit("Doc \""), col("doc_id").cast("string"), lit("\" from "),
+      col("source"), lit(", rated")
+    )
+    documents(s, dir)
+      .select(
+        when(
+          col("doc_id") % 19 === 0,
+          concat(lit("{bad "), col("doc_id").cast("string"), lit("}"))
+        ).otherwise(
+          to_csv(struct(
+            col("doc_id"), col("source"), col("n_chars"), title.as("title")
+          ))
+        ).as("value")
+      )
+      .write.mode("overwrite").text(path)
+
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("source", org.apache.spark.sql.types.StringType)
+      .add("n_chars", org.apache.spark.sql.types.LongType)
+      .add("title", org.apache.spark.sql.types.StringType)
+    val (clean, corrupt) = sources.Csv.branch(sources.Csv.read(s, path, schema))
+
+    clean
+      .select(
+        lit("clean").as("kind"), col("doc_id"), col("source"), col("n_chars"),
+        md5(col("title")).as("payload_md5")
+      )
+      .unionAll(
+        corrupt.select(
+          lit("corrupt").as("kind"),
+          lit(null).cast("long").as("doc_id"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_chars"),
+          md5(col("raw")).as("payload_md5")
+        )
+      )
+  }
+
+  private val csvIngestSql =
+    """SELECT 'clean' AS kind, doc_id, source, n_chars,
+      |  md5('Doc "' || doc_id || '" from ' || source || ', rated') AS payload_md5
+      |FROM documents WHERE doc_id % 19 <> 0
+      |UNION ALL
+      |SELECT 'corrupt', NULL, NULL, NULL, md5('{bad ' || doc_id || '}')
+      |FROM documents WHERE doc_id % 19 = 0""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_spans"        -> (textDupSpans _),
     "q_token_budget_select" -> (qTokenBudgetSelect _),
-    "sim_centroid_outliers" -> (simCentroidOutliers _)
+    "sim_centroid_outliers" -> (simCentroidOutliers _),
+    "csv_ingest"            -> (csvIngest _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_dup_spans"        -> textDupSpansSql,
     "q_token_budget_select" -> qTokenBudgetSelectSql,
-    "sim_centroid_outliers" -> simCentroidOutliersSql
+    "sim_centroid_outliers" -> simCentroidOutliersSql,
+    "csv_ingest"            -> csvIngestSql
   )
 }
