@@ -277,19 +277,129 @@ object QueriesExt13 {
       |SELECT 'corrupt', NULL, NULL, NULL, md5('{bad ' || doc_id || '}')
       |FROM documents WHERE doc_id % 19 = 0""".stripMargin
 
+  // -------------------------------------------- vocab coverage gate (B45)
+
+  /** Tokenizer-vocabulary coverage: per-document out-of-vocabulary rate
+    * against the corpus's top-1000-word vocabulary — the coverage gate run
+    * before committing a tokenizer (docs with high OOV rates are script
+    * mismatches, encoding damage, or noise). The vocabulary here is
+    * self-derived for determinism; a production run would broadcast the
+    * tokenizer's real vocab instead — same plan shape.
+    *
+    * Scale shape: the vocab is a bounded top-k (TakeOrdered distributed
+    * limit over the word hash-agg — no global window; localCheckpoint cuts
+    * the corpus lineage off the 1000-row result, as in text_word_topk),
+    * then BROADCAST against the token explode; one per-doc hash-agg ends
+    * the plan. Token explode is linear; the big side never shuffles on the
+    * join key.
+    */
+  private def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val words = documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val vocab = words.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(1000)
+      .select(col("term"), lit(1L).as("in_vocab"))
+      .localCheckpoint()
+    words
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (count(lit(1)) - count(col("in_vocab"))).as("n_oov")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate")
+      )
+  }
+
+  private val textVocabCoverageSql =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split($normSql,' ')) AS term FROM documents),
+       |v AS (SELECT term FROM (
+       |  SELECT term, count(*) AS cnt FROM w GROUP BY 1
+       |  ORDER BY cnt DESC, term ASC LIMIT 1000)),
+       |j AS (SELECT w.doc_id, w.term, v.term AS vt FROM w LEFT JOIN v ON w.term = v.term)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS oov_rate
+       |FROM j GROUP BY 1""".stripMargin
+
+  // ------------------------------------- streaming curation e2e (B46)
+
+  /** The streaming twin of `curate_pipeline_e2e`: documents flow through a
+    * REAL Structured Streaming topology — parquet-backed stream source →
+    * quality gate (pushed into the stream's scan) → content fingerprint →
+    * stateful keyed dedup (`StatefulDedup.latestWins` with the NEGATED
+    * doc_id as the version, so the state's high-water-mark semantics keep
+    * the LOWEST id per fingerprint — the canonical-survivor rule of B1's
+    * batch form) → checkpointed parquet sink, drained with AvailableNow.
+    * The driver's hash compare covers the entire streaming path; the
+    * oracle restates the semantics as a batch min-per-group.
+    *
+    * Determinism note: the per-batch reduce inside latestWins picks the
+    * min-id record regardless of arrival order within the batch, and
+    * AvailableNow drains the staged corpus in one batch — so the sink
+    * holds exactly one row per fingerprint. On a multi-batch deployment
+    * the sink may also hold superseded earlier emissions (append mode
+    * cannot retract); the batch compaction (B2) downstream collapses them.
+    */
+  private def curateStreamE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcDir = graft.streaming.WorkDirs.fresh(s, "curstream-src")
+    val okDir  = graft.streaming.WorkDirs.fresh(s, "curstream-ok")
+    val ckpt   = graft.streaming.WorkDirs.fresh(s, "curstream-ckpt")
+    documents(s, dir).write.mode("overwrite").parquet(srcDir)
+
+    val schema = s.read.parquet(srcDir).schema
+    val gated = s.readStream.schema(schema).parquet(srcDir)
+      .filter(col("n_chars").between(100, 5000))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("fp"))
+      .as[(Long, String, Long, Long)]
+
+    val deduped = graft.streaming.StatefulDedup
+      .latestWins[Long, (Long, String, Long, Long)](gated, _._4, r => -r._1)
+      .toDF("doc_id", "source", "n_chars", "fp")
+
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("path", okDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(okDir).select("doc_id", "source", "n_chars", "fp")
+  }
+
+  private val curateStreamE2eSql = {
+    val fp = s"CAST('0x' || substr(md5($normSql),1,15) AS BIGINT)"
+    s"""WITH f AS (SELECT doc_id, source, n_chars, $fp AS fp
+       |  FROM documents WHERE n_chars BETWEEN 100 AND 5000)
+       |SELECT f.doc_id, f.source, f.n_chars, f.fp
+       |FROM f JOIN (SELECT fp, min(doc_id) AS m FROM f GROUP BY 1) g
+       |  ON f.fp = g.fp AND f.doc_id = g.m""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dup_spans"        -> (textDupSpans _),
     "q_token_budget_select" -> (qTokenBudgetSelect _),
     "sim_centroid_outliers" -> (simCentroidOutliers _),
-    "csv_ingest"            -> (csvIngest _)
+    "csv_ingest"            -> (csvIngest _),
+    "text_vocab_coverage"   -> (textVocabCoverage _),
+    "curate_stream_e2e"     -> (curateStreamE2e _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_dup_spans"        -> textDupSpansSql,
     "q_token_budget_select" -> qTokenBudgetSelectSql,
     "sim_centroid_outliers" -> simCentroidOutliersSql,
-    "csv_ingest"            -> csvIngestSql
+    "csv_ingest"            -> csvIngestSql,
+    "text_vocab_coverage"   -> textVocabCoverageSql,
+    "curate_stream_e2e"     -> curateStreamE2eSql
   )
 }
