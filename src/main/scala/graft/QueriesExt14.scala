@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.Tables._
+import graft.operators.TextAnalysis
 
 /** Round-7 additions, batch 2: the watermarked stream-stream interval join
   * (B47) — the one Structured Streaming join shape the surface was still
@@ -196,15 +197,115 @@ object QueriesExt14 {
       |  CAST(length(content) AS BIGINT) AS content_len
       |FROM decoded""".stripMargin
 
+  // ------------------------------ hashed-feature linear scorer (B49)
+
+  private val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+
+  /** fastText-style hashed bag-of-words linear classifier scoring: every
+    * token hashes into one of 256 weight buckets (md5 feature hashing —
+    * no vocabulary table at all), the document score is the mean bucket
+    * weight, flagged when positive. The weight vector here is
+    * md5-derived so both engines can rebuild the identical "model" from
+    * the formula; a production run would broadcast trained weights — the
+    * plan is byte-for-byte the same because feature hashing makes the
+    * model size a CONSTANT (buckets, not vocabulary), which is the whole
+    * point of the trick at 100 TB.
+    *
+    * Scale shape: token explode is linear; the weight table (256 rows —
+    * 1 M in production, still broadcastable) joins broadcast; one per-doc
+    * hash-agg with map-side combine ends the plan. Weights are integers
+    * in [-1000, 1000], so the per-doc sum is EXACT — the only double is
+    * the final mean, rounded 6 dp.
+    */
+  private def textHashClassifier(s: SparkSession, dir: String): DataFrame = {
+    val nBuckets = 256
+    val weights = s
+      .range(nBuckets)
+      .select(
+        col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 2001 - 1000).as("wt")
+      )
+    documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .withColumn("bucket", conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % nBuckets)
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("wt").as("raw_weight"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("raw_weight"),
+        round(col("raw_weight").cast("double") / (col("n_tokens") * 1000), 6).as("score"),
+        (col("raw_weight") > 0).as("flagged")
+      )
+  }
+
+  private val textHashClassifierSql =
+    s"""WITH w AS (SELECT i AS bucket,
+       |    CAST('0x' || substr(md5('w' || i), 1, 6) AS BIGINT) % 2001 - 1000 AS wt
+       |  FROM range(256) t(i)),
+       |tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS term FROM documents),
+       |tb AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 256 AS bucket
+       |  FROM tok)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(wt) AS BIGINT) AS raw_weight,
+       |  round(CAST(sum(wt) AS DOUBLE) / (count(*) * 1000), 6) AS score,
+       |  sum(wt) > 0 AS flagged
+       |FROM tb JOIN w USING (bucket)
+       |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------ deterministic Lloyd's k-means (B50)
+
+  /** Embedding-space clustering for corpus curation (the step between
+    * SemDeDup-style outlier pruning and cluster-balanced sampling):
+    * Lloyd's k-means, k = 8, two refinement rounds from the ivfTopK seed
+    * recipe. See `Similarity.kmeansAssign` for the iteration contract —
+    * every centroid is 6-dp-rounded so the oracle replays both rounds
+    * exactly.
+    */
+  private def simKmeansAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kmeansAssign(embeddings(s, dir), "vec_id", "embedding", 8, 2)
+
+  private val simKmeansAssignSql =
+    """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+      |seeds AS (SELECT CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INT) AS cluster, v
+      |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |ex AS (SELECT vec_id, u.dim AS dim, u.val AS val FROM (
+      |  SELECT vec_id, unnest([{'dim': i - 1, 'val': v[i]} for i in range(1, len(v) + 1)]) AS u
+      |  FROM e)),
+      |sx AS (SELECT cluster, u.dim AS dim, u.val AS val FROM (
+      |  SELECT cluster, unnest([{'dim': i - 1, 'val': v[i]} for i in range(1, len(v) + 1)]) AS u
+      |  FROM seeds)),
+      |d1 AS (SELECT ex.vec_id, sx.cluster, round(sum((ex.val - sx.val) * (ex.val - sx.val)), 6) AS d2
+      |  FROM ex JOIN sx USING (dim) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cluster FROM (
+      |  SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |c1 AS (SELECT a1.cluster, ex.dim, round(avg(ex.val), 6) AS c
+      |  FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |d2t AS (SELECT ex.vec_id, c1.cluster, round(sum((ex.val - c1.c) * (ex.val - c1.c)), 6) AS d2
+      |  FROM ex JOIN c1 USING (dim) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cluster, d2 FROM (
+      |  SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |  FROM d2t) WHERE rn = 1)
+      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(sqrt(d2), 6) AS dist
+      |FROM a2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_stream_join" -> (eventsStreamJoin _),
-    "text_html_extract"  -> (textHtmlExtract _)
+    "events_stream_join"   -> (eventsStreamJoin _),
+    "text_html_extract"    -> (textHtmlExtract _),
+    "text_hash_classifier" -> (textHashClassifier _),
+    "sim_kmeans_assign"    -> (simKmeansAssign _)
   )
 
   def oracleSql: Map[String, String] = Map(
-    "events_stream_join" -> eventsStreamJoinSql,
-    "text_html_extract"  -> textHtmlExtractSql
+    "events_stream_join"   -> eventsStreamJoinSql,
+    "text_html_extract"    -> textHtmlExtractSql,
+    "text_hash_classifier" -> textHashClassifierSql,
+    "sim_kmeans_assign"    -> simKmeansAssignSql
   )
 }

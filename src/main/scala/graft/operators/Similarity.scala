@@ -287,4 +287,86 @@ object Similarity {
         col("col.id").as("nbr_id"),
         col("col.score").as("cosine")
       )
+
+  /** Deterministic Lloyd's k-means: `iters` refinement rounds over the
+    * ivfTopK seed recipe (cluster c = the row with the c-th smallest
+    * (md5(id), id)). Each round assigns every vector to its nearest
+    * centroid — a codegen'd argmin over literal centroid arrays, exactly
+    * the ivfTopK cell-assignment shape — then recomputes centroids as the
+    * 6-dp-rounded dim-wise mean. The rounding pins cross-engine parity
+    * (double sums associate differently per engine; 1e-6 dwarfs the
+    * ~1e-14 noise) and makes every intermediate centroid replayable from
+    * this docstring alone, the same contract as ivfTopK's frozen seeds.
+    *
+    * Scale shape: per round, one codegen scan assigns clusters (distances
+    * compare as `round(d2, 6)` with cluster-id tie-break — no shuffle),
+    * one posexplode + (cluster, dim) hash-agg (map-side combined)
+    * reduces the corpus to a k×dim model, and only that model — 512
+    * doubles at k=8, dim=64 — returns to the driver to seed the next
+    * round's literals. The corpus itself never shuffles and is scanned
+    * 2·iters times; persist the projected (id, vec) columns once if the
+    * scan dominates.
+    *
+    * Returns (vec_id, cluster, dist): final assignment plus
+    * round(sqrt(round(d2, 6)), 6) distance.
+    */
+  def kmeansAssign(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    val e = spread(embeddings)
+      .select(col(idCol).cast("long").as("vec_id"), asDouble(col(vecCol)).as("v"))
+
+    def assign(cents: Seq[(Int, Array[Double])]): DataFrame = {
+      val structs = cents.map { case (cid, c) =>
+        val cl = array(c.map(lit): _*)
+        val d2 = round(
+          dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cl) + lit(c.map(x => x * x).sum),
+          6
+        )
+        struct(d2.as("d2"), lit(cid).as("cluster"))
+      }
+      e.withColumn("best", least(structs: _*))
+        .select(
+          col("vec_id"),
+          col("v"),
+          col("best.cluster").as("cluster"),
+          col("best.d2").as("d2")
+        )
+    }
+
+    val seeds: Seq[(Int, Array[Double])] = e
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("v"))
+      .collect()
+      .toSeq
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    var assigned = assign(seeds)
+    for (_ <- 2 to iters) {
+      val cents = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy("cluster", "dim")
+        .agg(round(avg("val"), 6).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
+        .sortBy(_._1)
+      assigned = assign(cents)
+    }
+    assigned.select(
+      col("vec_id"),
+      col("cluster").cast("long").as("cluster"),
+      round(sqrt(col("d2")), 6).as("dist")
+    )
+  }
 }
