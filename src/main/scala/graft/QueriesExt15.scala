@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Round-7 additions, batch 3: cluster-balanced sampling (B51), corpus
+  * snapshot diff (B52), and histogram-exact per-source quantile
+  * calibration (B53) — the selection, incremental-refresh, and
+  * threshold-setting steps of a corpus build.
+  */
+object QueriesExt15 {
+
+  // ------------------------------ cluster-balanced sampling (B51)
+
+  /** Diversity-preserving subset selection: run the deterministic k-means
+    * (B50), then keep an equal quota of documents from every embedding
+    * cluster, chosen in md5(vec_id) order — the cluster-balanced sampling
+    * step that follows SemDeDup-style clustering, preventing the corpus's
+    * dominant mode from monopolizing a downsampled training set.
+    *
+    * Scale shape: on top of kmeansAssign's shuffle-free assignment, the
+    * per-cluster quota is a bounded-heap TopKBy aggregate — quota·k rows
+    * cross the shuffle, never the corpus, and a mega-cluster cannot skew
+    * a task (the heap is O(quota) regardless of cluster size). The md5
+    * rank key is truncated to 48 bits so it is exact in the aggregate's
+    * double score (53-bit mantissa); ties break on vec_id.
+    */
+  private def simClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val quota = 25
+    val assigned = graft.operators.Similarity
+      .kmeansAssign(embeddings(s, dir), "vec_id", "embedding", 8, 2)
+    assigned
+      .withColumn(
+        "h",
+        -conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+          .cast("long")
+          .cast("double")
+      )
+      .groupBy("cluster")
+      .agg(graft.functions.TopKBy.topKByLong(col("h"), col("vec_id"), quota).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(
+        col("cluster"),
+        (col("pos") + 1).cast("long").as("samp_rank"),
+        col("col.id").as("vec_id")
+      )
+  }
+
+  private val simClusterSampleSql =
+    """WITH base AS (
+      |  FROM (WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+      |  seeds AS (SELECT CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INT) AS cluster, v
+      |    FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |  ex AS (SELECT vec_id, u.dim AS dim, u.val AS val FROM (
+      |    SELECT vec_id, unnest([{'dim': i - 1, 'val': v[i]} for i in range(1, len(v) + 1)]) AS u
+      |    FROM e)),
+      |  sx AS (SELECT cluster, u.dim AS dim, u.val AS val FROM (
+      |    SELECT cluster, unnest([{'dim': i - 1, 'val': v[i]} for i in range(1, len(v) + 1)]) AS u
+      |    FROM seeds)),
+      |  d1 AS (SELECT ex.vec_id, sx.cluster, round(sum((ex.val - sx.val) * (ex.val - sx.val)), 6) AS d2
+      |    FROM ex JOIN sx USING (dim) GROUP BY 1, 2),
+      |  a1 AS (SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |  c1 AS (SELECT a1.cluster, ex.dim, round(avg(ex.val), 6) AS c
+      |    FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |  d2t AS (SELECT ex.vec_id, c1.cluster, round(sum((ex.val - c1.c) * (ex.val - c1.c)), 6) AS d2
+      |    FROM ex JOIN c1 USING (dim) GROUP BY 1, 2)
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+      |    FROM d2t) WHERE rn = 1)),
+      |ranked AS (SELECT cluster,
+      |    row_number() OVER (PARTITION BY cluster
+      |      ORDER BY CAST('0x' || substr(md5(vec_id::VARCHAR), 1, 12) AS BIGINT), vec_id) AS samp_rank,
+      |    vec_id
+      |  FROM base)
+      |SELECT cluster, CAST(samp_rank AS BIGINT) AS samp_rank, vec_id
+      |FROM ranked WHERE samp_rank <= 25""".stripMargin
+
+  // ------------------------------------ corpus snapshot diff (B52)
+
+  /** Incremental-refresh diff between two corpus snapshots: v2 is staged
+    * deterministically from v1 (docs with `doc_id % 13 = 0` dropped, docs
+    * with `doc_id % 7 = 0` re-crawled with changed text, docs with
+    * `doc_id % 11 = 0` re-ingested under a shifted id), then diffed by a
+    * full-outer join on doc_id comparing content fingerprints. Every doc
+    * gets a status — added / removed / changed / same — the work-list
+    * that drives incremental re-embedding and re-dedup instead of a full
+    * rebuild.
+    *
+    * Scale shape: one full-outer shuffle join on the snapshot key — the
+    * minimal possible data movement for a diff; write both snapshots
+    * bucketed by doc_id (B15) and the Exchange disappears entirely. The
+    * fingerprint comparison ships 60-bit hashes, not text.
+    */
+  private def corpusSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val v1 = documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val v2base = documents(s, dir).filter(col("doc_id") % 13 =!= 0)
+    val v2 = v2base
+      .select(
+        when(col("doc_id") % 11 === 0, col("doc_id") + 1000000L)
+          .otherwise(col("doc_id"))
+          .as("doc_id"),
+        TextAnalysis
+          .fingerprint(
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [recrawled v2]")))
+              .otherwise(col("text"))
+          )
+          .as("fp")
+      )
+    v1.select(col("doc_id"), col("fp").as("old_fp"))
+      .join(v2.select(col("doc_id"), col("fp").as("new_fp")), Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        col("old_fp"),
+        col("new_fp"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("same"))
+          .as("status")
+      )
+  }
+
+  private val corpusSnapshotDiffSql = {
+    val fpOf = (e: String) =>
+      s"CAST('0x' || substr(md5(regexp_replace(lower(trim($e)),'\\s+',' ','g')),1,15) AS BIGINT)"
+    s"""WITH v1 AS (SELECT doc_id, ${fpOf("text")} AS old_fp FROM documents),
+       |v2 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+       |    ${fpOf("CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawled v2]' ELSE text END")} AS new_fp
+       |  FROM documents WHERE doc_id % 13 <> 0)
+       |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, old_fp, new_fp,
+       |  CASE WHEN old_fp IS NULL THEN 'added'
+       |       WHEN new_fp IS NULL THEN 'removed'
+       |       WHEN old_fp <> new_fp THEN 'changed'
+       |       ELSE 'same' END AS status
+       |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin
+  }
+
+  // ---------------------- per-source quantile calibration (B53)
+
+  /** Quality-threshold calibration: per-source EXACT p10/p50/p90 of
+    * document length, computed scalably, then joined back to flag docs
+    * below their source's p10 — how a pipeline sets per-provenance
+    * admission thresholds instead of one global cutoff.
+    *
+    * Quantile definition (pinned for replay): p_q = the smallest value v
+    * with cum(v)·den ≥ num·total for q = num/den — the inverted-CDF /
+    * "lower" quantile as PURE INTEGER arithmetic. (A `ceil(q·total)`
+    * formulation would diverge across engines: Spark's 0.1 literal is a
+    * double, DuckDB's is a DECIMAL, and q·total lands on opposite sides
+    * of an integer at the boundary.)
+    *
+    * Scale shape: a naive exact percentile buffers every value per group
+    * (Spark's `percentile` agg — OOM at corpus scale). This plan instead
+    * exploits the BOUNDED value domain: hash-agg to a (source, n_chars)
+    * histogram (map-side combined — at most sources × distinct-lengths
+    * rows survive), cumulative-sum over that small table with a
+    * per-source window, pick thresholds, and BROADCAST the per-source
+    * row back over the corpus. The corpus itself never sorts and never
+    * shuffles — the same two-level trick as the token-budget selector
+    * (B42).
+    */
+  private def qQuantileCalibration(s: SparkSession, dir: String): DataFrame = {
+    val hist = documents(s, dir)
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("source")))
+    def thresh(num: Int, den: Int, name: String) =
+      min(when(col("cum") * den >= col("total") * num, col("n_chars"))).as(name)
+    val th = cum
+      .groupBy("source")
+      .agg(thresh(1, 10, "p10"), thresh(1, 2, "p50"), thresh(9, 10, "p90"))
+    documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(th), Seq("source"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_chars"),
+        col("p10"),
+        col("p50"),
+        col("p90"),
+        (col("n_chars") < col("p10")).as("below_p10")
+      )
+  }
+
+  private val qQuantileCalibrationSql =
+    """WITH hist AS (SELECT source, n_chars, count(*) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (SELECT source, n_chars,
+      |    sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+      |    sum(cnt) OVER (PARTITION BY source) AS total
+      |  FROM hist),
+      |th AS (SELECT source,
+      |    min(CASE WHEN cum * 10 >= total THEN n_chars END) AS p10,
+      |    min(CASE WHEN cum * 2 >= total THEN n_chars END) AS p50,
+      |    min(CASE WHEN cum * 10 >= total * 9 THEN n_chars END) AS p90
+      |  FROM cum GROUP BY 1)
+      |SELECT doc_id, d.source AS source, n_chars, p10, p50, p90,
+      |  n_chars < p10 AS below_p10
+      |FROM documents d JOIN th ON d.source = th.source""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cluster_sample"     -> (simClusterSample _),
+    "corpus_snapshot_diff"   -> (corpusSnapshotDiff _),
+    "q_quantile_calibration" -> (qQuantileCalibration _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_cluster_sample"     -> simClusterSampleSql,
+    "corpus_snapshot_diff"   -> corpusSnapshotDiffSql,
+    "q_quantile_calibration" -> qQuantileCalibrationSql
+  )
+}
