@@ -103,7 +103,9 @@ class PlanAuditSpec extends GraftSpecBase {
       "q_window_rank", "q_running_total", "cdc_apply_merge", "cdc_scd2_history",
       "events_session_windows", "q_topk_per_group", "q_domain_quota",
       "q_skew_profile", "events_window_topk", "text_dup_spans",
-      "q_token_budget_select", "sim_centroid_outliers"
+      "q_token_budget_select", "sim_centroid_outliers", "text_vocab_coverage",
+      "text_hash_classifier", "text_html_extract", "corpus_snapshot_diff",
+      "q_quantile_calibration"
     )
     names.foreach { n =>
       val d = df(n)
@@ -111,6 +113,23 @@ class PlanAuditSpec extends GraftSpecBase {
       val p = d.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n has a cartesian product:\n$p")
     }
+  }
+
+  test("q_quantile_calibration: thresholds broadcast back, the corpus never sorts or shuffles") {
+    val d = df("q_quantile_calibration")
+    val p = d.queryExecution.executedPlan.toString
+    assert(broadcastJoins(p) === 1, p)
+    // the only shuffles belong to the tiny (source, n_chars) histogram:
+    // one for its hash-agg, one for the per-source window sort
+    assert(shuffles(p) <= 2, p)
+    assert(globalWindows(d) === 0)
+  }
+
+  test("text_hash_classifier: constant-size weight model broadcast, one map-side-combined agg") {
+    val p = plan("text_hash_classifier")
+    assert(broadcastJoins(p) === 1, p)
+    assert(shuffles(p) === 1, p) // the per-doc aggregate only
+    assert("HashAggregate".r.findAllIn(p).length === 2, p)
   }
 
   test("cdc_apply_merge: compaction and merge stay within two keyed shuffles") {
