@@ -45,30 +45,9 @@ object QueriesExt14 {
     val schema = s.read.parquet(srcDir).schema
     def stream = s.readStream.schema(schema).parquet(srcDir)
 
-    val views = stream
-      .filter(col("event_type") === "view")
-      .select(
-        col("event_id").as("view_id"),
-        col("user_id").as("v_user"),
-        col("ts").as("view_ts")
-      )
-      .withWatermark("view_ts", "7 hours")
-    val purchases = stream
-      .filter(col("event_type") === "purchase")
-      .select(
-        col("event_id").as("purchase_id"),
-        col("user_id").as("p_user"),
-        col("ts").as("purchase_ts")
-      )
-      .withWatermark("purchase_ts", "1 hour")
-
-    val joined = views.join(
-      purchases,
-      expr(
-        """v_user = p_user
-          |AND view_ts >= purchase_ts - INTERVAL 6 HOURS
-          |AND view_ts <= purchase_ts""".stripMargin
-      )
+    val joined = graft.streaming.StreamJoins.viewPurchaseAttribution(
+      stream.filter(col("event_type") === "view"),
+      stream.filter(col("event_type") === "purchase")
     )
 
     val q = joined.writeStream

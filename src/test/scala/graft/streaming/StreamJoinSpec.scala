@@ -45,4 +45,75 @@ class StreamJoinSpec extends GraftSpecBase {
     val rows = spark.table("ssj").as[(Long, String, Double)].collect().toSet
     assert(rows === Set((1L, "home", 9.99)))
   }
+
+  test("interval join emission is micro-batch-boundary independent") {
+    // The oracle drains events_stream_join in effectively one AvailableNow
+    // batch; this test forces MANY micro-batches (one source file each via
+    // maxFilesPerTrigger=1) and asserts the emitted match set is identical
+    // to the batch join — i.e. inner-join emission does not depend on how
+    // the streams are chopped into batches, which is the property that
+    // makes the operator oracle-checkable at all.
+    val src  = WorkDirs.fresh(spark, "ssj-multi-src")
+    val out  = WorkDirs.fresh(spark, "ssj-multi-out")
+    val ckpt = WorkDirs.fresh(spark, "ssj-multi-ckpt")
+    val ev   = graft.Tables.events(spark, sf())
+
+    // Stage the source as four files in EVENT-TIME order with distinct
+    // mtimes, the arrival order a real stream delivers. (A random file
+    // split would hand the source wildly time-disordered batches; the
+    // watermark would then — correctly — drop late events, which tests
+    // the input contract, not the join.)
+    val bounds = ev.select(unix_millis(min("ts")), unix_millis(max("ts"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val sliceMs  = (hi - lo) / 4 + 1
+    (0 to 3).foreach { i =>
+      ev.filter(
+        unix_millis(col("ts")).between(lo + i * sliceMs, lo + (i + 1) * sliceMs - 1)
+      ).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(1100) // distinct mtimes pin the source's processing order
+    }
+
+    val schema = spark.read.parquet(src).schema
+    def stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+
+    val joined = StreamJoins.viewPurchaseAttribution(
+      stream.filter(col("event_type") === "view"),
+      stream.filter(col("event_type") === "purchase")
+    )
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(
+      q.recentProgress.count(_.numInputRows > 0) > 1,
+      "expected the drain to span multiple micro-batches"
+    )
+
+    val streamed = spark.read
+      .parquet(out)
+      .select("purchase_id", "view_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+    val staged = spark.read.parquet(src)
+    val batch = StreamJoins
+      .viewPurchaseAttribution(
+        staged.filter(col("event_type") === "view"),
+        staged.filter(col("event_type") === "purchase")
+      )
+      .select("purchase_id", "view_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }
