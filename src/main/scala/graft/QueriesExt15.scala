@@ -209,17 +209,130 @@ object QueriesExt15 {
       |  n_chars < p10 AS below_p10
       |FROM documents d JOIN th ON d.source = th.source""".stripMargin
 
+  // ---------------------------------- k-anonymity release audit (B54)
+
+  /** Release-safety audit before publishing a corpus: group documents by
+    * their quasi-identifier tuple — (lang, source, n_chars rounded to its
+    * hundreds bucket) — and flag every document whose group has fewer
+    * than k = 5 members. Small QI groups are the re-identification
+    * risk: a "unique-looking" combination points at one contributor.
+    * Output is the per-doc work-list (suppress, generalize, or hold).
+    *
+    * Scale shape: one map-side-combined hash-agg to group sizes, then a
+    * shuffle join back on the QI key — group count scales with the
+    * corpus, so the sizes table is NOT broadcast (B19's call, not
+    * B13's). Both sides shuffle once on the same key; bucketing the
+    * corpus by QI would eliminate even that.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val k  = 5
+    val qi = Seq(col("lang"), col("source"), (col("n_chars") - col("n_chars") % 100).as("len_bucket"))
+    val docs = documents(s, dir).select(col("doc_id") +: qi: _*)
+    val sizes = docs
+      .groupBy("lang", "source", "len_bucket")
+      .agg(count(lit(1)).as("group_size"))
+    docs
+      .join(sizes, Seq("lang", "source", "len_bucket"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        col("len_bucket"),
+        col("group_size"),
+        (col("group_size") < k).as("risky")
+      )
+  }
+
+  private val qKAnonymitySql =
+    """WITH docs AS (SELECT doc_id, lang, source, n_chars - n_chars % 100 AS len_bucket
+      |  FROM documents),
+      |sizes AS (SELECT lang, source, len_bucket, count(*) AS group_size
+      |  FROM docs GROUP BY 1, 2, 3)
+      |SELECT doc_id, d.lang AS lang, d.source AS source, d.len_bucket AS len_bucket,
+      |  group_size, group_size < 5 AS risky
+      |FROM docs d JOIN sizes USING (lang, source, len_bucket)""".stripMargin
+
+  // ------------------------- schema-evolution tolerant scan (B55)
+
+  /** Lakehouse schema-drift ingestion: a corpus directory whose older
+    * files predate two columns added later (`quality_score`, `license`).
+    * The old batch (even doc_ids) is written with the original 5-column
+    * schema, the new batch (odd doc_ids) with the evolved 7-column one,
+    * and the read applies the EXPLICIT unified schema — parquet
+    * null-fills columns a file lacks, which is the additive-evolution
+    * contract (the reader-side mirror of the Avro registry's BACKWARD
+    * compatibility gate in SchemaCompat). Parity proves old rows surface
+    * with NULLs and new rows round-trip their values.
+    *
+    * Scale shape: an explicit schema keeps the scan single-pass and
+    * footer-cheap — `mergeSchema=true` would reconcile schemas across
+    * every file footer per query, an O(files) planning step nobody
+    * should pay at 100 TB when the unified schema is known. Still one
+    * splittable columnar scan; the projection prunes `text` as usual.
+    */
+  private def corpusSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val stage = graft.streaming.WorkDirs.fresh(s, "schema-drift")
+    val docs  = documents(s, dir)
+    docs
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("append").parquet(stage)
+    docs
+      .filter(col("doc_id") % 2 === 1)
+      .withColumn("quality_score", round(col("n_chars") / lit(1000.0), 6))
+      .withColumn(
+        "license",
+        when(col("doc_id") % 3 === 0, lit("cc-by")).otherwise(lit("unknown"))
+      )
+      .write.mode("append").parquet(stage)
+
+    val unified = StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("quality_score", DoubleType),
+        StructField("license", StringType)
+      )
+    )
+    s.read
+      .schema(unified)
+      .parquet(stage)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        col("n_chars"),
+        col("quality_score"),
+        col("license"),
+        col("quality_score").isNotNull.as("evolved")
+      )
+  }
+
+  private val corpusSchemaDriftSql =
+    """SELECT doc_id, lang, source, n_chars,
+      |  CASE WHEN doc_id % 2 = 1 THEN round(n_chars::DOUBLE / 1000.0, 6) END AS quality_score,
+      |  CASE WHEN doc_id % 2 = 1 THEN
+      |    CASE WHEN doc_id % 3 = 0 THEN 'cc-by' ELSE 'unknown' END END AS license,
+      |  doc_id % 2 = 1 AS evolved
+      |FROM documents""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cluster_sample"     -> (simClusterSample _),
     "corpus_snapshot_diff"   -> (corpusSnapshotDiff _),
-    "q_quantile_calibration" -> (qQuantileCalibration _)
+    "q_quantile_calibration" -> (qQuantileCalibration _),
+    "q_k_anonymity"          -> (qKAnonymity _),
+    "corpus_schema_drift"    -> (corpusSchemaDrift _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "sim_cluster_sample"     -> simClusterSampleSql,
     "corpus_snapshot_diff"   -> corpusSnapshotDiffSql,
-    "q_quantile_calibration" -> qQuantileCalibrationSql
+    "q_quantile_calibration" -> qQuantileCalibrationSql,
+    "q_k_anonymity"          -> qKAnonymitySql,
+    "corpus_schema_drift"    -> corpusSchemaDriftSql
   )
 }

@@ -91,4 +91,30 @@ class SimilaritySpec extends GraftSpecBase {
       }
     }
   }
+
+  test("kmeans assignment is deterministic across runs and bounded by k") {
+    val emb = graft.Tables.embeddings(spark, sf())
+    def run() = Similarity
+      .kmeansAssign(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .select("vec_id", "cluster", "dist")
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    val a = run()
+    // repartitioning the input must not change seeds, centroids, or the
+    // final assignment — the md5 seed order and 6-dp-rounded centroids
+    // are partitioning-independent by construction
+    val b = Similarity
+      .kmeansAssign(emb.repartition(7), "vec_id", "embedding", k = 4, iters = 2)
+      .select("vec_id", "cluster", "dist")
+      .as[(Long, Long, Double)]
+      .collect()
+      .sortBy(_._1)
+      .toSeq
+    assert(a === b)
+    assert(a.map(_._1).distinct.length === a.length) // one row per vector
+    assert(a.forall { case (_, c, d) => c >= 0 && c < 4 && d >= 0.0 })
+    assert(a.map(_._2).distinct.length > 1, "degenerate single-cluster result")
+  }
 }
