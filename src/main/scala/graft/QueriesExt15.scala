@@ -318,6 +318,90 @@ object QueriesExt15 {
       |  doc_id % 2 = 1 AS evolved
       |FROM documents""".stripMargin
 
+  // ---------------------------- time-decayed engagement score (B56)
+
+  /** Recency-weighted user activity: each event contributes
+    * `0.5^(age_days / 7)` (7-day half-life, anchored at the corpus's max
+    * event time) and users are scored by the decayed sum — the feature
+    * an engagement model consumes instead of a raw count, which a
+    * year-old burst would dominate.
+    *
+    * Parity/scale shape: the decay factor is rounded to 6 dp and scaled
+    * to integer MICROS, so the per-user sum is an exact DECIMAL(38,0) of
+    * longs — partition-order independent (B22's lesson: a raw double sum
+    * associates differently per engine). The max-ts anchor is a 1-row
+    * aggregate broadcast by the intended nested-loop join (B27's
+    * pattern); one map-side-combined hash-agg per user ends the plan.
+    */
+  private def eventsDecayScore(s: SparkSession, dir: String): DataFrame = {
+    val ev  = events(s, dir)
+    val ref = ev.agg(max("ts").as("ref_ts"))
+    val ageDays =
+      (unix_millis(col("ref_ts")) - unix_millis(col("ts"))).cast("double") / lit(86400000.0)
+    val decayMicro =
+      round(round(pow(lit(0.5), ageDays / lit(7.0)), 6) * 1000000L, 0).cast("long")
+    ev.crossJoin(broadcast(ref))
+      .select(col("user_id"), decayMicro.as("dm"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("dm").cast("decimal(38,0)")).as("sm"))
+      .select(
+        col("user_id"),
+        col("n_events"),
+        round((col("sm") / lit(1000000L)).cast("double"), 6).as("decay_score")
+      )
+  }
+
+  private val eventsDecayScoreSql =
+    """WITH ref AS (SELECT max(ts) AS ref_ts FROM events),
+      |d AS (SELECT user_id,
+      |    CAST(round(round(power(0.5,
+      |      ((epoch_ms(ref_ts) - epoch_ms(ts)) / 86400000.0) / 7.0), 6) * 1000000, 0) AS BIGINT) AS dm
+      |  FROM events CROSS JOIN ref)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  round((CAST(sum(dm) AS DECIMAL(38,0)) / 1000000)::DOUBLE, 6) AS decay_score
+      |FROM d GROUP BY 1""".stripMargin
+
+  // ---------------- weighted sampling without replacement (B57)
+
+  /** Efraimidis–Spirakis A-ES weighted sampling: each doc draws a
+    * deterministic uniform u from its md5 (48-bit slice → exact in a
+    * double) and races with exponential key `-ln(u) / w`, weight
+    * w = n_chars; the k smallest keys win. Inclusion probability is
+    * proportional to weight — the standard one-pass distributed
+    * weighted-sample-without-replacement, with the PRNG replaced by the
+    * hash so both engines replay the identical draw.
+    *
+    * Scale shape: the key is computed scan-fused; the global top-k is
+    * the bounded-heap TopKBy GLOBAL aggregate — k rows per partition
+    * cross to a single reducer, never the corpus (B38's shape). Keys are
+    * rounded to 9 dp (values ≳1e-5 keep ≥4 significant digits; ties
+    * break on doc_id identically in both engines).
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val k    = 100
+    val h48  = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+    val u    = (h48 + 1).cast("double") / lit(281474976710656.0) // 2^48
+    val key  = round(-log(u) / col("n_chars").cast("double"), 9)
+    documents(s, dir)
+      .select(col("doc_id"), key.as("key"))
+      .agg(graft.functions.TopKBy.topKByLong(-col("key"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")))
+      .select(
+        (col("pos") + 1).cast("long").as("samp_rank"),
+        col("col.id").as("doc_id"),
+        (-col("col.score")).as("key")
+      )
+  }
+
+  private val qWeightedSampleSql =
+    """WITH keyed AS (SELECT doc_id,
+      |    round(-ln((CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT) + 1)::DOUBLE
+      |      / 281474976710656.0) / n_chars::DOUBLE, 9) AS key
+      |  FROM documents)
+      |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS samp_rank,
+      |  doc_id, key
+      |FROM keyed ORDER BY key, doc_id LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -325,7 +409,9 @@ object QueriesExt15 {
     "corpus_snapshot_diff"   -> (corpusSnapshotDiff _),
     "q_quantile_calibration" -> (qQuantileCalibration _),
     "q_k_anonymity"          -> (qKAnonymity _),
-    "corpus_schema_drift"    -> (corpusSchemaDrift _)
+    "corpus_schema_drift"    -> (corpusSchemaDrift _),
+    "events_decay_score"     -> (eventsDecayScore _),
+    "q_weighted_sample"      -> (qWeightedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -333,6 +419,8 @@ object QueriesExt15 {
     "corpus_snapshot_diff"   -> corpusSnapshotDiffSql,
     "q_quantile_calibration" -> qQuantileCalibrationSql,
     "q_k_anonymity"          -> qKAnonymitySql,
-    "corpus_schema_drift"    -> corpusSchemaDriftSql
+    "corpus_schema_drift"    -> corpusSchemaDriftSql,
+    "events_decay_score"     -> eventsDecayScoreSql,
+    "q_weighted_sample"      -> qWeightedSampleSql
   )
 }

@@ -22,11 +22,13 @@ object PlanAudit {
     *  - q_mixture_weights / q_skew_profile / q_dq_checks: the same 1-row
     *    totals-aggregate broadcast, crossed back over per-group rows
     *    (mixture shares, heavy-hitter shares, orphan-rule n_checked).
+    *  - events_decay_score: the max-ts decay anchor is a 1-row aggregate
+    *    broadcast-crossed over the event scan (scalar-subquery pattern).
     */
   private val intendedNestedLoop =
     Set(
       "q22_idle_customers", "sim_topk_cosine", "text_tfidf_top", "q15_top_supplier",
-      "q_mixture_weights", "q_skew_profile", "q_dq_checks"
+      "q_mixture_weights", "q_skew_profile", "q_dq_checks", "events_decay_score"
     )
 
   def main(args: Array[String]): Unit = {
