@@ -363,13 +363,17 @@ object QueriesExt13 {
       .latestWins[Long, (Long, String, Long, Long)](gated, _._4, r => -r._1)
       .toDF("doc_id", "source", "n_chars", "fp")
 
-    val q = deduped.writeStream
-      .format("parquet")
-      .option("path", okDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // fingerprint-keyed state is tiny at fixture scale: 8 stores, not the
+    // batch shuffle default (see StreamConf — deployment-sizing knob)
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", okDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     s.read.parquet(okDir).select("doc_id", "source", "n_chars", "fp")
   }

@@ -50,13 +50,19 @@ object QueriesExt14 {
       stream.filter(col("event_type") === "purchase")
     )
 
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Join state at this fixture scale is a few MB; 8 stores beat the
+    // batch shuffle default (32+) whose per-batch open/commit overhead
+    // dominates. At deployment scale this knob is sized to state volume
+    // per executor — see StreamConf.
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     s.read
       .parquet(outDir)
