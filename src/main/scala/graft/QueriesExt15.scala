@@ -13,6 +13,8 @@ import graft.Tables._
   */
 object QueriesExt15 {
 
+  private val normSqlD = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+
   // ------------------------------ cluster-balanced sampling (B51)
 
   /** Diversity-preserving subset selection: run the deterministic k-means
@@ -402,6 +404,52 @@ object QueriesExt15 {
       |  doc_id, key
       |FROM keyed ORDER BY key, doc_id LIMIT 100""".stripMargin
 
+  // ------------------------- prefix autocomplete index (B58)
+
+  /** Search-index build: the top-5 corpus words per prefix (prefix
+    * lengths 1–4), ranked (count desc, word asc) — the precomputed
+    * completion table a search box serves from, built corpus-wide.
+    *
+    * Scale shape: token explode → word hash-agg collapses the corpus to
+    * its VOCABULARY first; prefixes explode at ≤4 rows per distinct
+    * word (vocab-level, never token-level — B26's trick); the per-prefix
+    * rank window partitions over vocab-bounded groups, so no partition
+    * scales with corpus size. Corpus growth only changes the counts.
+    */
+  private def textAutocompleteTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val k = 5
+    val words = documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window
+      .partitionBy("prefix")
+      .orderBy(col("cnt").desc, col("term").asc)
+    words
+      .select(
+        col("term"),
+        col("cnt"),
+        explode(expr("transform(sequence(1, least(length(term), 4)), i -> substr(term, 1, i))"))
+          .as("prefix")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank").cast("long").as("rank"), col("term"), col("cnt"))
+  }
+
+  private val textAutocompleteTopkSql =
+    s"""WITH tok AS (SELECT unnest(string_split($normSqlD, ' ')) AS term FROM documents),
+       |words AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+       |pfx AS (SELECT term, cnt,
+       |    unnest([substr(term, 1, i) for i in range(1, least(length(term), 4) + 1)]) AS prefix
+       |  FROM words),
+       |ranked AS (SELECT prefix, term, cnt,
+       |    row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, term ASC) AS rank
+       |  FROM pfx)
+       |SELECT prefix, CAST(rank AS BIGINT) AS rank, term, cnt
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -411,7 +459,8 @@ object QueriesExt15 {
     "q_k_anonymity"          -> (qKAnonymity _),
     "corpus_schema_drift"    -> (corpusSchemaDrift _),
     "events_decay_score"     -> (eventsDecayScore _),
-    "q_weighted_sample"      -> (qWeightedSample _)
+    "q_weighted_sample"      -> (qWeightedSample _),
+    "text_autocomplete_topk" -> (textAutocompleteTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -421,6 +470,7 @@ object QueriesExt15 {
     "q_k_anonymity"          -> qKAnonymitySql,
     "corpus_schema_drift"    -> corpusSchemaDriftSql,
     "events_decay_score"     -> eventsDecayScoreSql,
-    "q_weighted_sample"      -> qWeightedSampleSql
+    "q_weighted_sample"      -> qWeightedSampleSql,
+    "text_autocomplete_topk" -> textAutocompleteTopkSql
   )
 }
