@@ -105,7 +105,7 @@ object QueriesExt15 {
     val v2base = documents(s, dir).filter(col("doc_id") % 13 =!= 0)
     val v2 = v2base
       .select(
-        when(col("doc_id") % 11 === 0, col("doc_id") + 1000000L)
+        when(col("doc_id") % 11 === 0, col("doc_id") + 1000000000000L)
           .otherwise(col("doc_id"))
           .as("doc_id"),
         TextAnalysis
@@ -133,7 +133,7 @@ object QueriesExt15 {
     val fpOf = (e: String) =>
       s"CAST('0x' || substr(md5(regexp_replace(lower(trim($e)),'\\s+',' ','g')),1,15) AS BIGINT)"
     s"""WITH v1 AS (SELECT doc_id, ${fpOf("text")} AS old_fp FROM documents),
-       |v2 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+       |v2 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000000000 ELSE doc_id END AS doc_id,
        |    ${fpOf("CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawled v2]' ELSE text END")} AS new_fp
        |  FROM documents WHERE doc_id % 13 <> 0)
        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, old_fp, new_fp,
@@ -383,7 +383,7 @@ object QueriesExt15 {
     val k    = 100
     val h48  = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
     val u    = (h48 + 1).cast("double") / lit(281474976710656.0) // 2^48
-    val key  = round(-log(u) / col("n_chars").cast("double"), 9)
+    val key  = round(-log(u) / greatest(col("n_chars"), lit(1L)).cast("double"), 9)
     documents(s, dir)
       .select(col("doc_id"), key.as("key"))
       .agg(graft.functions.TopKBy.topKByLong(-col("key"), col("doc_id"), k).as("top"))
@@ -398,7 +398,7 @@ object QueriesExt15 {
   private val qWeightedSampleSql =
     """WITH keyed AS (SELECT doc_id,
       |    round(-ln((CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 12) AS BIGINT) + 1)::DOUBLE
-      |      / 281474976710656.0) / n_chars::DOUBLE, 9) AS key
+      |      / 281474976710656.0) / greatest(n_chars, 1)::DOUBLE, 9) AS key
       |  FROM documents)
       |SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS samp_rank,
       |  doc_id, key
@@ -421,6 +421,7 @@ object QueriesExt15 {
     val k = 5
     val words = documents(s, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0) // empty term: Spark sequence(1,0) DESCENDS where DuckDB range is empty
       .groupBy("term")
       .agg(count(lit(1)).as("cnt"))
     val w = Window
@@ -440,7 +441,8 @@ object QueriesExt15 {
 
   private val textAutocompleteTopkSql =
     s"""WITH tok AS (SELECT unnest(string_split($normSqlD, ' ')) AS term FROM documents),
-       |words AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+       |words0 AS (SELECT term FROM tok WHERE length(term) > 0),
+       |words AS (SELECT term, count(*) AS cnt FROM words0 GROUP BY 1),
        |pfx AS (SELECT term, cnt,
        |    unnest([substr(term, 1, i) for i in range(1, least(length(term), 4) + 1)]) AS prefix
        |  FROM words),
