@@ -84,6 +84,54 @@ object QueriesExt14 {
       |FROM p JOIN v ON p.user_id = v.user_id
       |  AND v.vts >= p.pts - INTERVAL 6 HOUR AND v.vts <= p.pts""".stripMargin
 
+  // ------------------------ direct stream-static enrichment (A5)
+
+  /** A5's third form: the dimension joined DIRECTLY inside the streaming
+    * plan (`stream.join(broadcast(static))`) rather than per-batch in
+    * foreachBatch (cdc_pipeline_e2e) or via the pooled-HTTP client. This
+    * is the Kafka-Streams KStream⋈GlobalKTable shape: Spark re-plans the
+    * broadcast each micro-batch, so a dimension refresh is picked up on
+    * batch boundaries — the GlobalKTable refresh contract — while the
+    * stream side stays a stateless map-side hash probe (no state store,
+    * no watermark needed for an inner stream-static join).
+    *
+    * Same envelope extraction and miss-band key mapping as
+    * cdc_enrich_join, so the oracle restates it as the batch join.
+    */
+  private def cdcEnrichStream(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = graft.streaming.WorkDirs.fresh(s, "enrich-src")
+    val outDir = graft.streaming.WorkDirs.fresh(s, "enrich-out")
+    val ckpt   = graft.streaming.WorkDirs.fresh(s, "enrich-ckpt")
+    graft.cdc.Envelope
+      .synthesizeFromEvents(events(s, dir))
+      .write.mode("overwrite").parquet(srcDir)
+
+    val schema = s.read.parquet(srcDir).schema
+    val recs = graft.cdc.Envelope
+      .extractAfter(s.readStream.schema(schema).parquet(srcDir))
+      .withColumn("lookup_key", col("user_id") * 13)
+    val enriched = graft.enrich.Enrichment
+      .enrich(recs, customer(s, dir), "lookup_key", "c_custkey")
+    val (ok, _) = graft.enrich.Enrichment.branch(enriched)
+
+    val q = ok
+      .select(col("id"), col("user_id"), col("event_type"), col("c_name"), col("c_mktsegment"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(outDir).select("id", "user_id", "event_type", "c_name", "c_mktsegment")
+  }
+
+  private val cdcEnrichStreamSql =
+    """SELECT event_id AS id, user_id, event_type, c_name, c_mktsegment
+      |FROM events JOIN customer ON user_id * 13 = c_custkey
+      |WHERE event_id % 97 != 0 AND event_id % 89 != 0 AND event_id % 83 != 0""".stripMargin
+
   // ------------------------------ markup main-content extraction (B48)
 
   /** WET-style main-content extraction: strip markup down to the text a
@@ -282,6 +330,7 @@ object QueriesExt14 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_join"   -> (eventsStreamJoin _),
+    "cdc_enrich_stream"    -> (cdcEnrichStream _),
     "text_html_extract"    -> (textHtmlExtract _),
     "text_hash_classifier" -> (textHashClassifier _),
     "sim_kmeans_assign"    -> (simKmeansAssign _)
@@ -289,6 +338,7 @@ object QueriesExt14 {
 
   def oracleSql: Map[String, String] = Map(
     "events_stream_join"   -> eventsStreamJoinSql,
+    "cdc_enrich_stream"    -> cdcEnrichStreamSql,
     "text_html_extract"    -> textHtmlExtractSql,
     "text_hash_classifier" -> textHashClassifierSql,
     "sim_kmeans_assign"    -> simKmeansAssignSql
