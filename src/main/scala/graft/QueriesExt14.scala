@@ -132,6 +132,99 @@ object QueriesExt14 {
       |FROM events JOIN customer ON user_id * 13 = c_custkey
       |WHERE event_id % 97 != 0 AND event_id % 89 != 0 AND event_id % 83 != 0""".stripMargin
 
+  // ---------------- streaming CDC snapshot maintenance (B10 twin)
+
+  /** The streaming twin of `cdc_apply_merge`: a change-log STREAM
+    * continuously maintains the merged warehouse snapshot. Each
+    * micro-batch compacts itself (latest-wins per key), then MERGEs into
+    * the current snapshot version and writes the next immutable version
+    * directory — the mechanics a table format (Delta/Iceberg) wraps as
+    * streaming `MERGE INTO`, spelled out on plain parquet.
+    *
+    * Associativity contract: snapshot rows carry the (ms, event_id)
+    * high-water mark of the last APPLIED change, and deletes are kept as
+    * TOMBSTONES (retaining the base row's columns so a later out-of-order
+    * resurrecting update restores them). A change applies only if it
+    * beats the row's mark, so the final snapshot is identical however the
+    * stream is chopped into batches — the same property proved for the
+    * interval join (StreamJoinSpec), here by CdcApplyStreamSpec. The
+    * read-side filter drops tombstones.
+    *
+    * Scale shape: per batch, one window over the (small) batch and one
+    * key-shuffle full-outer join against the snapshot; at warehouse scale
+    * both snapshot versions and the change batch would be bucketed by key
+    * (B15) making the merge Exchange-free, and a table format would
+    * rewrite only touched files instead of the full snapshot.
+    */
+  private def cdcApplyStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcDir  = graft.streaming.WorkDirs.fresh(s, "apply-src")
+    val snapDir = graft.streaming.WorkDirs.fresh(s, "apply-snap")
+    val ckpt    = graft.streaming.WorkDirs.fresh(s, "apply-ckpt")
+
+    events(s, dir)
+      .select(
+        (col("user_id") * 12).as("key"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"),
+        col("value").as("new_bal"),
+        unix_millis(col("ts")).as("ms"),
+        col("event_id")
+      )
+      .write.mode("overwrite").parquet(srcDir)
+
+    // v0: the base snapshot, high-water -1 (any change beats it)
+    customer(s, dir)
+      .select(
+        col("c_custkey").as("custkey"),
+        col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"),
+        col("c_mktsegment").as("mktsegment"),
+        lit(false).as("deleted"),
+        lit(-1L).as("last_ms"),
+        lit(-1L).as("last_eid")
+      )
+      .write.mode("overwrite").parquet(s"$snapDir/v0")
+
+    @volatile var current = s"$snapDir/v0"
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.streaming.SnapshotMerge
+        val merged =
+          SnapshotMerge.merge(s.read.parquet(current), SnapshotMerge.compact(batch))
+        val next = s"$snapDir/v${batchId + 1}"
+        merged.write.mode("overwrite").parquet(next)
+        current = next
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    graft.streaming.SnapshotMerge.serve(s.read.parquet(current))
+  }
+
+  private val cdcApplyStreamSql =
+    """WITH chg AS (SELECT user_id * 12 AS key,
+      |    CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+      |    value AS new_bal, epoch_ms(ts) AS ms, event_id
+      |  FROM events),
+      |latest AS (
+      |  SELECT key, op, new_bal FROM (
+      |    SELECT key, op, new_bal,
+      |      row_number() OVER (PARTITION BY key ORDER BY ms DESC, event_id DESC) AS rn
+      |    FROM chg) WHERE rn = 1)
+      |SELECT coalesce(c_custkey, key) AS custkey,
+      |  coalesce(c_name, 'NEW-' || key) AS name,
+      |  CASE WHEN op = 'u' THEN new_bal ELSE c_acctbal END AS acctbal,
+      |  coalesce(c_mktsegment, 'UNKNOWN') AS mktsegment
+      |FROM customer FULL JOIN latest ON c_custkey = key
+      |WHERE op IS NULL OR op = 'u'""".stripMargin
+
   // ------------------------------ markup main-content extraction (B48)
 
   /** WET-style main-content extraction: strip markup down to the text a
@@ -331,6 +424,7 @@ object QueriesExt14 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_stream_join"   -> (eventsStreamJoin _),
     "cdc_enrich_stream"    -> (cdcEnrichStream _),
+    "cdc_apply_stream"     -> (cdcApplyStream _),
     "text_html_extract"    -> (textHtmlExtract _),
     "text_hash_classifier" -> (textHashClassifier _),
     "sim_kmeans_assign"    -> (simKmeansAssign _)
@@ -339,6 +433,7 @@ object QueriesExt14 {
   def oracleSql: Map[String, String] = Map(
     "events_stream_join"   -> eventsStreamJoinSql,
     "cdc_enrich_stream"    -> cdcEnrichStreamSql,
+    "cdc_apply_stream"     -> cdcApplyStreamSql,
     "text_html_extract"    -> textHtmlExtractSql,
     "text_hash_classifier" -> textHashClassifierSql,
     "sim_kmeans_assign"    -> simKmeansAssignSql
