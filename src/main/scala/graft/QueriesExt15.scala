@@ -452,6 +452,61 @@ object QueriesExt15 {
        |SELECT prefix, CAST(rank AS BIGINT) AS rank, term, cnt
        |FROM ranked WHERE rank <= 5""".stripMargin
 
+  // ------------------- degenerate-repetition detection (B59)
+
+  /** Anti-looping quality filter: per document, the longest run of
+    * CONSECUTIVE identical tokens, the number of runs ≥ 3, and a
+    * `looping` flag at max-run ≥ 5 — the degenerate-generation signal
+    * (model loops, scraper stutter, boilerplate padding) that Gopher-style
+    * duplicate-FRACTION metrics (B17) miss because they ignore adjacency.
+    *
+    * Scale shape: positional token explode (linear) → gaps-and-islands
+    * with windows partitioned by (doc, term) and (doc) — every partition
+    * is bounded by document length, never by the corpus (B41's shape) —
+    * then two hash-aggs down to one row per doc.
+    */
+  private def textMaxWordRun(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = documents(s, dir)
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
+    val grp = col("pos") - row_number().over(
+      Window.partitionBy(col("doc_id"), col("term")).orderBy(col("pos"))
+    )
+    toks
+      .withColumn("grp", grp)
+      .groupBy("doc_id", "term", "grp")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max("run_len").as("max_run"),
+        sum(when(col("run_len") >= 3, 1L).otherwise(0L)).as("n_loops")
+      )
+      .select(
+        col("doc_id"),
+        col("n_runs"),
+        col("max_run"),
+        col("n_loops"),
+        (col("max_run") >= 5).as("looping")
+      )
+  }
+
+  private val textMaxWordRunSql =
+    s"""WITH toks AS (SELECT doc_id,
+       |    unnest(string_split($normSqlD, ' ')) AS term,
+       |    generate_subscripts(string_split($normSqlD, ' '), 1) - 1 AS pos
+       |  FROM documents),
+       |runs AS (SELECT doc_id, term,
+       |    pos - row_number() OVER (PARTITION BY doc_id, term ORDER BY pos) AS grp
+       |  FROM toks),
+       |rl AS (SELECT doc_id, term, grp, count(*) AS run_len
+       |  FROM runs GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+       |  CAST(max(run_len) AS BIGINT) AS max_run,
+       |  CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_loops,
+       |  max(run_len) >= 5 AS looping
+       |FROM rl GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -462,7 +517,8 @@ object QueriesExt15 {
     "corpus_schema_drift"    -> (corpusSchemaDrift _),
     "events_decay_score"     -> (eventsDecayScore _),
     "q_weighted_sample"      -> (qWeightedSample _),
-    "text_autocomplete_topk" -> (textAutocompleteTopk _)
+    "text_autocomplete_topk" -> (textAutocompleteTopk _),
+    "text_max_word_run"      -> (textMaxWordRun _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -473,6 +529,7 @@ object QueriesExt15 {
     "corpus_schema_drift"    -> corpusSchemaDriftSql,
     "events_decay_score"     -> eventsDecayScoreSql,
     "q_weighted_sample"      -> qWeightedSampleSql,
-    "text_autocomplete_topk" -> textAutocompleteTopkSql
+    "text_autocomplete_topk" -> textAutocompleteTopkSql,
+    "text_max_word_run"      -> textMaxWordRunSql
   )
 }
