@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Round-7 additions, batch 4: PMI collocation mining (B60), the event
+  * transition matrix (B61), and URL blocklist filtering via the
+  * suffix-set equi-join (B62) — phrase statistics, behavioral modeling,
+  * and the deny-list admission step of a crawl pipeline.
+  */
+object QueriesExt16 {
+
+  // ------------------------------------ PMI collocation mining (B60)
+
+  /** Top-20 word bigrams by pointwise mutual information — the
+    * collocation detector ("new york"-style fixed phrases) a tokenizer /
+    * phrase-vocabulary builder runs over a corpus. PMI compares the
+    * bigram's observed rate against independence:
+    * `c_xy * N_tok^2 / (c_x * c_y * N_big)`. The log is monotonic, so
+    * ranking uses the raw ratio in parts-per-million — `floor()` of a
+    * double whose expression tree is replayed exactly by the oracle
+    * (same multiplication order, every integer exact in a double at
+    * this scale), sidestepping cross-engine `ln`/rounding divergence.
+    * Bigrams below 5 occurrences are noise-filtered, standard practice.
+    *
+    * Scale shape: token/bigram explodes are linear in corpus size and
+    * collapse immediately into map-side-combined hash-aggs at VOCAB
+    * level; the two count lookups are shuffle equi-joins keyed on a
+    * word (vocab-sized operands, never the corpus); the 1-row totals
+    * cross-join broadcasts (B27 pattern); final order is a TakeOrdered
+    * top-20, k rows per partition — no global sort, no window.
+    */
+  private def textPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val docs = documents(s, dir).select(toks.as("t"))
+
+    val tot = docs
+      .agg(
+        sum(size(col("t"))).cast("long").as("n_tok"),
+        sum(greatest(size(col("t")) - 1, lit(0))).cast("long").as("n_big")
+      )
+
+    val uni = docs
+      .select(explode(col("t")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+
+    val big = docs
+      .select(
+        explode(
+          expr("transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS w1, t[i + 1] AS w2))")
+        ).as("p")
+      )
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= 5)
+
+    big
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(tot)
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c_xy"),
+        floor(
+          col("c_xy").cast("double") * lit(1000000.0) * col("n_tok") * col("n_tok") /
+            (col("c_x").cast("double") * col("c_y") * col("n_big"))
+        ).cast("long").as("pmi_ppm")
+      )
+      .orderBy(desc("pmi_ppm"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val textPmiCollocationsSql =
+    """WITH t AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tok,
+      |               CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_big FROM t),
+      |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |big AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c_xy FROM (
+      |    SELECT unnest([{'w1': toks[i], 'w2': toks[i + 1]} for i in range(1, len(toks))]) AS u
+      |    FROM t)
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT w1, w2, c_xy,
+      |  CAST(floor(c_xy * 1000000.0 * n_tok * n_tok /
+      |             (a.c * 1.0 * b.c * n_big)) AS BIGINT) AS pmi_ppm
+      |FROM big JOIN uni a ON big.w1 = a.w JOIN uni b ON big.w2 = b.w CROSS JOIN tot
+      |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20""".stripMargin
+
+  // ------------------------------------ event transition matrix (B61)
+
+  /** First-order Markov transition matrix over user event streams: for
+    * every (previous event type → current event type) pair, the
+    * transition count and probability — the behavioral model behind
+    * next-action prediction and anomalous-session scoring. Probability
+    * is parts-per-million via integer floor division (`1e6·n / total`),
+    * exact and engine-independent.
+    *
+    * Scale shape: the lag window partitions by user and is bounded by a
+    * single user's event count (the same per-entity bound as
+    * sessionization); transitions then collapse into a map-side-combined
+    * hash-agg whose result is EVENT-TYPE² sized — the per-prev totals
+    * window runs over that tiny matrix, never the event log.
+    */
+  private def eventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val m = events(s, dir)
+      .select(
+        col("event_type").as("curr_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type")
+      )
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "curr_type")
+      .agg(count(lit(1)).as("n_trans"))
+    m.select(
+      col("prev_type"),
+      col("curr_type"),
+      col("n_trans"),
+      expr("CAST(n_trans * 1000000 div sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT)")
+        .as("p_ppm")
+    )
+  }
+
+  private val eventsTransitionsSql =
+    """WITH seq AS (SELECT event_type AS curr_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |m AS (SELECT prev_type, curr_type, count(*) AS n_trans
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, curr_type, n_trans,
+      |  CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+      |FROM m""".stripMargin
+
+  // ------------------------------------ URL blocklist filtering (B62)
+
+  /** Domain deny-list admission: each staged URL's host is checked
+    * against a blocklist with DOMAIN-SUFFIX semantics (an entry blocks
+    * itself and every subdomain), the most specific (lowest-priority)
+    * matching rule wins, and every document gets an allow/deny decision
+    * with the rule that fired — the UT1-style crawl-filtering step that
+    * precedes quality scoring. Hosts are staged deterministically from
+    * doc fields in three shapes (bare, `cdn.` subdomain, `.org` TLD) so
+    * exact, subdomain, and miss paths all exercise.
+    *
+    * Scale shape: suffix matching is NOT a nested-loop `endswith` scan
+    * against the rule table — each host explodes into its ≤ #labels
+    * dot-suffixes, which EQUI-join the blocklist (broadcast here; at a
+    * UT1-scale million-entry list, still a plain shuffle equi-join —
+    * the explode is what keeps it an equi-join at all). One
+    * map-side-combined min-prio agg restores one row per document, and
+    * the winning rule resolves through a second broadcast of the tiny
+    * rule table.
+    */
+  private def textUrlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = Seq(
+      ("cdn.src7.example.com", 1L),
+      ("src3.example.com", 2L),
+      ("example.org", 3L)
+    ).toDF("rule", "prio")
+
+    val host = expr(
+      """CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN concat('cdn.', source, '.example.com')
+        |  WHEN 1 THEN concat(source, '.example.com')
+        |  ELSE concat(source, '.example.org') END""".stripMargin
+    )
+    val staged = documents(s, dir).select(
+      col("doc_id"),
+      concat(lit("https://"), host, lit("/p/"), col("doc_id").cast("string")).as("url"),
+      host.as("host")
+    )
+
+    val sufs = staged
+      .select(col("doc_id"), col("url"), split(col("host"), "\\.").as("labs"))
+      .select(
+        col("doc_id"),
+        col("url"),
+        explode(
+          expr("transform(sequence(0, size(labs) - 1), i -> array_join(slice(labs, i + 1, size(labs)), '.'))")
+        ).as("suf")
+      )
+
+    sufs
+      .join(broadcast(rules), col("suf") === col("rule"), "left")
+      .groupBy("doc_id", "url")
+      .agg(min(col("prio")).as("prio"))
+      .join(broadcast(rules.select(col("prio"), col("rule").as("matched_rule"))), Seq("prio"), "left")
+      .select(
+        col("doc_id"),
+        col("url"),
+        col("matched_rule"),
+        when(col("prio").isNull, lit("allow")).otherwise(lit("deny")).as("decision")
+      )
+  }
+
+  private val textUrlBlocklistSql =
+    """WITH rules(rule, prio) AS (VALUES
+      |    ('cdn.src7.example.com', 1), ('src3.example.com', 2), ('example.org', 3)),
+      |staged AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'cdn.' || source || '.example.com'
+      |      WHEN 1 THEN source || '.example.com'
+      |      ELSE source || '.example.org' END AS host
+      |  FROM documents),
+      |s2 AS (SELECT doc_id, 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+      |    string_split(host, '.') AS labs FROM staged),
+      |sufs AS (SELECT doc_id, url,
+      |    unnest([array_to_string(labs[i:], '.') for i in range(1, len(labs) + 1)]) AS suf
+      |  FROM s2),
+      |m AS (SELECT doc_id, url, min(prio) AS prio
+      |  FROM sufs LEFT JOIN rules ON suf = rule GROUP BY 1, 2)
+      |SELECT m.doc_id, m.url, r.rule AS matched_rule,
+      |  CASE WHEN m.prio IS NULL THEN 'allow' ELSE 'deny' END AS decision
+      |FROM m LEFT JOIN rules r ON m.prio = r.prio""".stripMargin
+
+  // ------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_collocations" -> (textPmiCollocations _),
+    "events_transitions"    -> (eventsTransitions _),
+    "text_url_blocklist"    -> (textUrlBlocklist _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_pmi_collocations" -> textPmiCollocationsSql,
+    "events_transitions"    -> eventsTransitionsSql,
+    "text_url_blocklist"    -> textUrlBlocklistSql
+  )
+}
