@@ -221,17 +221,154 @@ object QueriesExt16 {
       |  CASE WHEN m.prio IS NULL THEN 'allow' ELSE 'deny' END AS decision
       |FROM m LEFT JOIN rules r ON m.prio = r.prio""".stripMargin
 
+  // ------------------------------------ value winsorization (B63)
+
+  /** Robust-stats preprocessing: clamp each event's value at its event
+    * type's exact p01/p99 and flag which side was clamped — the
+    * winsorization step that stops a handful of extreme values dominating
+    * a downstream mean/regression. Thresholds use the same pure-integer
+    * inverted-CDF rule as the quantile calibration (B53): smallest value
+    * whose `cum·100 ≥ total` (p01) / `cum·100 ≥ total·99` (p99), so both
+    * engines pick the identical threshold with no interpolation.
+    *
+    * Scale shape: the histogram trick again — event values are 2-dp
+    * currency-like, so the (event_type, value) hash-agg has a BOUNDED
+    * domain regardless of event count; the cumulative window runs over
+    * that small histogram, and the resulting 2-row-per-type threshold
+    * table broadcasts back onto the linear scan. The event log itself
+    * never sorts and never shuffles.
+    */
+  private def eventsWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("event_type")))
+    val th = cum
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") * 100 >= col("total"), col("value"))).as("p01"),
+        min(when(col("cum") * 100 >= col("total") * 99, col("value"))).as("p99")
+      )
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .join(broadcast(th), Seq("event_type"))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        least(greatest(col("value"), col("p01")), col("p99")).as("value_w"),
+        when(col("value") < col("p01"), lit("lo"))
+          .when(col("value") > col("p99"), lit("hi"))
+          .otherwise(lit("no")).as("clamped")
+      )
+  }
+
+  private val eventsWinsorizeSql =
+    """WITH hist AS (SELECT event_type, value, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (SELECT event_type, value,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS total
+      |  FROM hist),
+      |th AS (SELECT event_type,
+      |    min(CASE WHEN cum * 100 >= total THEN value END) AS p01,
+      |    min(CASE WHEN cum * 100 >= total * 99 THEN value END) AS p99
+      |  FROM cum GROUP BY 1)
+      |SELECT event_id, e.event_type AS event_type, value,
+      |  least(greatest(value, p01), p99) AS value_w,
+      |  CASE WHEN value < p01 THEN 'lo' WHEN value > p99 THEN 'hi' ELSE 'no' END AS clamped
+      |FROM events e JOIN th ON e.event_type = th.event_type""".stripMargin
+
+  // ------------------------------------ host-graph PageRank (B64)
+
+  /** PageRank over a host-level link graph (damping 0.85, 5 power
+    * iterations) — the domain-authority prior crawl schedulers and
+    * quality priors consume. The graph is staged deterministically from
+    * the corpus (each document contributes one weighted source-host →
+    * target-host edge); ranks are parts-per-million INTEGERS and every
+    * per-edge contribution uses floor division, so both engines replay
+    * the exact same fixed-point trajectory — no cross-engine float drift
+    * over iterations.
+    *
+    * Scale shape: each iteration is one equi-join of the rank table with
+    * the weighted edge list on `src` followed by a map-side-combined
+    * hash-agg on `dst` — the Pregel message round as two relational ops.
+    * At web scale both tables co-partition (bucket) on the join key so
+    * the per-iteration Exchange disappears; the 1-row node count rides a
+    * broadcast. Nothing here is ever quadratic in nodes, and no rank
+    * state lives on the driver.
+    */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val edgesRaw = docs.select(
+      col("source").as("src"),
+      concat(lit("src"), ((col("doc_id") * 7 + 3) % 20).cast("string")).as("dst")
+    )
+    val edges = edgesRaw
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+    val e = edges.join(edges.groupBy("src").agg(sum("w").as("outw")), "src")
+
+    val nodes = docs.select(col("source").as("node")).distinct()
+    val ncnt  = nodes.agg(count(lit(1)).as("n"))
+
+    val r0 = nodes.crossJoin(ncnt).select(col("node"), col("n"), expr("1000000 div n").as("rank"))
+    val rFinal = (1 to 5).foldLeft(r0) { (r, _) =>
+      val contrib = e
+        .join(r.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst"), expr("(rank * w) div outw").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+      nodes
+        .crossJoin(ncnt)
+        .join(contrib.select(col("dst").as("node"), col("s")), Seq("node"), "left")
+        .select(
+          col("node"),
+          col("n"),
+          expr("CAST((150000 div n) + (850000 * coalesce(s, 0L)) div 1000000 AS BIGINT)").as("rank")
+        )
+    }
+    rFinal.select(col("node"), col("rank").as("rank_ppm"))
+  }
+
+  private val graphPagerankSql = {
+    def iter(k: Int) =
+      s"""r$k AS (SELECT n.node, CAST((150000 // nn.n) + (850000 * coalesce(c.s, 0)) // 1000000 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN ncnt nn LEFT JOIN (
+         |    SELECT e.dst, sum((r.rank * e.w) // e.outw) AS s
+         |    FROM e JOIN r${k - 1} r ON e.src = r.node GROUP BY e.dst) c
+         |  ON n.node = c.dst)""".stripMargin
+    s"""WITH er AS (SELECT source AS src, 'src' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+       |  FROM documents),
+       |edges AS (SELECT src, dst, count(*) AS w FROM er WHERE src != dst GROUP BY 1, 2),
+       |e AS (SELECT edges.src, dst, w, o.outw FROM edges
+       |  JOIN (SELECT src, sum(w) AS outw FROM edges GROUP BY 1) o ON edges.src = o.src),
+       |nodes AS (SELECT DISTINCT source AS node FROM documents),
+       |ncnt AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000 // n AS rank FROM nodes CROSS JOIN ncnt),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, rank AS rank_ppm FROM r5""".stripMargin
+  }
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi_collocations" -> (textPmiCollocations _),
     "events_transitions"    -> (eventsTransitions _),
-    "text_url_blocklist"    -> (textUrlBlocklist _)
+    "text_url_blocklist"    -> (textUrlBlocklist _),
+    "events_winsorize"      -> (eventsWinsorize _),
+    "graph_pagerank"        -> (graphPagerank _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_pmi_collocations" -> textPmiCollocationsSql,
     "events_transitions"    -> eventsTransitionsSql,
-    "text_url_blocklist"    -> textUrlBlocklistSql
+    "text_url_blocklist"    -> textUrlBlocklistSql,
+    "events_winsorize"      -> eventsWinsorizeSql,
+    "graph_pagerank"        -> graphPagerankSql
   )
 }
