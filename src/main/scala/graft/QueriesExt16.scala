@@ -354,6 +354,141 @@ object QueriesExt16 {
        |SELECT node, rank AS rank_ppm FROM r5""".stripMargin
   }
 
+  // ------------------------------------ session path mining (B65)
+
+  /** Unsupervised user-journey mining: sessionize each user's stream
+    * (30-minute inactivity gap, the same rule as events_sessionize),
+    * concatenate each session's ordered event types into a path string,
+    * and report the 10 most common paths — the "what do sessions actually
+    * look like" complement to the hypothesis-driven funnel (B7).
+    *
+    * Scale shape: the gap/cumsum windows partition per user (bounded by
+    * one user's history); path assembly is an in-group sort of ONE
+    * session's events (array_sort over a collect_list, bounded by session
+    * length); path counting is a map-side-combined hash-agg on the path
+    * string; top-10 is TakeOrdered. Nothing global, no corpus-wide sort.
+    */
+  private def eventsTopPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val sess = events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms")
+      )
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 1800000L, lit(1L))
+          .otherwise(lit(0L))
+      )
+      .withColumn("sess", sum(col("new_s")).over(w))
+    sess
+      .groupBy("user_id", "sess")
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(ms, event_id, event_type))), x -> x.event_type)"),
+          ">"
+        ).as("path")
+      )
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), col("path"))
+      .limit(10)
+  }
+
+  private val eventsTopPathsSql =
+    """WITH b AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM b),
+      |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+      |s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS sess FROM s),
+      |p AS (SELECT user_id, sess, string_agg(event_type, '>' ORDER BY ms, event_id) AS path
+      |  FROM s2 GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
+  // ------------------------------------ co-purchase pair mining (B66)
+
+  /** Market-basket pair mining: the 20 part pairs most often appearing in
+    * the same order — the support counts behind "frequently bought
+    * together" and association-rule mining.
+    *
+    * Scale shape: the pair explosion is a SELF-EQUI-JOIN on the order
+    * key, so pair generation is bounded by basket size squared (TPC-H
+    * baskets ≤ 7 lines), never corpus-quadratic; the distinct and the
+    * pair counts are map-side-combined hash-aggs; top-20 is TakeOrdered.
+    * AQE handles any hot-order skew the same way it does for B9's salted
+    * join fixture.
+    */
+  private def qCopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  private val qCopurchasePairsSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_orders
+      |FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
+  // ------------------------------------ daily trend slope (B67)
+
+  /** Per-event-type activity trend: the OLS slope of daily event counts
+    * over the day index (days since 2024-01-01), in counts-per-day ppm —
+    * the growth/decay detector a metrics pipeline alerts on. Every OLS
+    * component (n, Σx, Σy, Σxy, Σxx) is an exact integer sum and the
+    * slope is integer floor division of `1e6·(nΣxy − ΣxΣy)` by
+    * `(nΣxx − Σx²)`, so both engines produce the identical BIGINT — the
+    * B22/B56 exact-arithmetic lesson applied to regression.
+    *
+    * Scale shape: one (type, day) hash-agg bounds the domain to
+    * types × days regardless of event volume; the OLS sums then
+    * aggregate that tiny table. The event log is touched exactly once,
+    * map-side combined.
+    */
+  private def eventsTrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(
+        col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("x")
+      )
+      .agg(count(lit(1)).as("y"))
+    daily
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .select(
+        col("event_type"),
+        col("n_days"),
+        expr("CAST(((n_days * sxy - sx * sy) * 1000000) div (n_days * sxx - sx * sx) AS BIGINT)")
+          .as("slope_ppm")
+      )
+  }
+
+  private val eventsTrendSlopeSql =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1)
+      |SELECT event_type, n_days,
+      |  CAST(((n_days * sxy - sx * sy) * 1000000) // (n_days * sxx - sx * sx) AS BIGINT) AS slope_ppm
+      |FROM c""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,7 +496,10 @@ object QueriesExt16 {
     "events_transitions"    -> (eventsTransitions _),
     "text_url_blocklist"    -> (textUrlBlocklist _),
     "events_winsorize"      -> (eventsWinsorize _),
-    "graph_pagerank"        -> (graphPagerank _)
+    "graph_pagerank"        -> (graphPagerank _),
+    "events_top_paths"      -> (eventsTopPaths _),
+    "q_copurchase_pairs"    -> (qCopurchasePairs _),
+    "events_trend_slope"    -> (eventsTrendSlope _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -369,6 +507,9 @@ object QueriesExt16 {
     "events_transitions"    -> eventsTransitionsSql,
     "text_url_blocklist"    -> textUrlBlocklistSql,
     "events_winsorize"      -> eventsWinsorizeSql,
-    "graph_pagerank"        -> graphPagerankSql
+    "graph_pagerank"        -> graphPagerankSql,
+    "events_top_paths"      -> eventsTopPathsSql,
+    "q_copurchase_pairs"    -> qCopurchasePairsSql,
+    "events_trend_slope"    -> eventsTrendSlopeSql
   )
 }
