@@ -489,6 +489,168 @@ object QueriesExt16 {
       |  CAST(((n_days * sxy - sx * sy) * 1000000) // (n_days * sxx - sx * sx) AS BIGINT) AS slope_ppm
       |FROM c""".stripMargin
 
+  // ------------------------------------ inverted index build (B68)
+
+  /** Search-index construction: per vocabulary term, its document
+    * frequency and the first 10 postings (smallest doc_ids) — the
+    * term→documents table a keyword-search or contamination-lookup
+    * service serves from. Postings are capped AT THE AGGREGATE, not
+    * after: a real index writer emits sorted segment runs, and the cap
+    * here is what keeps a stop-word's posting list from materializing.
+    *
+    * Scale shape: one hash-agg dedups (term, doc) pairs; the posting cap
+    * is the bounded-heap TopKBy (negated doc_id → k SMALLEST ids), so k
+    * rows per partition cross the shuffle even for a term in every
+    * document — never a collect_set of the whole corpus; df rides the
+    * same aggregate.
+    */
+  private def textInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        graft.functions.TopKBy
+          .topKByLong((-col("doc_id")).cast("double"), col("doc_id"), 10)
+          .as("top")
+      )
+      .select(
+        col("term"),
+        col("df"),
+        array_join(expr("transform(top, x -> CAST(x.id AS STRING))"), ",").as("postings")
+      )
+  }
+
+  private val textInvertedIndexSql =
+    """WITH pairs AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents),
+      |p2 AS (SELECT * FROM pairs WHERE length(term) > 0)
+      |SELECT term, count(*) AS df,
+      |  array_to_string(list_sort(list(doc_id))[:10], ',') AS postings
+      |FROM p2 GROUP BY term""".stripMargin
+
+  // ------------------------------------ partial-aggregate merge (B69)
+
+  /** Rollup-from-partials: per-type daily partial aggregates (count, sum,
+    * min, max) are MERGED into full-range totals without re-touching raw
+    * events — the incremental-aggregation contract behind materialized
+    * rollups and cross-datacenter combine. The oracle aggregates the raw
+    * table directly, so parity PROVES the two-level merge is lossless
+    * (count→sum, sum→sum, min→min, max→max; avg derived at the end, never
+    * averaged-of-averages; distinct counts are deliberately absent — they
+    * don't merge without a sketch, which is B14's territory).
+    *
+    * Scale shape: this is exactly Spark's partial/final hash-agg split
+    * made explicit at the day level: the daily table is types×days sized,
+    * so the merge input is tiny regardless of event volume, and a new
+    * day re-aggregates only its own partition.
+    */
+  private def qPartialMerge(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx")
+      )
+    daily
+      .groupBy("event_type")
+      .agg(
+        sum(col("cnt")).as("n_events"),
+        sum(col("sv")).as("sv"),
+        min(col("mn")).as("min_value"),
+        max(col("mx")).as("max_value")
+      )
+      .select(
+        col("event_type"),
+        col("n_events"),
+        round(col("sv"), 2).cast("double").as("sum_value"),
+        col("min_value"),
+        col("max_value"),
+        round(col("sv").cast("double") / col("n_events"), 6).as("avg_value")
+      )
+  }
+
+  private val qPartialMergeSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+      |  min(value) AS min_value, max(value) AS max_value,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ------------------------------------ reciprocal-rank fusion (B70)
+
+  /** Hybrid-retrieval fusion: two rankings of the corpus per query —
+    * cosine similarity and raw inner product (they disagree exactly when
+    * vector norms vary) — fused by Reciprocal Rank Fusion with the
+    * standard k=60, each list cut at top-20, final top-10 per query.
+    * Contributions are `1e6 div (60 + rank)` INTEGERS, so fused scores
+    * are exact and engine-independent; ranks pin ties via 6-dp-rounded
+    * scores then corpus_id.
+    *
+    * Scale shape: the scored base is the brute-force baseline (B4's
+    * documented trade — broadcast queries, linear corpus pass); both
+    * rank windows and the fusion run per query partition and the final
+    * cut is row_number ≤ 10. The IVF/LSH variants (sim_ivf_topk,
+    * sim_rp_lsh) are the scale path for the candidate generation; RRF
+    * itself only ever sees the per-query candidate lists.
+    */
+  private def simRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = q
+      .join(emb, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("corpus_id"),
+        round(operators.Similarity.cosine(col("qe"), col("e")), 6).as("cos"),
+        round(operators.Similarity.dot(col("qe"), col("e")), 6).as("ip")
+      )
+    val wc = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
+    val wi = Window.partitionBy("query_id").orderBy(desc("ip"), col("corpus_id"))
+    scored
+      .withColumn("ra", row_number().over(wc))
+      .withColumn("rb", row_number().over(wi))
+      .select(
+        col("query_id"),
+        col("corpus_id"),
+        expr(
+          """CAST((CASE WHEN ra <= 20 THEN 1000000 div (60 + ra) ELSE 0 END)
+            |   + (CASE WHEN rb <= 20 THEN 1000000 div (60 + rb) ELSE 0 END) AS BIGINT)""".stripMargin
+        ).as("rrf_ppm")
+      )
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("rrf_ppm"), col("corpus_id"))).cast("long")
+      )
+      .filter(col("rank") <= 10)
+  }
+
+  private val simRrfFusionSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+      |scored AS (SELECT query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(qe, c.e), 6) AS cos,
+      |    round(list_dot_product(qe, c.e), 6) AS ip
+      |  FROM q JOIN v c ON c.vec_id != query_id),
+      |r AS (SELECT *,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS ra,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, corpus_id) AS rb
+      |  FROM scored),
+      |f AS (SELECT query_id, corpus_id,
+      |    CAST((CASE WHEN ra <= 20 THEN 1000000 // (60 + ra) ELSE 0 END)
+      |       + (CASE WHEN rb <= 20 THEN 1000000 // (60 + rb) ELSE 0 END) AS BIGINT) AS rrf_ppm
+      |  FROM r),
+      |g AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_ppm DESC, corpus_id) AS rank
+      |  FROM f)
+      |SELECT query_id, corpus_id, rrf_ppm, CAST(rank AS BIGINT) AS rank FROM g WHERE rank <= 10""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -499,7 +661,10 @@ object QueriesExt16 {
     "graph_pagerank"        -> (graphPagerank _),
     "events_top_paths"      -> (eventsTopPaths _),
     "q_copurchase_pairs"    -> (qCopurchasePairs _),
-    "events_trend_slope"    -> (eventsTrendSlope _)
+    "events_trend_slope"    -> (eventsTrendSlope _),
+    "text_inverted_index"   -> (textInvertedIndex _),
+    "q_partial_merge"       -> (qPartialMerge _),
+    "sim_rrf_fusion"        -> (simRrfFusion _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -510,6 +675,9 @@ object QueriesExt16 {
     "graph_pagerank"        -> graphPagerankSql,
     "events_top_paths"      -> eventsTopPathsSql,
     "q_copurchase_pairs"    -> qCopurchasePairsSql,
-    "events_trend_slope"    -> eventsTrendSlopeSql
+    "events_trend_slope"    -> eventsTrendSlopeSql,
+    "text_inverted_index"   -> textInvertedIndexSql,
+    "q_partial_merge"       -> qPartialMergeSql,
+    "sim_rrf_fusion"        -> simRrfFusionSql
   )
 }

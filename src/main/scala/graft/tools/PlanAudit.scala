@@ -30,7 +30,9 @@ object PlanAudit {
       "q22_idle_customers", "sim_topk_cosine", "text_tfidf_top", "q15_top_supplier",
       "q_mixture_weights", "q_skew_profile", "q_dq_checks", "events_decay_score",
       // 1-row totals/node-count broadcasts (B27 pattern)
-      "text_pmi_collocations", "graph_pagerank"
+      "text_pmi_collocations", "graph_pagerank",
+      // brute-force scored base with broadcast queries (B4's documented trade)
+      "sim_rrf_fusion"
     )
 
   def main(args: Array[String]): Unit = {
