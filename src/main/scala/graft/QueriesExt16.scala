@@ -651,6 +651,128 @@ object QueriesExt16 {
       |  FROM f)
       |SELECT query_id, corpus_id, rrf_ppm, CAST(rank AS BIGINT) AS rank FROM g WHERE rank <= 10""".stripMargin
 
+  // ------------------------------------ hierarchy flattening (B71)
+
+  /** Parent-pointer hierarchy flattening: every node's ROOT ancestor and
+    * depth, from a parent-child edge per row — the org-chart / category
+    * -tree / BOM traversal a warehouse needs and plain SQL joins can't
+    * express for unbounded depth. The hierarchy is staged as an 8-ary
+    * forest over doc_ids (parent = id div 8, roots below 8); the oracle
+    * walks it with a recursive CTE.
+    *
+    * Scale shape: POINTER DOUBLING, not row-at-a-time recursion — each
+    * round jumps every node twice as far (`jump' = jump(jump)`,
+    * accumulating depth), so 5 equi-join rounds cover depth ≤ 32 and
+    * the rounds are O(log depth), never O(depth). Every round is a
+    * shuffle equi-join of the node table with itself on the jump key,
+    * localCheckpointed to keep the self-referencing lineage linear
+    * (without it the plan doubles per round). At 100 TB both sides
+    * bucket on id and the per-round Exchange disappears.
+    */
+  private def qHierarchyFlatten(s: SparkSession, dir: String): DataFrame = {
+    val f0 = documents(s, dir).select(
+      col("doc_id").as("id"),
+      when(col("doc_id") >= 8, expr("CAST(doc_id div 8 AS BIGINT)")).otherwise(col("doc_id")).as("anc"),
+      when(col("doc_id") >= 8, lit(1L)).otherwise(lit(0L)).as("d")
+    )
+    val flat = (1 to 5).foldLeft(f0) { (f, _) =>
+      val fc = f.localCheckpoint(true)
+      fc.as("a")
+        .join(fc.select(col("id").as("anc"), col("anc").as("anc2"), col("d").as("d2")), Seq("anc"))
+        .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
+    }
+    flat.select(col("id").as("doc_id"), col("anc").as("root"), col("d").as("depth"))
+  }
+
+  private val qHierarchyFlattenSql =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id AS id, doc_id AS cur, CAST(0 AS BIGINT) AS d FROM documents
+      |  UNION ALL
+      |  SELECT id, cur // 8, d + 1 FROM w WHERE cur >= 8)
+      |SELECT id AS doc_id, cur AS root, d AS depth FROM w WHERE cur < 8""".stripMargin
+
+  // ------------------------------------ event debounce (B72)
+
+  /** Telemetry debounce: within each (user, event type) stream, a burst
+    * is a run of events each within 5 s of its predecessor; only the
+    * burst's LEADING event is kept — the client-retry / double-click
+    * collapse that runs before any counting pipeline. Emits every event
+    * with its burst id and a `kept` flag so the downstream filter is one
+    * predicate.
+    *
+    * Scale shape: the same per-key gap/cumsum window pair as
+    * sessionization (B7), partitioned by (user, type) — bounded by one
+    * key's history, map-side nothing, no joins. The 5 s threshold
+    * compares integer milliseconds, exact in both engines.
+    */
+  private def eventsDebounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy(col("ms"), col("event_id"))
+    events(s, dir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms")
+      )
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn(
+        "new_burst",
+        when(col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 5000L, lit(1L)).otherwise(lit(0L))
+      )
+      .withColumn("burst", sum(col("new_burst")).over(w))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("ms"),
+        col("burst"),
+        (col("new_burst") === 1L).as("kept")
+      )
+  }
+
+  private val eventsDebounceSql =
+    """WITH b AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS prev_ms FROM b),
+      |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 5000 THEN 1 ELSE 0 END AS new_burst FROM l)
+      |SELECT event_id, user_id, event_type, ms,
+      |  sum(new_burst) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS burst,
+      |  new_burst = 1 AS kept
+      |FROM f""".stripMargin
+
+  // ------------------------------------ KWIC concordance (B73)
+
+  /** Keyword-in-context extraction for the term "data": every occurrence
+    * with up to 3 words of left and right context — the concordance view
+    * an eval-set reviewer or a contamination analyst reads instead of
+    * whole documents.
+    *
+    * Scale shape: positional explode (linear) filtered to the target
+    * term AT the explode, then two dynamic `slice`s over the carried
+    * token array — per-hit work bounded by the context width, no joins,
+    * no shuffle beyond the scan; the output is hits-sized, not
+    * corpus-sized.
+    */
+  private def textKwic(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .where(col("tok") === "data")
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).cast("long").as("pos"),
+        array_join(
+          expr("slice(t, greatest(p0 + 1 - 3, 1), p0 + 1 - greatest(p0 + 1 - 3, 1))"),
+          " "
+        ).as("left_ctx"),
+        array_join(expr("slice(t, p0 + 2, 3)"), " ").as("right_ctx")
+      )
+  }
+
+  private val textKwicSql =
+    """WITH t AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |hits AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM t)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  coalesce(array_to_string(toks[greatest(pos - 3, 1):pos - 1], ' '), '') AS left_ctx,
+      |  coalesce(array_to_string(toks[pos + 1:least(pos + 3, len(toks))], ' '), '') AS right_ctx
+      |FROM hits WHERE toks[pos] = 'data'""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -664,7 +786,10 @@ object QueriesExt16 {
     "events_trend_slope"    -> (eventsTrendSlope _),
     "text_inverted_index"   -> (textInvertedIndex _),
     "q_partial_merge"       -> (qPartialMerge _),
-    "sim_rrf_fusion"        -> (simRrfFusion _)
+    "sim_rrf_fusion"        -> (simRrfFusion _),
+    "q_hierarchy_flatten"   -> (qHierarchyFlatten _),
+    "events_debounce"       -> (eventsDebounce _),
+    "text_kwic"             -> (textKwic _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -678,6 +803,9 @@ object QueriesExt16 {
     "events_trend_slope"    -> eventsTrendSlopeSql,
     "text_inverted_index"   -> textInvertedIndexSql,
     "q_partial_merge"       -> qPartialMergeSql,
-    "sim_rrf_fusion"        -> simRrfFusionSql
+    "sim_rrf_fusion"        -> simRrfFusionSql,
+    "q_hierarchy_flatten"   -> qHierarchyFlattenSql,
+    "events_debounce"       -> eventsDebounceSql,
+    "text_kwic"             -> textKwicSql
   )
 }
