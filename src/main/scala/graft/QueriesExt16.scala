@@ -773,6 +773,153 @@ object QueriesExt16 {
       |  coalesce(array_to_string(toks[pos + 1:least(pos + 3, len(toks))], ' '), '') AS right_ctx
       |FROM hits WHERE toks[pos] = 'data'""".stripMargin
 
+  // ------------------------------------ negative sampling (B74)
+
+  /** Contrastive-training negative mining: for each query vector, 10
+    * corpus vectors that are NOT among its top-20 cosine neighbors,
+    * drawn in md5(query:candidate) order — deterministic pseudo-random
+    * negatives, the (query, positive, negative) triplet feed for
+    * embedding/reranker training. The md5 draw replaces the PRNG so both
+    * engines sample identically (B16/B57's contract).
+    *
+    * Scale shape: neighbor exclusion reuses the brute-force scored base
+    * (B4's documented trade); the draw is a per-query rank window over
+    * md5 keys with an early `ra > 20` filter, and only 10 rows per query
+    * survive. At corpus scale the exclusion list would come from the
+    * IVF/LSH top-k instead — the sampling stage is unchanged.
+    */
+  private def simNegativeSample(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val q = emb.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val scored = q
+      .join(emb, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("corpus_id"),
+        round(operators.Similarity.cosine(col("qe"), col("e")), 6).as("cos")
+      )
+    val wc = Window.partitionBy("query_id").orderBy(desc("cos"), col("corpus_id"))
+    scored
+      .withColumn("ra", row_number().over(wc))
+      .where(col("ra") > 20)
+      .withColumn("key", md5(concat(col("query_id").cast("string"), lit(":"), col("corpus_id").cast("string"))))
+      .withColumn(
+        "draw_rank",
+        row_number().over(Window.partitionBy("query_id").orderBy(col("key"), col("corpus_id"))).cast("long")
+      )
+      .where(col("draw_rank") <= 10)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("draw_rank"))
+  }
+
+  private val simNegativeSampleSql =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+      |scored AS (SELECT query_id, c.vec_id AS corpus_id,
+      |    round(list_cosine_similarity(qe, c.e), 6) AS cos
+      |  FROM q JOIN v c ON c.vec_id != query_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS ra
+      |  FROM scored),
+      |neg AS (SELECT query_id, corpus_id, cos,
+      |    md5(CAST(query_id AS VARCHAR) || ':' || CAST(corpus_id AS VARCHAR)) AS key
+      |  FROM r WHERE ra > 20),
+      |d AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY key, corpus_id) AS draw_rank
+      |  FROM neg)
+      |SELECT query_id, corpus_id, cos, CAST(draw_rank AS BIGINT) AS draw_rank
+      |FROM d WHERE draw_rank <= 10""".stripMargin
+
+  // ------------------------------------ skip-gram co-occurrence (B75)
+
+  /** word2vec-style training-pair statistics: undirected co-occurrence
+    * counts of word pairs within a ±2 token window (canonical order
+    * least/greatest), min count 5, top 30 — the co-occurrence matrix
+    * skip-gram training samples from, and the windowed complement of
+    * B60's adjacency-only PMI bigrams.
+    *
+    * Scale shape: both offset strips are generated by array transforms
+    * INSIDE the scan (linear, ≤ 2 pairs/token) and collapse immediately
+    * into one vocab²-bounded map-side-combined hash-agg; top-30 is
+    * TakeOrdered. No self-joins, no windows over the corpus.
+    */
+  private def textSkipgramPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    documents(s, dir)
+      .select(toks.as("t"))
+      .select(
+        explode(
+          expr(
+            """concat(
+              |  transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS a, t[i + 1] AS b)),
+              |  transform(slice(t, 1, greatest(size(t) - 2, 0)), (x, i) -> struct(x AS a, t[i + 2] AS b)))""".stripMargin
+          )
+        ).as("p")
+      )
+      .select(least(col("p.a"), col("p.b")).as("w1"), greatest(col("p.a"), col("p.b")).as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_cooc"))
+      .where(col("n_cooc") >= 5)
+      .orderBy(desc("n_cooc"), col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  private val textSkipgramPairsSql =
+    """WITH t AS (SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |p AS (SELECT unnest(
+      |    [{'a': toks[i], 'b': toks[i + 1]} for i in range(1, len(toks))] ||
+      |    [{'a': toks[i], 'b': toks[i + 2]} for i in range(1, len(toks) - 1)]) AS u
+      |  FROM t)
+      |SELECT least(u.a, u.b) AS w1, greatest(u.a, u.b) AS w2, count(*) AS n_cooc
+      |FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+      |ORDER BY n_cooc DESC, w1, w2 LIMIT 30""".stripMargin
+
+  // ------------------------------------ langid confusion matrix (B76)
+
+  /** Classifier evaluation harness: the language-ID heuristic (B5)
+    * scored against the corpus's ground-truth labels as a confusion
+    * matrix — (actual, predicted, count, row-share ppm). The per-class
+    * recall diagonal is what gates a language-filter deployment.
+    *
+    * Scale shape: prediction is B5's scan-fused codegen chain; the
+    * matrix is one map-side-combined hash-agg bounded by langs²; the
+    * row-share window runs over that tiny matrix. Evaluation adds zero
+    * shuffles beyond the count agg.
+    */
+  private def textLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val m = operators.TextAnalysis
+      .withLangId(documents(s, dir), "text")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    m.select(
+      col("lang"),
+      col("lang_pred"),
+      col("n"),
+      expr("CAST(n * 1000000 div sum(n) OVER (PARTITION BY lang) AS BIGINT)").as("share_ppm")
+    )
+  }
+
+  private val textLangidConfusionSql = {
+    val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+    s"""WITH base AS (SELECT doc_id, lang, string_split($normSql, ' ') AS toks FROM documents),
+       |v AS (SELECT doc_id, lang,
+       |  len(list_filter(toks, x -> list_contains(['the','and','of','is'], x))) AS v_en,
+       |  len(list_filter(toks, x -> list_contains(['der','und','die','ist'], x))) AS v_de,
+       |  len(list_filter(toks, x -> list_contains(['le','et','les','est'], x))) AS v_fr,
+       |  len(list_filter(toks, x -> list_contains(['el','y','los','es'], x))) AS v_es,
+       |  len(list_filter(toks, x -> list_contains(['的','是','了','在'], x))) AS v_zh
+       |FROM base),
+       |pred AS (SELECT lang, CASE
+       |  WHEN v_en >= greatest(v_de,v_fr,v_es,v_zh) THEN 'en'
+       |  WHEN v_de >= greatest(v_fr,v_es,v_zh) THEN 'de'
+       |  WHEN v_fr >= greatest(v_es,v_zh) THEN 'fr'
+       |  WHEN v_es >= v_zh THEN 'es'
+       |  ELSE 'zh' END AS lang_pred FROM v),
+       |m AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2)
+       |SELECT lang, lang_pred, n,
+       |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+       |FROM m""".stripMargin
+  }
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -789,7 +936,10 @@ object QueriesExt16 {
     "sim_rrf_fusion"        -> (simRrfFusion _),
     "q_hierarchy_flatten"   -> (qHierarchyFlatten _),
     "events_debounce"       -> (eventsDebounce _),
-    "text_kwic"             -> (textKwic _)
+    "text_kwic"             -> (textKwic _),
+    "sim_negative_sample"   -> (simNegativeSample _),
+    "text_skipgram_pairs"   -> (textSkipgramPairs _),
+    "text_langid_confusion" -> (textLangidConfusion _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -806,6 +956,9 @@ object QueriesExt16 {
     "sim_rrf_fusion"        -> simRrfFusionSql,
     "q_hierarchy_flatten"   -> qHierarchyFlattenSql,
     "events_debounce"       -> eventsDebounceSql,
-    "text_kwic"             -> textKwicSql
+    "text_kwic"             -> textKwicSql,
+    "sim_negative_sample"   -> simNegativeSampleSql,
+    "text_skipgram_pairs"   -> textSkipgramPairsSql,
+    "text_langid_confusion" -> textLangidConfusionSql
   )
 }
