@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Round-7 additions, batch 6: calendar gap filling with rolling windows
+  * (B77), conversion-latency percentiles (B78), and max-min fair-share
+  * budget allocation (B79) — the time-series densification, funnel-latency,
+  * and scheduler steps of an analytics platform.
+  */
+object QueriesExt17 {
+
+  // --------------------------- calendar gap fill + rolling (B77)
+
+  /** Dense per-type daily series: every (event type, day) cell of the
+    * observed date range exists — zero-filled where no events — with a
+    * trailing 7-day rolling sum and mean. Forecast/trend models break on
+    * missing days; this is the densification that precedes them. The
+    * rolling mean is `sum·1e6 div row-count` integer division, exact in
+    * both engines.
+    *
+    * Scale shape: the day spine comes from a 1-row min/max aggregate
+    * exploded into a sequence (days-sized, broadcast), cross-joined with
+    * the distinct type list — spine size is types×days regardless of
+    * event volume; observed counts arrive via one map-side-combined
+    * hash-agg and a LEFT join onto the spine; the rolling window runs
+    * over the spine, never the log.
+    */
+  private def eventsGapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(
+        col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("day_idx")
+      )
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily.agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+    val types  = events(s, dir).select(col("event_type")).distinct()
+    val spine = types
+      .crossJoin(bounds)
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day_idx"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx").rowsBetween(-6, 0)
+    spine
+      .join(daily, Seq("event_type", "day_idx"), "left")
+      .select(col("event_type"), col("day_idx"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("roll7_sum", sum("cnt").over(w))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .select(
+        col("event_type"),
+        col("day_idx"),
+        col("cnt"),
+        col("roll7_sum"),
+        expr("CAST(roll7_sum * 1000000 div n_win AS BIGINT)").as("roll7_avg_ppm")
+      )
+  }
+
+  private val eventsGapFillSql =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM daily),
+      |spine AS (SELECT t.event_type, d.day_idx
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS day_idx FROM bounds) d),
+      |f AS (SELECT s.event_type, s.day_idx, coalesce(daily.cnt, 0) AS cnt
+      |  FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.day_idx = daily.day_idx),
+      |r AS (SELECT *,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll7_sum,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_win
+      |  FROM f)
+      |SELECT event_type, day_idx, cnt, CAST(roll7_sum AS BIGINT) AS roll7_sum,
+      |  CAST(roll7_sum * 1000000 // n_win AS BIGINT) AS roll7_avg_ppm
+      |FROM r""".stripMargin
+
+  // --------------------------- conversion latency percentiles (B78)
+
+  /** Funnel latency distribution: minutes from each user's FIRST signup
+    * to their first purchase at-or-after it, summarized as exact
+    * p50/p90/max over the converted population — the time-to-convert
+    * metric behind activation dashboards (the latency complement of
+    * B7's ordered-funnel counts). Percentiles use the pure-integer
+    * inverted-CDF rule (B53).
+    *
+    * Scale shape: per-user firsts are map-side-combined min aggregates;
+    * the signup→purchase match is one equi-join on user; latencies
+    * collapse into a BOUNDED minute histogram (the B53/B63 trick), and
+    * the percentile window runs over that histogram — never a sort of
+    * the user population.
+    */
+  private def eventsConvertLatency(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .select(col("user_id"), col("event_type"), operators.EventAnalytics.tsMillis(col("ts")).as("ms"))
+    val su = e.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ms").as("s_ms"))
+    val pu = e
+      .filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .where(col("ms") >= col("s_ms"))
+      .groupBy("user_id")
+      .agg(min("ms").as("p_ms"), min(col("s_ms")).as("s_ms"))
+    val lat = pu.select(expr("CAST((p_ms - s_ms) div 60000 AS BIGINT)").as("lat_min"))
+    val hist = lat.groupBy("lat_min").agg(count(lit(1)).as("cnt"))
+    // constant partition key: the histogram is bounded, and the explicit
+    // key keeps Spark's "No Partition Defined" warning out of the plan
+    val wc = Window.partitionBy(lit(1)).orderBy("lat_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wc))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(lit(1))))
+    cum
+      .groupBy(lit(1).as("g"))
+      .agg(
+        max("total").as("n_converted"),
+        min(when(col("cum") * 2 >= col("total"), col("lat_min"))).as("p50_min"),
+        min(when(col("cum") * 10 >= col("total") * 9, col("lat_min"))).as("p90_min"),
+        max("lat_min").as("max_min")
+      )
+      .drop("g")
+  }
+
+  private val eventsConvertLatencySql =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |su AS (SELECT user_id, min(ms) AS s_ms FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |pu AS (SELECT e.user_id, min(ms) AS p_ms, min(s_ms) AS s_ms
+      |  FROM e JOIN su ON e.user_id = su.user_id
+      |  WHERE event_type = 'purchase' AND ms >= s_ms GROUP BY 1),
+      |lat AS (SELECT (p_ms - s_ms) // 60000 AS lat_min FROM pu),
+      |hist AS (SELECT lat_min, count(*) AS cnt FROM lat GROUP BY 1),
+      |cum AS (SELECT lat_min,
+      |    sum(cnt) OVER (ORDER BY lat_min) AS cum,
+      |    sum(cnt) OVER () AS total
+      |  FROM hist)
+      |SELECT CAST(max(total) AS BIGINT) AS n_converted,
+      |  CAST(min(CASE WHEN cum * 2 >= total THEN lat_min END) AS BIGINT) AS p50_min,
+      |  CAST(min(CASE WHEN cum * 10 >= total * 9 THEN lat_min END) AS BIGINT) AS p90_min,
+      |  CAST(max(lat_min) AS BIGINT) AS max_min
+      |FROM cum""".stripMargin
+
+  // --------------------------- max-min fair-share allocation (B79)
+
+  /** Water-filling scheduler: a fixed character budget (half the corpus
+    * total) split across sources max-min fairly — every source gets
+    * `min(demand, λ)` where the water level λ exactly exhausts the
+    * budget over the capped sources. The satisfied-set boundary is found
+    * with EXACT integer cross-products (`d_k·(n−k) ≤ B−prefix_k <
+    * d_{k+1}·(n−k)`), so both engines agree without rational arithmetic;
+    * the floor remainder stays un-allocated (documented).
+    *
+    * Scale shape: demands are one map-side-combined hash-agg (sources-
+    * sized); the prefix-sum/rank windows and the boundary filter run
+    * over that tiny demand table; the chosen level broadcasts back onto
+    * it. The corpus is read exactly once.
+    */
+  private def qFairShare(s: SparkSession, dir: String): DataFrame = {
+    val dem = documents(s, dir).groupBy("source").agg(sum("n_chars").as("demand"))
+    val tot = dem.agg(sum("demand").as("total"), count(lit(1)).as("n"))
+    val w   = Window.partitionBy(lit(1)).orderBy(col("demand"), col("source"))
+    val ranked = dem
+      .crossJoin(tot)
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum("demand").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("d_next", lead(col("demand"), 1).over(w))
+      .withColumn("budget", expr("CAST(total div 2 AS BIGINT)"))
+    val levelK = ranked
+      .where(
+        expr("demand * (n - k) <= budget - prefix") &&
+          (col("d_next").isNull || expr("budget - prefix < d_next * (n - k)"))
+      )
+      .select(expr("CAST((budget - prefix) div (n - k) AS BIGINT)").as("lambda"))
+    // k = 0: the budget sits below even the smallest demand's waterline,
+    // so NO source is fully satisfied and the level is budget/n
+    val level0 = dem
+      .agg(min("demand").as("d1"))
+      .crossJoin(tot)
+      .where(expr("total div 2 < d1 * n"))
+      .select(expr("CAST((total div 2) div n AS BIGINT)").as("lambda"))
+    dem
+      .crossJoin(levelK.unionByName(level0))
+      .select(
+        col("source"),
+        col("demand"),
+        least(col("demand"), col("lambda")).as("alloc")
+      )
+  }
+
+  private val qFairShareSql =
+    """WITH dem AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS demand FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(demand) AS BIGINT) AS total, count(*) AS n FROM dem),
+      |ranked AS (SELECT source, demand, total, n,
+      |    row_number() OVER (ORDER BY demand, source) AS k,
+      |    sum(demand) OVER (ORDER BY demand, source) AS prefix,
+      |    lead(demand) OVER (ORDER BY demand, source) AS d_next,
+      |    total // 2 AS budget
+      |  FROM dem CROSS JOIN tot),
+      |levelk AS (SELECT CAST((budget - prefix) // (n - k) AS BIGINT) AS lambda
+      |  FROM ranked
+      |  WHERE demand * (n - k) <= budget - prefix
+      |    AND (d_next IS NULL OR budget - prefix < d_next * (n - k))),
+      |level0 AS (SELECT CAST((total // 2) // n AS BIGINT) AS lambda
+      |  FROM (SELECT min(demand) AS d1 FROM dem) CROSS JOIN tot
+      |  WHERE total // 2 < d1 * n),
+      |level AS (SELECT lambda FROM levelk UNION ALL SELECT lambda FROM level0)
+      |SELECT source, demand, least(demand, lambda) AS alloc
+      |FROM dem CROSS JOIN level""".stripMargin
+
+  // ------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gap_fill"        -> (eventsGapFill _),
+    "events_convert_latency" -> (eventsConvertLatency _),
+    "q_fair_share"           -> (qFairShare _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_gap_fill"        -> eventsGapFillSql,
+    "events_convert_latency" -> eventsConvertLatencySql,
+    "q_fair_share"           -> qFairShareSql
+  )
+}

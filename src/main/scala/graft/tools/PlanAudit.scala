@@ -32,7 +32,9 @@ object PlanAudit {
       // 1-row totals/node-count broadcasts (B27 pattern)
       "text_pmi_collocations", "graph_pagerank",
       // brute-force scored base with broadcast queries (B4's documented trade)
-      "sim_rrf_fusion", "sim_negative_sample"
+      "sim_rrf_fusion", "sim_negative_sample",
+      // 1-row bounds/totals/level broadcasts (B27 pattern)
+      "events_gap_fill", "q_fair_share"
     )
 
   def main(args: Array[String]): Unit = {
