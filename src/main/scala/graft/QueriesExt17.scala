@@ -205,17 +205,211 @@ object QueriesExt17 {
       |SELECT source, demand, least(demand, lambda) AS alloc
       |FROM dem CROSS JOIN level""".stripMargin
 
+  // --------------------------- blocked fuzzy record linkage (B80)
+
+  /** Entity resolution: a staged "dirty registry" of customer names (a
+    * third get a mid-string substitution, a third lose a character, a
+    * third are exact) is linked back to the master by edit distance ≤ 2,
+    * best match per dirty record (min distance, then min custkey) —
+    * the dedupe/linkage step every ingested partner feed needs. Both
+    * engines compute the same `levenshtein`, an integer.
+    *
+    * Scale shape: the fuzzy join is NEVER all-pairs — a BLOCKING key
+    * (the name's last 2 characters, chosen stable under the staged
+    * edit positions) turns it into an equi-join with bounded blocks
+    * (~1% of each side), and the quadratic levenshtein work happens
+    * only inside a block. Real pipelines run several blocking passes
+    * and union candidates; one pass suffices here because the staged
+    * edits provably preserve the key. Best-match is a per-dirty-record
+    * rank window over block-bounded candidates.
+    */
+  private def qRecordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val master = customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val dirty = master.select(
+      (col("c_custkey") + 100000L).as("d_id"),
+      expr(
+        """CASE CAST(c_custkey % 3 AS INT)
+          |  WHEN 0 THEN concat(substring(c_name, 1, 10), 'x', substring(c_name, 12))
+          |  WHEN 1 THEN concat(substring(c_name, 1, 9), substring(c_name, 11))
+          |  ELSE c_name END""".stripMargin
+      ).as("dirty_name")
+    )
+    val cand = dirty
+      .withColumn("blk", expr("right(dirty_name, 2)"))
+      .join(master.withColumn("blk", expr("right(c_name, 2)")), Seq("blk"))
+      .select(
+        col("d_id"),
+        col("dirty_name"),
+        col("c_custkey"),
+        levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist")
+      )
+    cand
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy("d_id").orderBy(col("dist"), col("c_custkey")))
+      )
+      .where(col("rk") === 1 && col("dist") <= 2)
+      .select(col("d_id"), col("dirty_name"), col("c_custkey").as("matched_custkey"), col("dist"))
+  }
+
+  private val qRecordLinkageSql =
+    """WITH master AS (SELECT c_custkey, c_name FROM customer),
+      |dirty AS (SELECT c_custkey + 100000 AS d_id,
+      |    CASE CAST(c_custkey % 3 AS INT)
+      |      WHEN 0 THEN substr(c_name, 1, 10) || 'x' || substr(c_name, 12)
+      |      WHEN 1 THEN substr(c_name, 1, 9) || substr(c_name, 11)
+      |      ELSE c_name END AS dirty_name
+      |  FROM master),
+      |cand AS (SELECT d_id, dirty_name, c_custkey,
+      |    CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS dist
+      |  FROM dirty JOIN master ON right(dirty_name, 2) = right(c_name, 2)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY d_id ORDER BY dist, c_custkey) AS rk FROM cand)
+      |SELECT d_id, dirty_name, c_custkey AS matched_custkey, dist
+      |FROM r WHERE rk = 1 AND dist <= 2""".stripMargin
+
+  // --------------------------- new-vs-returning cohorts (B81)
+
+  /** Growth decomposition: per day, distinct active users split into NEW
+    * (first-ever activity that day) and RETURNING, plus the cumulative
+    * registered-user curve — the acquisition-vs-retention readout behind
+    * every growth dashboard (the cohort complement of B40's stickiness
+    * ratio).
+    *
+    * Scale shape: first-seen is one map-side min-agg per user; DAU is a
+    * (day, user) dedup hash-agg then a day-level count; new-user counts
+    * aggregate the per-user firsts; everything joins on the tiny
+    * days-sized tables, and the cumulative window runs over days only.
+    */
+  private def eventsUserCohorts(s: SparkSession, dir: String): DataFrame = {
+    val dayCol = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long")
+    val e      = events(s, dir).select(dayCol.as("day_idx"), col("user_id"))
+    val dau = e.distinct().groupBy("day_idx").agg(count(lit(1)).as("dau"))
+    val firsts = e
+      .groupBy("user_id")
+      .agg(min("day_idx").as("day_idx"))
+      .groupBy("day_idx")
+      .agg(count(lit(1)).as("new_users"))
+    dau
+      .join(firsts, Seq("day_idx"), "left")
+      .select(
+        col("day_idx"),
+        col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("dau") - coalesce(col("new_users"), lit(0L))).as("n_returning")
+      )
+      .withColumn(
+        "cum_users",
+        sum("new_users").over(
+          Window.partitionBy(lit(1)).orderBy("day_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+  }
+
+  private val eventsUserCohortsSql =
+    """WITH e AS (SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+      |    user_id FROM events),
+      |dau AS (SELECT day_idx, count(*) AS dau FROM (SELECT DISTINCT day_idx, user_id FROM e) GROUP BY 1),
+      |firsts AS (SELECT day_idx, count(*) AS new_users
+      |  FROM (SELECT user_id, min(day_idx) AS day_idx FROM e GROUP BY 1) GROUP BY 1),
+      |j AS (SELECT dau.day_idx, dau.dau, coalesce(firsts.new_users, 0) AS new_users,
+      |    dau.dau - coalesce(firsts.new_users, 0) AS n_returning
+      |  FROM dau LEFT JOIN firsts ON dau.day_idx = firsts.day_idx)
+      |SELECT day_idx, dau, new_users, n_returning,
+      |  CAST(sum(new_users) OVER (ORDER BY day_idx) AS BIGINT) AS cum_users
+      |FROM j""".stripMargin
+
+  // --------------------------- A/B experiment readout (B82)
+
+  /** Experimentation readout: users md5-hashed into two buckets (the
+    * deterministic assignment an experiment platform uses), purchase
+    * values compared as n / mean / B-over-A lift / Welch's t — the
+    * significance summary every A/B dashboard shows. Means, variances,
+    * and t come from EXACT decimal component sums (B22's lesson) with
+    * the double formula replayed verbatim by the oracle; assignment
+    * replays via the same md5 slice in both engines (B16's contract).
+    *
+    * Scale shape: one scan, one two-row hash-agg (map-side combined);
+    * the scalar formula work happens on two rows. The self-join of the
+    * two bucket rows is a 1-row broadcast each — nothing scales with
+    * event volume except the first agg.
+    */
+  private def eventsAbTest(s: SparkSession, dir: String): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    val b = events(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(
+        (graft.functions.Hashing.h32(col("user_id").cast("string")) % 2).as("bucket"),
+        v.as("v")
+      )
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv")
+      )
+    val a  = b.where(col("bucket") === 0).select(col("n").as("n_a"), col("sv").as("sv_a"), col("svv").as("svv_a"))
+    val bb = b.where(col("bucket") === 1).select(col("n").as("n_b"), col("sv").as("sv_b"), col("svv").as("svv_b"))
+    a.crossJoin(bb)
+      .select(
+        col("n_a"),
+        col("n_b"),
+        round(col("sv_a").cast("double") / col("n_a"), 6).as("mean_a"),
+        round(col("sv_b").cast("double") / col("n_b"), 6).as("mean_b"),
+        round(
+          (col("sv_b").cast("double") / col("n_b") - col("sv_a").cast("double") / col("n_a")) /
+            (col("sv_a").cast("double") / col("n_a")) * 1000000.0,
+          0
+        ).cast("long").as("lift_ppm"),
+        round(
+          (col("sv_b").cast("double") / col("n_b") - col("sv_a").cast("double") / col("n_a")) /
+            sqrt(
+              (col("svv_a").cast("double") - col("sv_a").cast("double") * col("sv_a").cast("double") / col("n_a")) /
+                (col("n_a") - 1) / col("n_a") +
+                (col("svv_b").cast("double") - col("sv_b").cast("double") * col("sv_b").cast("double") / col("n_b")) /
+                  (col("n_b") - 1) / col("n_b")
+            ),
+          6
+        ).as("t_welch")
+      )
+  }
+
+  private val eventsAbTestSql =
+    """WITH b AS (SELECT
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS bucket,
+      |    count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS svv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |a AS (SELECT n AS n_a, sv AS sv_a, svv AS svv_a FROM b WHERE bucket = 0),
+      |c AS (SELECT n AS n_b, sv AS sv_b, svv AS svv_b FROM b WHERE bucket = 1)
+      |SELECT n_a, n_b,
+      |  round(CAST(sv_a AS DOUBLE) / n_a, 6) AS mean_a,
+      |  round(CAST(sv_b AS DOUBLE) / n_b, 6) AS mean_b,
+      |  CAST(round((CAST(sv_b AS DOUBLE) / n_b - CAST(sv_a AS DOUBLE) / n_a)
+      |    / (CAST(sv_a AS DOUBLE) / n_a) * 1000000.0, 0) AS BIGINT) AS lift_ppm,
+      |  round((CAST(sv_b AS DOUBLE) / n_b - CAST(sv_a AS DOUBLE) / n_a)
+      |    / sqrt((CAST(svv_a AS DOUBLE) - CAST(sv_a AS DOUBLE) * CAST(sv_a AS DOUBLE) / n_a) / (n_a - 1) / n_a
+      |         + (CAST(svv_b AS DOUBLE) - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE) / n_b) / (n_b - 1) / n_b), 6) AS t_welch
+      |FROM a CROSS JOIN c""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gap_fill"        -> (eventsGapFill _),
     "events_convert_latency" -> (eventsConvertLatency _),
-    "q_fair_share"           -> (qFairShare _)
+    "q_fair_share"           -> (qFairShare _),
+    "q_record_linkage"       -> (qRecordLinkage _),
+    "events_user_cohorts"    -> (eventsUserCohorts _),
+    "events_ab_test"         -> (eventsAbTest _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "events_gap_fill"        -> eventsGapFillSql,
     "events_convert_latency" -> eventsConvertLatencySql,
-    "q_fair_share"           -> qFairShareSql
+    "q_fair_share"           -> qFairShareSql,
+    "q_record_linkage"       -> qRecordLinkageSql,
+    "events_user_cohorts"    -> eventsUserCohortsSql,
+    "events_ab_test"         -> eventsAbTestSql
   )
 }
