@@ -393,6 +393,128 @@ object QueriesExt17 {
       |         + (CAST(svv_b AS DOUBLE) - CAST(sv_b AS DOUBLE) * CAST(sv_b AS DOUBLE) / n_b) / (n_b - 1) / n_b), 6) AS t_welch
       |FROM a CROSS JOIN c""".stripMargin
 
+  // --------------------------- encoding-damage audit (B83)
+
+  /** Mojibake/encoding-damage detection: count U+FFFD replacement
+    * characters and C0 control characters per document, report the
+    * bad-character rate in ppm and a `damaged` flag — the
+    * encoding-health gate that catches transcoding accidents before
+    * they poison a tokenizer. Damage is STAGED deterministically (every
+    * 7th document gets a replacement char + a BEL injected at position
+    * 5), so both engines replay the wound and the audit.
+    *
+    * Scale shape: pure codegen regexp_extract_all counts fused into the
+    * scan — no UDF, no shuffle, no join; the rate is integer floor
+    * division.
+    */
+  private def textEncodingAudit(s: SparkSession, dir: String): DataFrame = {
+    val damaged = when(
+      col("doc_id") % 7 === 0,
+      concat(substring(col("text"), 1, 5), lit("�"), substring(col("text"), 6, 1000000))
+    ).otherwise(col("text"))
+    documents(s, dir)
+      .select(col("doc_id"), damaged.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit("�"), lit(0))).cast("long").as("n_repl"),
+        size(regexp_extract_all(col("t"), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(0)))
+          .cast("long").as("n_ctrl"),
+        length(col("t")).cast("long").as("n_chars_seen")
+      )
+      .select(
+        col("doc_id"),
+        col("n_repl"),
+        col("n_ctrl"),
+        expr("CAST((n_repl + n_ctrl) * 1000000 div n_chars_seen AS BIGINT)").as("bad_ppm"),
+        (col("n_repl") + col("n_ctrl") > 0).as("damaged")
+      )
+  }
+
+  private val textEncodingAuditSql =
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN substr(text, 1, 5) || chr(65533) || chr(7) || substr(text, 6)
+      |      ELSE text END AS t
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(t, chr(65533))) AS BIGINT) AS n_repl,
+      |    CAST(len(regexp_extract_all(t, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS BIGINT) AS n_ctrl,
+      |    CAST(length(t) AS BIGINT) AS n_chars_seen
+      |  FROM d)
+      |SELECT doc_id, n_repl, n_ctrl,
+      |  CAST((n_repl + n_ctrl) * 1000000 // n_chars_seen AS BIGINT) AS bad_ppm,
+      |  n_repl + n_ctrl > 0 AS damaged
+      |FROM c""".stripMargin
+
+  // --------------------------- Pareto / ABC classification (B84)
+
+  /** ABC inventory analysis: parts ranked by discounted revenue, split
+    * into class A (first 80 % of cumulative revenue), B (to 95 %), and C
+    * (tail), summarized per class — the Pareto concentration readout
+    * behind assortment and cache-tier decisions. Revenue is carried as
+    * EXACT deci-cent integers (the DECIMAL(18,2)·(1−disc) product has
+    * scale 4), so cumulative thresholds, class boundaries, and shares
+    * are all integer comparisons — no float drift at the 80 %/95 %
+    * cliffs.
+    *
+    * Scale shape: per-part revenue is one map-side-combined hash-agg
+    * (parts-sized, dimension scale); the cumulative window sorts only
+    * that part-level table — the lineitem fact table is never sorted;
+    * the class summary is a 3-row hash-agg.
+    */
+  private def qParetoAbc(s: SparkSession, dir: String): DataFrame = {
+    val dec2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+    val rev = lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(
+        sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("rev4")
+      )
+      .select(col("l_partkey"), expr("CAST(rev4 * 10000 AS BIGINT)").as("rev_dc"))
+    val w = Window.partitionBy(lit(1)).orderBy(desc("rev_dc"), col("l_partkey"))
+    val cls = rev
+      .withColumn("cum", sum("rev_dc").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum("rev_dc").over(Window.partitionBy(lit(1))))
+      .withColumn(
+        "cls",
+        // reduced ratios (80% = 4/5, 95% = 19/20) + DECIMAL(38,0) keep the
+        // threshold products exact past BIGINT range at large SF
+        when(expr("CAST(cum AS DECIMAL(38,0)) * 5 <= CAST(total AS DECIMAL(38,0)) * 4"), lit("A"))
+          .when(expr("CAST(cum AS DECIMAL(38,0)) * 20 <= CAST(total AS DECIMAL(38,0)) * 19"), lit("B"))
+          .otherwise(lit("C"))
+      )
+    cls
+      .groupBy("cls")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("rev_dc").as("class_rev_dc"),
+        max("total").as("total_dc")
+      )
+      .select(
+        col("cls"),
+        col("n_parts"),
+        col("class_rev_dc"),
+        expr("CAST((CAST(class_rev_dc AS DECIMAL(38,0)) * 1000000) div CAST(total_dc AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_ppm")
+      )
+  }
+
+  private val qParetoAbcSql =
+    """WITH rev AS (SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS rev_dc
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, rev_dc,
+      |    sum(rev_dc) OVER (ORDER BY rev_dc DESC, l_partkey) AS cum,
+      |    sum(rev_dc) OVER () AS total
+      |  FROM rev),
+      |cls AS (SELECT *,
+      |    CASE WHEN cum * 5 <= total * 4 THEN 'A'
+      |         WHEN cum * 20 <= total * 19 THEN 'B'
+      |         ELSE 'C' END AS cls
+      |  FROM c)
+      |SELECT cls, count(*) AS n_parts, CAST(sum(rev_dc) AS BIGINT) AS class_rev_dc,
+      |  CAST(sum(rev_dc) * 1000000 // max(total) AS BIGINT) AS share_ppm
+      |FROM cls GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -401,7 +523,9 @@ object QueriesExt17 {
     "q_fair_share"           -> (qFairShare _),
     "q_record_linkage"       -> (qRecordLinkage _),
     "events_user_cohorts"    -> (eventsUserCohorts _),
-    "events_ab_test"         -> (eventsAbTest _)
+    "events_ab_test"         -> (eventsAbTest _),
+    "text_encoding_audit"    -> (textEncodingAudit _),
+    "q_pareto_abc"           -> (qParetoAbc _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -410,6 +534,8 @@ object QueriesExt17 {
     "q_fair_share"           -> qFairShareSql,
     "q_record_linkage"       -> qRecordLinkageSql,
     "events_user_cohorts"    -> eventsUserCohortsSql,
-    "events_ab_test"         -> eventsAbTestSql
+    "events_ab_test"         -> eventsAbTestSql,
+    "text_encoding_audit"    -> textEncodingAuditSql,
+    "q_pareto_abc"           -> qParetoAbcSql
   )
 }
