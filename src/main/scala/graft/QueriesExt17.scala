@@ -515,6 +515,125 @@ object QueriesExt17 {
       |  CAST(sum(rev_dc) * 1000000 // max(total) AS BIGINT) AS share_ppm
       |FROM cls GROUP BY 1""".stripMargin
 
+  // --------------------------- share-of-parent rollup (B85)
+
+  /** Hierarchical share decomposition: order revenue per (region, nation)
+    * with each nation's share of its REGION and each region's share of
+    * the TOTAL — the percent-of-parent readout a drill-down dashboard
+    * shows at every level. Revenue is exact integer cents; shares are
+    * integer ppm over DECIMAL(38,0) products (no overflow at any SF).
+    *
+    * Scale shape: one fact-table hash-agg keyed by the broadcast-joined
+    * dimension path (orders⋈customer shuffle, nation⋈region broadcast);
+    * both share windows run over the regions×nations result — parent
+    * totals never re-touch the fact table.
+    */
+  private def qRollupShares(s: SparkSession, dir: String): DataFrame = {
+    val dims = customer(s, dir)
+      .join(
+        broadcast(
+          nation(s, dir).join(region(s, dir), col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        ),
+        col("c_nationkey") === col("n_nationkey")
+      )
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val rev = orders(s, dir)
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev2"))
+      .select(col("r_name"), col("n_name"), expr("CAST(rev2 * 100 AS BIGINT)").as("rev_cents"))
+    rev
+      .withColumn("region_total", sum("rev_cents").over(Window.partitionBy("r_name")))
+      .withColumn("grand_total", sum("rev_cents").over(Window.partitionBy(lit(1))))
+      .select(
+        col("r_name"),
+        col("n_name"),
+        col("rev_cents"),
+        expr("CAST((CAST(rev_cents AS DECIMAL(38,0)) * 1000000) div CAST(region_total AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_of_region_ppm"),
+        expr("CAST((CAST(region_total AS DECIMAL(38,0)) * 1000000) div CAST(grand_total AS DECIMAL(38,0)) AS BIGINT)")
+          .as("region_share_ppm")
+      )
+  }
+
+  private val qRollupSharesSql =
+    """WITH rev AS (SELECT r_name, n_name,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |    sum(rev_cents) OVER (PARTITION BY r_name) AS region_total,
+      |    sum(rev_cents) OVER () AS grand_total
+      |  FROM rev)
+      |SELECT r_name, n_name, rev_cents,
+      |  CAST(rev_cents * 1000000 // region_total AS BIGINT) AS share_of_region_ppm,
+      |  CAST(region_total * 1000000 // grand_total AS BIGINT) AS region_share_ppm
+      |FROM w""".stripMargin
+
+  // --------------------------- last-touch attribution (B86)
+
+  /** Marketing attribution: every purchase credited to the user's most
+    * recent view/click no older than 6 hours — last-touch credit
+    * assignment, the batch complement of the streaming interval join
+    * (B47, which emits ALL touches in the window; attribution picks
+    * exactly one). Purchases with no in-window touch stay explicitly
+    * unattributed.
+    *
+    * Scale shape: one pass over the per-user ordered stream — three
+    * `last(..., ignoreNulls)` window calls over a frame EXCLUDING the
+    * current row replace any self-join; the window partitions per user
+    * (bounded by one user's history), and the 6 h cutoff is an integer
+    * millisecond filter applied after.
+    */
+  private def eventsAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col("event_type").isin("view", "click")
+    val base = events(s, dir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms")
+      )
+      .withColumn("t_ms", last(when(touch, col("ms")), ignoreNulls = true).over(w))
+      .withColumn("t_id", last(when(touch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("t_ty", last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+    base
+      .where(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ms").as("p_ms"),
+        when(col("t_ms") >= col("ms") - 21600000L, col("t_id")).as("touch_id"),
+        when(col("t_ms") >= col("ms") - 21600000L, col("t_ty")).as("touch_type"),
+        when(col("t_ms") >= col("ms") - 21600000L, expr("CAST((ms - t_ms) div 60000 AS BIGINT)"))
+          .as("mins_before"),
+        (col("t_ms").isNotNull && col("t_ms") >= col("ms") - 21600000L).as("attributed")
+      )
+  }
+
+  private val eventsAttributionSql =
+    """WITH b AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT *,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN ms END IGNORE NULLS)
+      |      OVER w AS t_ms,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN event_id END IGNORE NULLS)
+      |      OVER w AS t_id,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+      |      OVER w AS t_ty
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, ms AS p_ms,
+      |  CASE WHEN t_ms >= ms - 21600000 THEN t_id END AS touch_id,
+      |  CASE WHEN t_ms >= ms - 21600000 THEN t_ty END AS touch_type,
+      |  CASE WHEN t_ms >= ms - 21600000 THEN (ms - t_ms) // 60000 END AS mins_before,
+      |  t_ms IS NOT NULL AND t_ms >= ms - 21600000 AS attributed
+      |FROM l WHERE event_type = 'purchase'""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -525,7 +644,9 @@ object QueriesExt17 {
     "events_user_cohorts"    -> (eventsUserCohorts _),
     "events_ab_test"         -> (eventsAbTest _),
     "text_encoding_audit"    -> (textEncodingAudit _),
-    "q_pareto_abc"           -> (qParetoAbc _)
+    "q_pareto_abc"           -> (qParetoAbc _),
+    "q_rollup_shares"        -> (qRollupShares _),
+    "events_attribution"     -> (eventsAttribution _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -536,6 +657,8 @@ object QueriesExt17 {
     "events_user_cohorts"    -> eventsUserCohortsSql,
     "events_ab_test"         -> eventsAbTestSql,
     "text_encoding_audit"    -> textEncodingAuditSql,
-    "q_pareto_abc"           -> qParetoAbcSql
+    "q_pareto_abc"           -> qParetoAbcSql,
+    "q_rollup_shares"        -> qRollupSharesSql,
+    "events_attribution"     -> eventsAttributionSql
   )
 }
