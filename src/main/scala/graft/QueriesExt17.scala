@@ -634,6 +634,138 @@ object QueriesExt17 {
       |  t_ms IS NOT NULL AND t_ms >= ms - 21600000 AS attributed
       |FROM l WHERE event_type = 'purchase'""".stripMargin
 
+  // --------------------------- bitmap index segments (B87)
+
+  /** Bitmap-index construction: per vocabulary term, 64-document segments
+    * of a membership bitmap (`bit_or` of `1 << doc_id mod 64`) plus the
+    * per-segment popcount — the roaring-style posting representation
+    * OLAP engines use for fast boolean set algebra over terms. The
+    * segment width keeps every value a plain BIGINT, exact in both
+    * engines (including the sign bit for slot 63).
+    *
+    * Scale shape: one (term, doc) dedup hash-agg feeding a map-side
+    * -combined `bit_or` per (term, segment) — output is
+    * vocab × corpus/64 sized, 64× smaller than the posting list it
+    * encodes, and segment construction never shuffles more than the
+    * dedup did.
+    */
+  private def textBitmapIndex(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+      .groupBy(col("term"), expr("CAST(doc_id div 64 AS BIGINT)").as("seg"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 64 AS INT)))").as("bitmap"))
+      .select(
+        col("term"),
+        col("seg"),
+        col("bitmap"),
+        expr("CAST(bit_count(bitmap) AS BIGINT)").as("n_docs")
+      )
+  }
+
+  private val textBitmapIndexSql =
+    """WITH pairs AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents),
+      |p2 AS (SELECT doc_id, term,
+      |    CASE WHEN doc_id % 64 = 63 THEN -9223372036854775808
+      |         ELSE (1::BIGINT) << CAST(doc_id % 64 AS INT) END AS bit
+      |  FROM pairs WHERE length(term) > 0)
+      |SELECT term, doc_id // 64 AS seg,
+      |  bit_or(bit) AS bitmap,
+      |  CAST(bit_count(bit_or(bit)) AS BIGINT) AS n_docs
+      |FROM p2 GROUP BY 1, 2""".stripMargin
+
+  // --------------------------- bitmap intersection co-df (B88)
+
+  /** Boolean set algebra over the bitmap index: pairwise co-document
+    * frequency of the top-10 df terms computed by ANDing their 64-bit
+    * segments and summing popcounts — the bitmap trick that answers
+    * "documents containing BOTH terms" without touching a posting list.
+    * The ORACLE deliberately takes the OTHER route — a direct distinct
+    * (term, doc) self-join — so parity proves the bitmap algebra against
+    * independent set semantics, not a replay of itself.
+    *
+    * Scale shape: pair work is top-k² × corpus/64 POPCOUNTs, never a
+    * document-level join; the segment equi-join carries k rows per
+    * segment per side and the per-pair sum is map-side combined.
+    */
+  private def textBitmapCodf(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val pairs = documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val top = pairs
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rn", row_number().over(Window.partitionBy(lit(1)).orderBy(desc("df"), col("term"))))
+      .where(col("rn") <= 10)
+      .select("term")
+    val seg = pairs
+      .join(broadcast(top), Seq("term"))
+      .groupBy(col("term"), expr("CAST(doc_id div 64 AS BIGINT)").as("seg"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 64 AS INT)))").as("bm"))
+    seg.as("a")
+      .join(seg.as("b"), col("a.seg") === col("b.seg") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(expr("CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT)").as("co_df"))
+      .where(col("co_df") > 0)
+  }
+
+  private val textBitmapCodfSql =
+    """WITH pairs AS (SELECT DISTINCT doc_id,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents),
+      |p2 AS (SELECT * FROM pairs WHERE length(term) > 0),
+      |top AS (SELECT term FROM (
+      |    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+      |    FROM p2 GROUP BY term) WHERE rn <= 10),
+      |tp AS (SELECT doc_id, term FROM p2 WHERE term IN (SELECT term FROM top))
+      |SELECT a.term AS t1, b.term AS t2, count(*) AS co_df
+      |FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND a.term < b.term
+      |GROUP BY 1, 2 HAVING count(*) > 0""".stripMargin
+
+  // --------------------------- SCD type-3 current + previous (B10)
+
+  /** Slowly-changing-dimension TYPE 3: per key, the CURRENT value with
+    * the immediately PREVIOUS value alongside (plus change count and
+    * last-change timestamp) — the "show me what it was before" dimension
+    * shape, completing the SCD family next to latest-wins (type 1,
+    * cdc_latest_wins) and interval history (type 2, cdc_scd2_history).
+    *
+    * Scale shape: one rank window per key (bounded by a key's change
+    * history) and a conditional-aggregate collapse to one row per key —
+    * no joins, no second pass.
+    */
+  private def cdcScd3Current(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(desc("ms"), desc("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), unix_millis(col("ts")).as("ms"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("cur_value"),
+        max(when(col("rn") === 2, col("value"))).as("prev_value"),
+        max(when(col("rn") === 1, col("ms"))).as("cur_ms"),
+        count(lit(1)).as("n_kept")
+      )
+  }
+
+  private val cdcScd3CurrentSql =
+    """WITH r AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id,
+      |  max(CASE WHEN rn = 1 THEN value END) AS cur_value,
+      |  max(CASE WHEN rn = 2 THEN value END) AS prev_value,
+      |  max(CASE WHEN rn = 1 THEN ms END) AS cur_ms,
+      |  count(*) AS n_kept
+      |FROM r WHERE rn <= 2 GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -646,7 +778,10 @@ object QueriesExt17 {
     "text_encoding_audit"    -> (textEncodingAudit _),
     "q_pareto_abc"           -> (qParetoAbc _),
     "q_rollup_shares"        -> (qRollupShares _),
-    "events_attribution"     -> (eventsAttribution _)
+    "events_attribution"     -> (eventsAttribution _),
+    "text_bitmap_index"      -> (textBitmapIndex _),
+    "text_bitmap_codf"       -> (textBitmapCodf _),
+    "cdc_scd3_current"       -> (cdcScd3Current _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -659,6 +794,9 @@ object QueriesExt17 {
     "text_encoding_audit"    -> textEncodingAuditSql,
     "q_pareto_abc"           -> qParetoAbcSql,
     "q_rollup_shares"        -> qRollupSharesSql,
-    "events_attribution"     -> eventsAttributionSql
+    "events_attribution"     -> eventsAttributionSql,
+    "text_bitmap_index"      -> textBitmapIndexSql,
+    "text_bitmap_codf"       -> textBitmapCodfSql,
+    "cdc_scd3_current"       -> cdcScd3CurrentSql
   )
 }
