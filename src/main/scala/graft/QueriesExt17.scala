@@ -766,6 +766,133 @@ object QueriesExt17 {
       |  count(*) AS n_kept
       |FROM r WHERE rn <= 2 GROUP BY 1""".stripMargin
 
+  // --------------------------- sweep-line interval counting (B89)
+
+  /** Concurrent-interval counting: how many orders are OPEN (ordered but
+    * not yet fully shipped) at every point in time — the
+    * work-in-progress / concurrency metric (active sessions, open
+    * tickets, in-flight shipments) that naive per-day explosion makes
+    * O(days × intervals). Output is the step function at its CHANGE
+    * POINTS (each day where the count moves, with the new count).
+    *
+    * Scale shape: the SWEEP LINE — each interval contributes exactly two
+    * delta events (+1 at start, −1 after end), deltas collapse by day in
+    * a map-side-combined hash-agg, and one cumulative window over the
+    * bounded day domain yields the counts. Linear in intervals, never
+    * days × intervals.
+    */
+  private def qOpenOrdersSweep(s: SparkSession, dir: String): DataFrame = {
+    val anchor   = lit("1995-01-01").cast("date")
+    val shipped  = lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("ship_end"))
+    val iv = orders(s, dir)
+      .join(shipped, Seq("o_orderkey"))
+      .select(
+        datediff(col("o_orderdate").cast("date"), anchor).cast("long").as("d0"),
+        datediff(col("ship_end"), anchor).cast("long").as("d1")
+      )
+    val deltas = iv
+      .select(col("d0").as("day_idx"), lit(1L).as("delta"))
+      .unionByName(iv.select((col("d1") + 1).as("day_idx"), lit(-1L).as("delta")))
+      .groupBy("day_idx")
+      .agg(sum("delta").as("delta"))
+      .where(col("delta") =!= 0)
+    deltas
+      .withColumn(
+        "n_open",
+        sum("delta").over(
+          Window.partitionBy(lit(1)).orderBy("day_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .select(col("day_idx"), col("delta"), col("n_open"))
+  }
+
+  private val qOpenOrdersSweepSql =
+    """WITH shipped AS (SELECT l_orderkey AS o_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_end
+      |  FROM lineitem GROUP BY 1),
+      |iv AS (SELECT
+      |    CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d0,
+      |    CAST(datediff('day', DATE '1995-01-01', ship_end) AS BIGINT) AS d1
+      |  FROM orders JOIN shipped USING (o_orderkey)),
+      |deltas AS (SELECT day_idx, CAST(sum(delta) AS BIGINT) AS delta FROM (
+      |    SELECT d0 AS day_idx, 1 AS delta FROM iv
+      |    UNION ALL
+      |    SELECT d1 + 1 AS day_idx, -1 AS delta FROM iv)
+      |  GROUP BY 1 HAVING sum(delta) != 0)
+      |SELECT day_idx, delta, CAST(sum(delta) OVER (ORDER BY day_idx) AS BIGINT) AS n_open
+      |FROM deltas""".stripMargin
+
+  // --------------------------- time-travel as-of read (B10 family)
+
+  /** MVCC-style time travel: the full keyed state AS OF a fixed instant
+    * (2024-01-15 00:00 UTC), reconstructed from the change log — the
+    * read side of the SCD2 history (`cdc_scd2_history` builds the
+    * intervals; this query answers "what did the table look like at
+    * T?"). Keys whose first change is after T are correctly absent.
+    *
+    * Scale shape: a per-key rank window AFTER the `ms ≤ T` filter
+    * pushes down to the scan — only pre-T history is read; one row per
+    * key survives. At a real warehouse this is a partition-pruned read
+    * of the snapshot lineage (B52), not a log replay; the semantics
+    * gate is what this query pins.
+    */
+  private def cdcAsofSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val tMs = 1705276800000L // 2024-01-15T00:00:00Z
+    val w   = Window.partitionBy("user_id").orderBy(desc("ms"), desc("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), unix_millis(col("ts")).as("ms"))
+      .where(col("ms") <= tMs)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("value").as("value_at"), col("ms").as("as_of_ms"))
+  }
+
+  private val cdcAsofSnapshotSql =
+    """WITH r AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+      |  FROM events WHERE epoch_ms(ts) <= 1705276800000)
+      |SELECT user_id, value AS value_at, ms AS as_of_ms
+      |FROM r WHERE rn = 1""".stripMargin
+
+  // --------------------------- CV fold balance audit (B90)
+
+  /** Cross-validation hygiene: documents md5-assigned to 5 folds (the
+    * deterministic split, B16's contract) and each (fold, lang) cell
+    * audited for balance — observed count vs the lang's expected
+    * per-fold share, deviation in ppm — the skew check that catches a
+    * fold accidentally starved of a class before anyone trains on it.
+    *
+    * Scale shape: assignment is scan-fused hashing; the audit is one
+    * folds×langs-bounded hash-agg joined with a langs-sized total
+    * (broadcast); deviation is integer arithmetic on those tiny tables.
+    */
+  private def qCvFolds(s: SparkSession, dir: String): DataFrame = {
+    val fold = (graft.functions.Hashing.h32(col("doc_id").cast("string")) % 5).as("fold")
+    val cell = documents(s, dir).groupBy(fold, col("lang")).agg(count(lit(1)).as("n"))
+    val tot  = documents(s, dir).groupBy("lang").agg(count(lit(1)).as("lang_total"))
+    cell
+      .join(broadcast(tot), Seq("lang"))
+      .select(
+        col("fold"),
+        col("lang"),
+        col("n"),
+        col("lang_total"),
+        expr("CAST(abs(n * 5 * 1000000 div lang_total - 1000000) AS BIGINT)").as("dev_ppm")
+      )
+  }
+
+  private val qCvFoldsSql =
+    """WITH cell AS (SELECT
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold,
+      |    lang, count(*) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT lang, count(*) AS lang_total FROM documents GROUP BY 1)
+      |SELECT fold, lang, n, lang_total,
+      |  CAST(abs(n * 5 * 1000000 // lang_total - 1000000) AS BIGINT) AS dev_ppm
+      |FROM cell JOIN tot USING (lang)""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -781,7 +908,10 @@ object QueriesExt17 {
     "events_attribution"     -> (eventsAttribution _),
     "text_bitmap_index"      -> (textBitmapIndex _),
     "text_bitmap_codf"       -> (textBitmapCodf _),
-    "cdc_scd3_current"       -> (cdcScd3Current _)
+    "cdc_scd3_current"       -> (cdcScd3Current _),
+    "q_open_orders_sweep"    -> (qOpenOrdersSweep _),
+    "cdc_asof_snapshot"      -> (cdcAsofSnapshot _),
+    "q_cv_folds"             -> (qCvFolds _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -797,6 +927,9 @@ object QueriesExt17 {
     "events_attribution"     -> eventsAttributionSql,
     "text_bitmap_index"      -> textBitmapIndexSql,
     "text_bitmap_codf"       -> textBitmapCodfSql,
-    "cdc_scd3_current"       -> cdcScd3CurrentSql
+    "cdc_scd3_current"       -> cdcScd3CurrentSql,
+    "q_open_orders_sweep"    -> qOpenOrdersSweepSql,
+    "cdc_asof_snapshot"      -> cdcAsofSnapshotSql,
+    "q_cv_folds"             -> qCvFoldsSql
   )
 }
