@@ -215,9 +215,9 @@ object QueriesExt17 {
     * engines compute the same `levenshtein`, an integer.
     *
     * Scale shape: the fuzzy join is NEVER all-pairs — a BLOCKING key
-    * (the name's last 2 characters, chosen stable under the staged
+    * (the name's last 3 characters, chosen stable under the staged
     * edit positions) turns it into an equi-join with bounded blocks
-    * (~1% of each side), and the quadratic levenshtein work happens
+    * (~0.1% of each side), and the quadratic levenshtein work happens
     * only inside a block. Real pipelines run several blocking passes
     * and union candidates; one pass suffices here because the staged
     * edits provably preserve the key. Best-match is a per-dirty-record
@@ -235,8 +235,8 @@ object QueriesExt17 {
       ).as("dirty_name")
     )
     val cand = dirty
-      .withColumn("blk", expr("right(dirty_name, 2)"))
-      .join(master.withColumn("blk", expr("right(c_name, 2)")), Seq("blk"))
+      .withColumn("blk", expr("right(dirty_name, 3)"))
+      .join(master.withColumn("blk", expr("right(c_name, 3)")), Seq("blk"))
       .select(
         col("d_id"),
         col("dirty_name"),
@@ -262,7 +262,7 @@ object QueriesExt17 {
       |  FROM master),
       |cand AS (SELECT d_id, dirty_name, c_custkey,
       |    CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS dist
-      |  FROM dirty JOIN master ON right(dirty_name, 2) = right(c_name, 2)),
+      |  FROM dirty JOIN master ON right(dirty_name, 3) = right(c_name, 3)),
       |r AS (SELECT *, row_number() OVER (PARTITION BY d_id ORDER BY dist, c_custkey) AS rk FROM cand)
       |SELECT d_id, dirty_name, c_custkey AS matched_custkey, dist
       |FROM r WHERE rk = 1 AND dist <= 2""".stripMargin
