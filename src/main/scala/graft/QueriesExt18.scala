@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Round-7 additions, batch 8: sample-ratio-mismatch guardrail (B91),
+  * null-safe join semantics (B92), and id-gap detection (B93) —
+  * experiment hygiene, SQL-surface completion, and completeness auditing.
+  */
+object QueriesExt18 {
+
+  // --------------------------- sample-ratio mismatch check (B91)
+
+  /** Experiment guardrail: before reading any metric, verify the
+    * bucketing itself — per-user assignment counts against the expected
+    * 50/50 split, with the χ² statistic in milli-units and the standard
+    * p<0.05 trip-wire (χ² > 3.841) — the Sample Ratio Mismatch check
+    * that invalidates an experiment whose randomization is broken.
+    * χ²·1000 = `(n_a−n_b)²·1000 div (n_a+n_b)` — pure integers, exact
+    * in both engines (the denominator is the expected-count form for a
+    * two-cell equal-split test).
+    *
+    * Scale shape: one distinct-user hash-agg, a two-row bucket count,
+    * and scalar arithmetic — the guardrail costs one scan.
+    */
+  private def eventsSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val b = events(s, dir)
+      .select(col("user_id"))
+      .distinct()
+      .select((graft.functions.Hashing.h32(col("user_id").cast("string")) % 2).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+    val a  = b.where(col("bucket") === 0).select(col("n").as("n_a"))
+    val bb = b.where(col("bucket") === 1).select(col("n").as("n_b"))
+    a.crossJoin(bb)
+      .select(
+        col("n_a"),
+        col("n_b"),
+        expr("CAST((n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b) AS BIGINT)").as("chi2_milli")
+      )
+      .withColumn("srm_flag", col("chi2_milli") > 3841L)
+  }
+
+  private val eventsSrmCheckSql =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |b AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 AS bucket,
+      |    count(*) AS n
+      |  FROM u GROUP BY 1),
+      |a AS (SELECT n AS n_a FROM b WHERE bucket = 0),
+      |c AS (SELECT n AS n_b FROM b WHERE bucket = 1)
+      |SELECT n_a, n_b,
+      |  CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) AS BIGINT) AS chi2_milli,
+      |  (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841 AS srm_flag
+      |FROM a CROSS JOIN c""".stripMargin
+
+  // --------------------------- null-safe join semantics (B92)
+
+  /** The `<=>` corner of the join surface: keys staged to NULL on both
+    * sides (every 10th order's priority), joined null-safely — NULL keys
+    * MATCH each other under `<=>` / IS NOT DISTINCT FROM, where plain
+    * `=` drops them — and summarized per join-key class. Pipelines that
+    * join on nullable business keys (promo code, referrer, priority) hit
+    * exactly this semantic fork; pinning it here keeps the engine's
+    * answer deliberate rather than accidental.
+    *
+    * Scale shape: a null-safe equi-join IS an equi-join for the shuffle
+    * planner (null hashes like any key value); the count summary is one
+    * hash-agg. The only scale caveat — all-NULL keys land in ONE
+    * partition — is the standard skew case B9's salting handles.
+    */
+  private def qNullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val keyed = orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 10 === 0, lit(null).cast("string")).otherwise(col("o_orderpriority")).as("k")
+    )
+    val dim = orders(s, dir)
+      .select(
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("string")).otherwise(col("o_orderpriority")).as("k")
+      )
+      .distinct()
+      .withColumn("dim_tag", coalesce(col("k"), lit("<null>")))
+    keyed
+      .join(dim, keyed("k") <=> dim("k"))
+      .groupBy(col("dim_tag"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  private val qNullSafeJoinSql =
+    """WITH keyed AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS k
+      |  FROM orders),
+      |dim AS (SELECT DISTINCT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS k
+      |  FROM orders)
+      |SELECT coalesce(dim.k, '<null>') AS dim_tag, count(*) AS n_orders
+      |FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.k
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------- id-gap detection (B93)
+
+  /** Completeness audit over an id sequence: runs of MISSING event_ids
+    * (gap start, gap end, width) — the "did we drop records?" check an
+    * ingest pipeline runs against a supposedly-dense sequence. Gaps are
+    * staged by filtering out two id ranges, so both engines replay
+    * hole-punching and detection.
+    *
+    * Scale shape: one lead() window over the ordered id PROJECTION
+    * (single column, sorted once); gap rows are emitted only where
+    * `lead − id > 1`, so output is gaps-sized. No joins, no spine
+    * materialization across the id domain.
+    */
+  private def qIdGaps(s: SparkSession, dir: String): DataFrame = {
+    val ids = events(s, dir)
+      .select(col("event_id"))
+      .where(!(col("event_id") % 1000).between(150, 199) && !(col("event_id") % 1000).between(700, 704))
+    val w = Window.partitionBy(lit(1)).orderBy("event_id")
+    ids
+      .withColumn("nxt", lead(col("event_id"), 1).over(w))
+      .where(col("nxt") - col("event_id") > 1)
+      .select(
+        (col("event_id") + 1).as("gap_start"),
+        (col("nxt") - 1).as("gap_end"),
+        (col("nxt") - col("event_id") - 1).as("gap_width")
+      )
+  }
+
+  private val qIdGapsSql =
+    """WITH ids AS (SELECT event_id FROM events
+      |  WHERE NOT (event_id % 1000 BETWEEN 150 AND 199)
+      |    AND NOT (event_id % 1000 BETWEEN 700 AND 704)),
+      |l AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS nxt FROM ids)
+      |SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end, nxt - event_id - 1 AS gap_width
+      |FROM l WHERE nxt - event_id > 1""".stripMargin
+
+  // ------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_srm_check" -> (eventsSrmCheck _),
+    "q_null_safe_join" -> (qNullSafeJoin _),
+    "q_id_gaps"        -> (qIdGaps _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "events_srm_check" -> eventsSrmCheckSql,
+    "q_null_safe_join" -> qNullSafeJoinSql,
+    "q_id_gaps"        -> qIdGapsSql
+  )
+}
