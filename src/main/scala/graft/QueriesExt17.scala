@@ -241,7 +241,11 @@ object QueriesExt17 {
         col("d_id"),
         col("dirty_name"),
         col("c_custkey"),
-        levenshtein(col("dirty_name"), col("c_name")).cast("long").as("dist")
+        // bounded-k banded kernel (see functions/BandedLevenshtein): exact
+        // for dist ≤ 2, clamped above — identical to full levenshtein under
+        // the ≤ 2 acceptance filter, ~15× fewer DP cells per pair
+        graft.functions.BandedLevenshtein
+          .column(col("dirty_name"), col("c_name"), 2).cast("long").as("dist")
       )
     cand
       .withColumn(
