@@ -134,17 +134,77 @@ object QueriesExt18 {
       |SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end, nxt - event_id - 1 AS gap_width
       |FROM l WHERE nxt - event_id > 1""".stripMargin
 
+  // --------------------------- association-rule metrics (B94)
+
+  /** Association-rule mining on top of the co-purchase pairs (B66):
+    * support, both directional CONFIDENCEs, and LIFT for every part pair
+    * sharing ≥ 3 orders, top-20 by lift — the full
+    * "support/confidence/lift" triple a recommender's rule miner emits,
+    * not just the raw pair counts. All three metrics are integer ppm
+    * (lift's big cross-product in DECIMAL(38,0)), exact in both engines.
+    *
+    * Scale shape: B66's basket-bounded self-equi-join for pairs, two
+    * vocab-sized count lookups joined on the part key, the 1-row basket
+    * total broadcast (B27), TakeOrdered top-20 — nothing quadratic in
+    * parts, nothing sorted but the 20-row result.
+    */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
+    val cA      = li.groupBy("pk").agg(count(lit(1)).as("c"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= 3)
+    pairs
+      .join(cA.select(col("pk").as("p1"), col("c").as("c_1")), "p1")
+      .join(cA.select(col("pk").as("p2"), col("c").as("c_2")), "p2")
+      .crossJoin(nOrders)
+      .select(
+        col("p1"),
+        col("p2"),
+        col("c_ab").as("support"),
+        expr("CAST(c_ab * 1000000 div c_1 AS BIGINT)").as("conf_1_to_2_ppm"),
+        expr("CAST(c_ab * 1000000 div c_2 AS BIGINT)").as("conf_2_to_1_ppm"),
+        expr(
+          """CAST((CAST(c_ab AS DECIMAL(38,0)) * n_baskets * 1000000)
+            |  div (CAST(c_1 AS DECIMAL(38,0)) * c_2) AS BIGINT)""".stripMargin
+        ).as("lift_ppm")
+      )
+      .orderBy(desc("lift_ppm"), col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  private val qAssocRulesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |tot AS (SELECT count(DISTINCT ok) AS n_baskets FROM li),
+      |ca AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+      |pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS c_ab
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT p1, p2, c_ab AS support,
+      |  CAST(c_ab * 1000000 // x.c AS BIGINT) AS conf_1_to_2_ppm,
+      |  CAST(c_ab * 1000000 // y.c AS BIGINT) AS conf_2_to_1_ppm,
+      |  CAST(c_ab * n_baskets * 1000000 // (x.c * y.c) AS BIGINT) AS lift_ppm
+      |FROM pairs JOIN ca x ON pairs.p1 = x.pk JOIN ca y ON pairs.p2 = y.pk CROSS JOIN tot
+      |ORDER BY lift_ppm DESC, p1, p2 LIMIT 20""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_srm_check" -> (eventsSrmCheck _),
     "q_null_safe_join" -> (qNullSafeJoin _),
-    "q_id_gaps"        -> (qIdGaps _)
+    "q_id_gaps"        -> (qIdGaps _),
+    "q_assoc_rules"    -> (qAssocRules _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "events_srm_check" -> eventsSrmCheckSql,
     "q_null_safe_join" -> qNullSafeJoinSql,
-    "q_id_gaps"        -> qIdGapsSql
+    "q_id_gaps"        -> qIdGapsSql,
+    "q_assoc_rules"    -> qAssocRulesSql
   )
 }

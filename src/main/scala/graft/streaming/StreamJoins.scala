@@ -53,4 +53,48 @@ object StreamJoins {
       )
     )
   }
+
+  /** The LEFT OUTER form: every view emits — matched rows as they pair,
+    * UNMATCHED views with null purchase columns once the watermark
+    * proves no future purchase can still land in their interval. This is
+    * the "which impressions never converted" feed, and the outer-ness is
+    * exactly what distinguishes it from `viewPurchaseAttribution`: the
+    * null row is emitted by state EVICTION, so it appears only after the
+    * purchase-side watermark passes `view_ts + hours` — a
+    * correctness-from-retention contract StreamJoinSpec pins down.
+    *
+    * Same asymmetric watermarks as the inner form; state per side is
+    * O(users × window), unchanged — the outer join adds no state, only
+    * an emit-on-evict rule.
+    */
+  def viewPurchaseAttributionOuter(
+      views: DataFrame,
+      purchases: DataFrame,
+      hours: Int = 6,
+      lateness: String = "1 hour"
+  ): DataFrame = {
+    val v = views
+      .select(
+        col("event_id").as("view_id"),
+        col("user_id").as("v_user"),
+        col("ts").as("view_ts")
+      )
+      .withWatermark("view_ts", s"${hours + 1} hours")
+    val p = purchases
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("purchase_ts")
+      )
+      .withWatermark("purchase_ts", lateness)
+    v.join(
+      p,
+      expr(
+        s"""v_user = p_user
+           |AND view_ts >= purchase_ts - INTERVAL $hours HOURS
+           |AND view_ts <= purchase_ts""".stripMargin
+      ),
+      "left_outer"
+    )
+  }
 }

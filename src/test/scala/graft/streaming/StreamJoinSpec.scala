@@ -116,4 +116,39 @@ class StreamJoinSpec extends GraftSpecBase {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("left-outer interval join emits unmatched views on watermark eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(event_id: Long, user_id: Long, ts: Timestamp)
+    val views     = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    def frame(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "ts")
+
+    val joined = StreamJoins
+      .viewPurchaseAttributionOuter(frame(views), frame(purchases), hours = 6, lateness = "1 hour")
+      .select(col("view_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_outer").outputMode("append").start()
+
+    val t = (h: Int) => Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    views.addData((10L, 1L, t(1)), (11L, 2L, t(1)))   // user 2 never converts
+    purchases.addData((20L, 1L, t(2)))                // matches view 10
+    q.processAllAvailable()
+
+    // far-future events push both watermarks past view_ts + 6h, forcing
+    // the unmatched view out of state as a null-purchase row
+    views.addData((12L, 9L, t(23)))
+    purchases.addData((21L, 9L, t(23)))
+    q.processAllAvailable()
+    views.addData((13L, 9L, t(23)))
+    purchases.addData((22L, 9L, t(23)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj_outer").as[(Long, Option[Long])].collect().toSet
+    assert(rows.contains((10L, Some(20L))), s"matched pair missing: $rows")
+    assert(rows.contains((11L, None)), s"unmatched view not emitted on eviction: $rows")
+    // the matched view must NOT also emit a null row
+    assert(!rows.contains((10L, None)), s"matched view wrongly evicted as unmatched: $rows")
+  }
 }
