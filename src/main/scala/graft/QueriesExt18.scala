@@ -192,19 +192,84 @@ object QueriesExt18 {
       |FROM pairs JOIN ca x ON pairs.p1 = x.pk JOIN ca y ON pairs.p2 = y.pk CROSS JOIN tot
       |ORDER BY lift_ppm DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // --------------------------- FIFO lot allocation (B95)
+
+  /** FIFO matching: each part's demand (lineitems in ship order) is
+    * filled from its supply lots (staged, 3 per part) strictly
+    * first-in-first-out, emitting (demand row, lot, allocated qty) — the
+    * inventory/cost-allocation kernel (FIFO COGS, lot traceability)
+    * that looks sequential but is pure relational algebra: map demand
+    * and supply onto CUMULATIVE-QUANTITY intervals, and an allocation is
+    * simply the OVERLAP of a demand interval with a lot interval.
+    * Quantities are exact integers throughout.
+    *
+    * Scale shape: two per-part cumsum windows (bounded per part) + one
+    * equi-join ON THE PART KEY with tiny per-part multiplicity (lots per
+    * part), overlap computed scan-side and zero-overlap pairs dropped —
+    * no sequential state, no recursion, nothing quadratic; exactly the
+    * sweep idea of B89 applied to quantity space.
+    */
+  private def qFifoAllocation(s: SparkSession, dir: String): DataFrame = {
+    val dw = Window.partitionBy("l_partkey").orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val demand = lineitem(s, dir)
+      .where(col("l_partkey") % 50 === 0) // audit slice: full FIFO per sampled part
+      .select(
+        col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity").cast("long").as("qty")
+      )
+      .withColumn("d_hi", sum("qty").over(dw))
+      .withColumn("d_lo", col("d_hi") - col("qty"))
+    val lots = demand
+      .select(col("l_partkey")).distinct()
+      .select(col("l_partkey"), explode(expr("sequence(0, 2)")).as("lot"))
+      .withColumn("s_qty", expr("400 + (l_partkey * 7 + lot * 13) % 300"))
+    val sw = Window.partitionBy("l_partkey").orderBy("lot")
+    val supply = lots
+      .withColumn("s_hi", sum("s_qty").over(sw))
+      .withColumn("s_lo", col("s_hi") - col("s_qty"))
+    demand
+      .join(supply, Seq("l_partkey"))
+      .select(
+        col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("lot"),
+        (least(col("d_hi"), col("s_hi")) - greatest(col("d_lo"), col("s_lo"))).as("alloc_qty")
+      )
+      .where(col("alloc_qty") > 0)
+  }
+
+  private val qFifoAllocationSql =
+    """WITH demand AS (SELECT l_partkey, l_orderkey, l_linenumber,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS d_hi
+      |  FROM lineitem WHERE l_partkey % 50 = 0),
+      |d2 AS (SELECT *, d_hi - qty AS d_lo FROM demand),
+      |lots AS (SELECT l_partkey, unnest([0, 1, 2]) AS lot
+      |  FROM (SELECT DISTINCT l_partkey FROM d2)),
+      |l2 AS (SELECT l_partkey, lot, 400 + (l_partkey * 7 + lot * 13) % 300 AS s_qty FROM lots),
+      |supply AS (SELECT *,
+      |    CAST(sum(s_qty) OVER (PARTITION BY l_partkey ORDER BY lot) AS BIGINT) AS s_hi
+      |  FROM l2),
+      |s2 AS (SELECT *, s_hi - s_qty AS s_lo FROM supply)
+      |SELECT d2.l_partkey, l_orderkey, l_linenumber, lot,
+      |  least(d_hi, s_hi) - greatest(d_lo, s_lo) AS alloc_qty
+      |FROM d2 JOIN s2 ON d2.l_partkey = s2.l_partkey
+      |WHERE least(d_hi, s_hi) - greatest(d_lo, s_lo) > 0""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_srm_check" -> (eventsSrmCheck _),
     "q_null_safe_join" -> (qNullSafeJoin _),
     "q_id_gaps"        -> (qIdGaps _),
-    "q_assoc_rules"    -> (qAssocRules _)
+    "q_assoc_rules"    -> (qAssocRules _),
+    "q_fifo_allocation" -> (qFifoAllocation _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "events_srm_check" -> eventsSrmCheckSql,
     "q_null_safe_join" -> qNullSafeJoinSql,
     "q_id_gaps"        -> qIdGapsSql,
-    "q_assoc_rules"    -> qAssocRulesSql
+    "q_assoc_rules"    -> qAssocRulesSql,
+    "q_fifo_allocation" -> qFifoAllocationSql
   )
 }
