@@ -255,6 +255,71 @@ object QueriesExt18 {
       |FROM d2 JOIN s2 ON d2.l_partkey = s2.l_partkey
       |WHERE least(d_hi, s_hi) - greatest(d_lo, s_lo) > 0""".stripMargin
 
+  // --------------------------- binary header parsing (B96)
+
+  /** Fixed-layout binary header parsing: each document's payload is
+    * staged as `magic(4) ‖ width(4, ASCII decimal) ‖ height(4) ‖ body`
+    * (a BMP/RIFF-style layout; every 9th doc gets a corrupt magic), then
+    * PARSED BACK from the binary column — magic validated, dimensions
+    * extracted as integers, corrupt rows routed with null dims — the
+    * header-sniff step a media pipeline runs before ever invoking a
+    * codec (B6's decode kernel), over the same opaque-binary plumbing.
+    *
+    * Scale shape: pure codegen binary substring/decode/cast chain fused
+    * into the scan; no UDF, no shuffle — the reject route is a flag
+    * column, not a branch (B33's cache-once contract not even needed).
+    */
+  private def mmHeaderParse(s: SparkSession, dir: String): DataFrame = {
+    val magic = when(col("doc_id") % 9 === 0, lit("ZZZZ")).otherwise(lit("IMG0"))
+    val payload = encode(
+      concat(
+        magic,
+        lpad((col("doc_id") % 64 + 16).cast("string"), 4, "0"),
+        lpad(((col("doc_id") * 7) % 64 + 16).cast("string"), 4, "0"),
+        col("text")
+      ),
+      "UTF-8"
+    )
+    documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(
+        col("doc_id"),
+        decode(expr("substring(payload, 1, 4)"), "UTF-8").as("magic"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        decode(expr("substring(payload, 5, 4)"), "UTF-8").as("w_raw"),
+        decode(expr("substring(payload, 9, 4)"), "UTF-8").as("h_raw")
+      )
+      .select(
+        col("doc_id"),
+        (col("magic") === "IMG0").as("magic_ok"),
+        col("n_bytes"),
+        when(col("magic") === "IMG0", col("w_raw").cast("long")).as("width"),
+        when(col("magic") === "IMG0", col("h_raw").cast("long")).as("height")
+      )
+  }
+
+  // The oracle parses the pre-encode STRING layout (the header chars are
+  // ASCII, so byte offsets and char offsets agree) while Spark parses the
+  // BINARY column — independent routes to the same header fields, the
+  // B88-style cross-check
+  private val mmHeaderParseSql =
+    """WITH staged AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 9 = 0 THEN 'ZZZZ' ELSE 'IMG0' END)
+      |      || lpad(CAST(doc_id % 64 + 16 AS VARCHAR), 4, '0')
+      |      || lpad(CAST((doc_id * 7) % 64 + 16 AS VARCHAR), 4, '0')
+      |      || text AS s
+      |  FROM documents),
+      |p AS (SELECT doc_id,
+      |    substr(s, 1, 4) AS magic,
+      |    CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+      |    substr(s, 5, 4) AS w_raw,
+      |    substr(s, 9, 4) AS h_raw
+      |  FROM staged)
+      |SELECT doc_id, magic = 'IMG0' AS magic_ok, n_bytes,
+      |  CASE WHEN magic = 'IMG0' THEN CAST(w_raw AS BIGINT) END AS width,
+      |  CASE WHEN magic = 'IMG0' THEN CAST(h_raw AS BIGINT) END AS height
+      |FROM p""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,7 +327,8 @@ object QueriesExt18 {
     "q_null_safe_join" -> (qNullSafeJoin _),
     "q_id_gaps"        -> (qIdGaps _),
     "q_assoc_rules"    -> (qAssocRules _),
-    "q_fifo_allocation" -> (qFifoAllocation _)
+    "q_fifo_allocation" -> (qFifoAllocation _),
+    "mm_header_parse"   -> (mmHeaderParse _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -270,6 +336,7 @@ object QueriesExt18 {
     "q_null_safe_join" -> qNullSafeJoinSql,
     "q_id_gaps"        -> qIdGapsSql,
     "q_assoc_rules"    -> qAssocRulesSql,
-    "q_fifo_allocation" -> qFifoAllocationSql
+    "q_fifo_allocation" -> qFifoAllocationSql,
+    "mm_header_parse"   -> mmHeaderParseSql
   )
 }
