@@ -105,7 +105,18 @@ class PlanAuditSpec extends GraftSpecBase {
       "q_skew_profile", "events_window_topk", "text_dup_spans",
       "q_token_budget_select", "sim_centroid_outliers", "text_vocab_coverage",
       "text_hash_classifier", "text_html_extract", "corpus_snapshot_diff",
-      "q_quantile_calibration"
+      "q_quantile_calibration",
+      // round-7 wave 2. Excluded: q_hierarchy_flatten (eager localCheckpoint
+      // rounds at construction time) and the histogram/day-domain queries
+      // whose cumulative windows run single-partition BY DESIGN over a
+      // provably bounded domain (events_user_cohorts, q_pareto_abc,
+      // events_convert_latency, q_open_orders_sweep, q_fair_share,
+      // q_id_gaps) — their boundedness argument lives in the docstrings
+      // and the oracle gate covers them.
+      "events_transitions", "text_url_blocklist", "events_debounce",
+      "q_partial_merge", "text_bitmap_index", "events_attribution",
+      "q_record_linkage", "mm_header_parse", "q_fifo_allocation",
+      "graph_pagerank", "events_winsorize"
     )
     names.foreach { n =>
       val d = df(n)
