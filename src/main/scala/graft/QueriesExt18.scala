@@ -320,6 +320,125 @@ object QueriesExt18 {
       |  CASE WHEN magic = 'IMG0' THEN CAST(h_raw AS BIGINT) END AS height
       |FROM p""".stripMargin
 
+  // --------------------------- triangle counting (B97)
+
+  /** Per-node triangle counts over the staged host link graph (B64's
+    * edges, undirected) — the clustering/community-density metric next
+    * to PageRank (authority) and connected components (reach). The
+    * ordered-wedge method: every triangle is generated exactly once as
+    * a < b < c, then credited to all three corners.
+    *
+    * Scale shape: the canonical distributed formulation — wedge
+    * generation is an edge⋈edge EQUI-join on the middle node, closure is
+    * a SEMI-join against the edge set, corner credit is an explode +
+    * hash-agg. Node ordering (a<b<c) both dedups triangles and caps
+    * wedge fan-out by out-degree; at web scale the standard refinement
+    * (order by degree) bounds skew the same way.
+    */
+  private def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    // two deterministic edge families make the 20-node graph dense enough
+    // to actually contain triangles (one family alone is triangle-free)
+    val d = documents(s, dir)
+    val er = d.select(
+      col("source").as("x"),
+      concat(lit("src"), ((col("doc_id") * 7 + col("n_chars")) % 20).cast("string")).as("y")
+    ).unionByName(
+      d.select(
+        col("source").as("x"),
+        concat(lit("src"), ((col("doc_id") * 3 + col("n_chars") * 5 + 1) % 20).cast("string")).as("y")
+      )
+    )
+    val und = er
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tris = wedges.join(
+      und.select(col("a").as("ta"), col("b").as("tc")),
+      col("a") === col("ta") && col("c") === col("tc"),
+      "left_semi"
+    )
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  private val graphTrianglesSql =
+    """WITH er AS (SELECT source AS x, 'src' || CAST((doc_id * 7 + n_chars) % 20 AS VARCHAR) AS y
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT source AS x, 'src' || CAST((doc_id * 3 + n_chars * 5 + 1) % 20 AS VARCHAR) AS y
+      |  FROM documents),
+      |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM er WHERE x != y),
+      |tris AS (SELECT e1.a, e1.b, e2.b AS c
+      |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |  WHERE EXISTS (SELECT 1 FROM und u WHERE u.a = e1.a AND u.b = e2.b))
+      |SELECT node, count(*) AS n_tri FROM (
+      |  SELECT unnest([a, b, c]) AS node FROM tris)
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------- distribution drift, TV distance (B98)
+
+  /** Per-source distribution drift: total-variation distance between
+    * each source's document-length histogram (100-char buckets) and the
+    * corpus-wide histogram, in ppm — the "which provider changed shape"
+    * detector behind re-weighting and ingest alerts. TV = Σ|oN − cn| /
+    * (2nN): the numerator is an EXACT integer sum (one floor at the very
+    * end, in DECIMAL(38,0)), so both engines agree bucket-free of float
+    * error.
+    *
+    * Scale shape: two bounded histograms (source×buckets, buckets) from
+    * map-side-combined hash-aggs, broadcast-joined; per-source totals and
+    * the 1-row corpus total broadcast (B27); the absolute-difference sum
+    * runs over the tiny source×buckets table. One corpus scan.
+    */
+  private def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr("CAST(n_chars div 100 AS BIGINT)").as("bucket")
+    val o  = documents(s, dir).groupBy(col("source"), bucket).agg(count(lit(1)).as("o"))
+    val c  = documents(s, dir).groupBy(bucket).agg(count(lit(1)).as("c"))
+    val ns = documents(s, dir).groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nTot = documents(s, dir).agg(count(lit(1)).as("n_tot"))
+    // every corpus bucket must appear for every source (a source missing a
+    // bucket still contributes |0·N − c·n| to its distance)
+    val grid = ns.crossJoin(c)
+    grid
+      .join(o, Seq("source", "bucket"), "left")
+      .crossJoin(nTot)
+      .select(
+        col("source"),
+        col("n_s"),
+        abs(coalesce(col("o"), lit(0L)) * col("n_tot") - col("c") * col("n_s")).as("num")
+      )
+      .groupBy("source", "n_s")
+      .agg(sum("num").as("num_sum"))
+      .crossJoin(nTot)
+      .select(
+        col("source"),
+        expr(
+          """CAST((CAST(num_sum AS DECIMAL(38,0)) * 1000000)
+            |  div (CAST(2 AS DECIMAL(38,0)) * n_s * n_tot) AS BIGINT)""".stripMargin
+        ).as("tv_ppm")
+      )
+  }
+
+  private val qSourceDriftSql =
+    """WITH o AS (SELECT source, n_chars // 100 AS bucket, count(*) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |c AS (SELECT n_chars // 100 AS bucket, count(*) AS c FROM documents GROUP BY 1),
+      |ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+      |nt AS (SELECT count(*) AS n_tot FROM documents),
+      |grid AS (SELECT ns.source, ns.n_s, c.bucket, c.c FROM ns CROSS JOIN c),
+      |d AS (SELECT grid.source, grid.n_s,
+      |    abs(coalesce(o.o, 0) * n_tot - grid.c * grid.n_s) AS num
+      |  FROM grid LEFT JOIN o ON grid.source = o.source AND grid.bucket = o.bucket
+      |  CROSS JOIN nt)
+      |SELECT source,
+      |  CAST(sum(num) * 1000000 // (2 * any_value(n_s) * (SELECT n_tot FROM nt)) AS BIGINT) AS tv_ppm
+      |FROM d GROUP BY source""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,7 +447,9 @@ object QueriesExt18 {
     "q_id_gaps"        -> (qIdGaps _),
     "q_assoc_rules"    -> (qAssocRules _),
     "q_fifo_allocation" -> (qFifoAllocation _),
-    "mm_header_parse"   -> (mmHeaderParse _)
+    "mm_header_parse"   -> (mmHeaderParse _),
+    "graph_triangles"   -> (graphTriangles _),
+    "q_source_drift"    -> (qSourceDrift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,6 +458,8 @@ object QueriesExt18 {
     "q_id_gaps"        -> qIdGapsSql,
     "q_assoc_rules"    -> qAssocRulesSql,
     "q_fifo_allocation" -> qFifoAllocationSql,
-    "mm_header_parse"   -> mmHeaderParseSql
+    "mm_header_parse"   -> mmHeaderParseSql,
+    "graph_triangles"   -> graphTrianglesSql,
+    "q_source_drift"    -> qSourceDriftSql
   )
 }
