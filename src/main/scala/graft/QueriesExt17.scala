@@ -215,10 +215,15 @@ object QueriesExt17 {
     * engines compute the same `levenshtein`, an integer.
     *
     * Scale shape: the fuzzy join is NEVER all-pairs — a BLOCKING key
-    * (the name's last 3 characters, chosen stable under the staged
-    * edit positions) turns it into an equi-join with bounded blocks
-    * (~0.1% of each side), and the quadratic levenshtein work happens
-    * only inside a block. Real pipelines run several blocking passes
+    * (the name's last 7 characters: the full discriminative digit
+    * suffix, provably untouched by the staged edit positions) turns it
+    * into an equi-join whose block size is INDEPENDENT of table size —
+    * the property that keeps in-block levenshtein work linear overall.
+    * (A shorter suffix, custkey mod 1000, made blocks grow with the
+    * data and went quadratic at sf1: 72× for a 10× scale-up — the
+    * worked example of why blocking keys must bound block size, not
+    * just block count.) Quadratic levenshtein work happens only inside
+    * a block. Real pipelines run several blocking passes
     * and union candidates; one pass suffices here because the staged
     * edits provably preserve the key. Best-match is a per-dirty-record
     * rank window over block-bounded candidates.
@@ -235,8 +240,8 @@ object QueriesExt17 {
       ).as("dirty_name")
     )
     val cand = dirty
-      .withColumn("blk", expr("right(dirty_name, 3)"))
-      .join(master.withColumn("blk", expr("right(c_name, 3)")), Seq("blk"))
+      .withColumn("blk", expr("right(dirty_name, 7)"))
+      .join(master.withColumn("blk", expr("right(c_name, 7)")), Seq("blk"))
       .select(
         col("d_id"),
         col("dirty_name"),
@@ -266,7 +271,7 @@ object QueriesExt17 {
       |  FROM master),
       |cand AS (SELECT d_id, dirty_name, c_custkey,
       |    CAST(levenshtein(dirty_name, c_name) AS BIGINT) AS dist
-      |  FROM dirty JOIN master ON right(dirty_name, 3) = right(c_name, 3)),
+      |  FROM dirty JOIN master ON right(dirty_name, 7) = right(c_name, 7)),
       |r AS (SELECT *, row_number() OVER (PARTITION BY d_id ORDER BY dist, c_custkey) AS rk FROM cand)
       |SELECT d_id, dirty_name, c_custkey AS matched_custkey, dist
       |FROM r WHERE rk = 1 AND dist <= 2""".stripMargin

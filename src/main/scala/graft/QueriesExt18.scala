@@ -439,6 +439,117 @@ object QueriesExt18 {
       |  CAST(sum(num) * 1000000 // (2 * any_value(n_s) * (SELECT n_tot FROM nt)) AS BIGINT) AS tv_ppm
       |FROM d GROUP BY source""".stripMargin
 
+  // --------------------------- partition-skew report (B99)
+
+  /** Pre-shuffle layout diagnostic: simulate hash-partitioning the order
+    * keys across 32 partitions (md5-derived, engine-replayable) and
+    * report each partition's row count plus its deviation from the mean
+    * in ppm — the partition-level complement of B38's per-KEY skew
+    * profile, and the number you check before committing to a bucketing
+    * column. A healthy key hashes to ±few-percent deviation; a
+    * pathological one shows up as one hot partition.
+    *
+    * Scale shape: one map-side-combined hash-agg to 32 rows; the mean
+    * arrives by 1-row broadcast; deviation is integer arithmetic. Cost
+    * is one scan regardless of fact size.
+    */
+  private def qPartitionSkew(s: SparkSession, dir: String): DataFrame = {
+    val part = (graft.functions.Hashing.h32(col("l_orderkey").cast("string")) % 32).as("partition_id")
+    val counts = lineitem(s, dir).groupBy(part).agg(count(lit(1)).as("n_rows"))
+    val tot    = counts.agg(sum("n_rows").as("total"), count(lit(1)).as("n_parts"))
+    counts
+      .crossJoin(tot)
+      .select(
+        col("partition_id"),
+        col("n_rows"),
+        expr("CAST(abs(n_rows * n_parts * 1000000 div total - 1000000) AS BIGINT)").as("dev_ppm")
+      )
+  }
+
+  private val qPartitionSkewSql =
+    """WITH counts AS (SELECT
+      |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS partition_id,
+      |    count(*) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, count(*) AS n_parts FROM counts)
+      |SELECT partition_id, n_rows,
+      |  CAST(abs(n_rows * n_parts * 1000000 // total - 1000000) AS BIGINT) AS dev_ppm
+      |FROM counts CROSS JOIN tot""".stripMargin
+
+  // --------------------------- cold-start fallback recos (B100)
+
+  /** Cold-start serving table: top-3 parts by revenue per cohort
+    * (market segment × order priority), but a cohort whose line-item
+    * support is below threshold serves the GLOBAL top-3 instead, tagged
+    * `reco_src = 'global'` — the fallback chain a recommender uses when
+    * a cohort is too thin to trust its own signal. Revenue is exact
+    * integer cents; ranking replays TopKBy's (score desc, id asc) order.
+    *
+    * Scale shape: revenue per (cohort, part) is one broadcast-dim
+    * hash-agg; both top-3s are bounded-heap TopKBy aggregates (3 rows
+    * per partition cross the shuffle, B11's primitive — no rank
+    * windows); thin-cohort detection and the fallback stitch run on
+    * cohort-sized tables with the 3-row global list broadcast.
+    */
+  private def qRecoFallback(s: SparkSession, dir: String): DataFrame = {
+    val minSupport = 2500L
+    val dims = customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val base = orders(s, dir)
+      .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .select(
+        concat(col("c_mktsegment"), lit("|"), col("o_orderpriority")).as("cohort"),
+        col("l_partkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents")
+      )
+    val cohortPart = base
+      .groupBy("cohort", "l_partkey")
+      .agg(sum("cents").as("rev"), count(lit(1)).as("n"))
+    val support = cohortPart.groupBy("cohort").agg(sum("n").as("support"))
+    val topOwn = cohortPart
+      .groupBy("cohort")
+      .agg(graft.functions.TopKBy.topKByLong(col("rev").cast("double"), col("l_partkey"), 3).as("top"))
+      .select(col("cohort"), posexplode(col("top")))
+      .select(col("cohort"), (col("pos") + 1).cast("long").as("reco_rank"), col("col.id").as("reco_part"))
+    val topGlobal = cohortPart
+      .groupBy("l_partkey")
+      .agg(sum("rev").as("rev"))
+      .agg(graft.functions.TopKBy.topKByLong(col("rev").cast("double"), col("l_partkey"), 3).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("reco_rank"), col("col.id").as("reco_part"))
+    val healthy = support.where(col("support") >= minSupport).select("cohort")
+    val thin    = support.where(col("support") < minSupport).select("cohort")
+    topOwn
+      .join(healthy, Seq("cohort"), "left_semi")
+      .withColumn("reco_src", lit("segment"))
+      .unionByName(
+        thin.crossJoin(broadcast(topGlobal)).withColumn("reco_src", lit("global"))
+      )
+  }
+
+  private val qRecoFallbackSql =
+    """WITH base AS (SELECT c_mktsegment || '|' || o_orderpriority AS cohort, l_partkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN customer ON o_custkey = c_custkey),
+      |cp AS (SELECT cohort, l_partkey, CAST(sum(cents) AS BIGINT) AS rev, count(*) AS n
+      |  FROM base GROUP BY 1, 2),
+      |support AS (SELECT cohort, CAST(sum(n) AS BIGINT) AS support FROM cp GROUP BY 1),
+      |topown AS (SELECT cohort, reco_rank, l_partkey AS reco_part FROM (
+      |    SELECT cohort, l_partkey,
+      |      CAST(row_number() OVER (PARTITION BY cohort ORDER BY rev DESC, l_partkey) AS BIGINT) AS reco_rank
+      |    FROM cp) WHERE reco_rank <= 3),
+      |topglobal AS (SELECT reco_rank, l_partkey AS reco_part FROM (
+      |    SELECT l_partkey,
+      |      CAST(row_number() OVER (ORDER BY sum(rev) DESC, l_partkey) AS BIGINT) AS reco_rank
+      |    FROM cp GROUP BY l_partkey) WHERE reco_rank <= 3)
+      |SELECT t.cohort, reco_rank, reco_part, 'segment' AS reco_src
+      |FROM topown t JOIN support s ON t.cohort = s.cohort WHERE s.support >= 2500
+      |UNION ALL
+      |SELECT s.cohort, reco_rank, reco_part, 'global' AS reco_src
+      |FROM support s CROSS JOIN topglobal WHERE s.support < 2500""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -449,7 +560,9 @@ object QueriesExt18 {
     "q_fifo_allocation" -> (qFifoAllocation _),
     "mm_header_parse"   -> (mmHeaderParse _),
     "graph_triangles"   -> (graphTriangles _),
-    "q_source_drift"    -> (qSourceDrift _)
+    "q_source_drift"    -> (qSourceDrift _),
+    "q_partition_skew"  -> (qPartitionSkew _),
+    "q_reco_fallback"   -> (qRecoFallback _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -460,6 +573,8 @@ object QueriesExt18 {
     "q_fifo_allocation" -> qFifoAllocationSql,
     "mm_header_parse"   -> mmHeaderParseSql,
     "graph_triangles"   -> graphTrianglesSql,
-    "q_source_drift"    -> qSourceDriftSql
+    "q_source_drift"    -> qSourceDriftSql,
+    "q_partition_skew"  -> qPartitionSkewSql,
+    "q_reco_fallback"   -> qRecoFallbackSql
   )
 }
