@@ -133,6 +133,48 @@ object QueriesExt {
   /** Shared with QueriesExt3's clustering oracle. */
   private[graft] def minhashPairsSql: String = dedupMinhashSql
 
+  // ------------------------------ LSH calibration (B103)
+
+  /** Dedup.minhashCalibration over the corpus: estimated-vs-exact
+    * similarity per signature-match level — the banding-config
+    * quality curve (see the operator's docstring).
+    */
+  private def dedupMinhashCalibration(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(documents(s, dir), "doc_id", "text", shingleWords = 3)
+
+  private val dedupMinhashCalibrationSql =
+    s"""WITH nrm AS (SELECT doc_id, $normSql AS norm FROM documents),
+       |tok AS (SELECT doc_id, norm, string_split(norm,' ') AS toks FROM nrm),
+       |sh AS (SELECT doc_id, $shinglesSql AS shingles FROM tok),
+       |hs AS (SELECT doc_id, [${h32Sql("s")} for s in shingles] AS hlist,
+       |       list_distinct(shingles) AS sset FROM sh),
+       |sg AS (SELECT doc_id,
+       |  [list_min([($permsA[i]*h + $permsB[i]) % 4294967311 for h in hlist]) for i in range(1,17)] AS sig
+       |  FROM hs),
+       |bd AS (SELECT doc_id, b AS band,
+       |  ${h32Sql("concat_ws(':', sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4])")} AS band_hash
+       |  FROM sg, range(0,4) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bd x JOIN bd y ON x.band=y.band AND x.band_hash=y.band_hash AND x.doc_id<y.doc_id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |    CAST(len([i for i in range(1, 17) if a.sig[i] = b.sig[i]]) AS BIGINT) AS n_match
+       |  FROM cand c JOIN sg a ON c.id_a = a.doc_id JOIN sg b ON c.id_b = b.doc_id),
+       |sets AS (SELECT doc_id, unnest(sset) AS shingle FROM hs),
+       |sz AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS set_size FROM hs),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c
+       |  JOIN sets sa ON sa.doc_id = c.id_a
+       |  JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT e.n_match,
+       |    CAST(coalesce(i.n_inter, 0) * 1000000
+       |         // (za.set_size + zb.set_size - coalesce(i.n_inter, 0)) AS BIGINT) AS jac_ppm
+       |  FROM est e
+       |  LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+       |  JOIN sz za ON za.doc_id = e.id_a JOIN sz zb ON zb.doc_id = e.id_b)
+       |SELECT n_match, count(*) AS n_pairs,
+       |  CAST(sum(jac_ppm) // count(*) AS BIGINT) AS avg_jaccard_ppm
+       |FROM pairs GROUP BY 1""".stripMargin
+
   /** Shared by dedup_jaccard_ppjoin (QueriesExt7): the prefix-filtered
     * physical route must land on the identical pair set.
     */
@@ -305,6 +347,7 @@ object QueriesExt {
     "text_fingerprint"      -> (textFingerprint _),
     "dedup_exact_text"      -> (dedupExactText _),
     "dedup_minhash_lsh"     -> (dedupMinhash _),
+    "dedup_minhash_calibration" -> (dedupMinhashCalibration _),
     "dedup_simhash"         -> (dedupSimhash _),
     "dedup_ngram_jaccard"   -> (dedupNgramJaccard _),
     "dedup_embed_cosine"    -> (dedupEmbedCosine _),
@@ -324,6 +367,7 @@ object QueriesExt {
     "text_fingerprint"      -> textFingerprintSql,
     "dedup_exact_text"      -> dedupExactTextSql,
     "dedup_minhash_lsh"     -> dedupMinhashSql,
+    "dedup_minhash_calibration" -> dedupMinhashCalibrationSql,
     "dedup_simhash"         -> dedupSimhashSql,
     "dedup_ngram_jaccard"   -> dedupNgramJaccardSql,
     "dedup_embed_cosine"    -> dedupEmbedCosineSql,

@@ -135,6 +135,68 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** B103 — LSH index-quality calibration: for every band-colliding
+    * candidate pair, the ESTIMATED similarity (matching signature
+    * coordinates out of 16) against the EXACT Jaccard, averaged per
+    * estimate level — the calibration curve that tells an operator
+    * whether the banding config's recall/precision trade matches theory
+    * (E[matches]/16 ≈ J) before trusting it on a corpus. Exact values
+    * are integer ppm (sum div count), engine-replayable.
+    *
+    * Same shuffle budget as minhashPairs: the band join generates the
+    * candidates, signature comparison is an array zip on the joined
+    * pair rows, and exact Jaccard touches only candidate pairs. Output
+    * is ≤ 17 rows.
+    */
+  def minhashCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int
+  ): DataFrame = {
+    val sigs   = signatureTable(docs, idCol, textCol, shingleWords).persist()
+    val banded = bandRows(sigs)
+    val candidates = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sigOnly = sigs.select(col("doc_id"), col("sig"))
+    val est = candidates
+      .join(sigOnly.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigOnly.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS BIGINT)")
+          .as("n_match")
+      )
+    val sets  = sigs.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
+    val sizes = sigs.select(col("doc_id"), col("set_size"))
+    val inter = candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = est
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("za")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("zb")), "id_b")
+      .select(
+        col("n_match"),
+        expr("CAST(coalesce(n_inter, 0) * 1000000 div (za + zb - coalesce(n_inter, 0)) AS BIGINT)")
+          .as("jac_ppm")
+      )
+      .groupBy("n_match")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(jac_ppm) div count(1) AS BIGINT)").as("avg_jaccard_ppm")
+      )
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
