@@ -148,17 +148,172 @@ object QueriesExt19 {
       |    * CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_net
       |FROM events GROUP BY 1""".stripMargin
 
+  // --------------------------- referential-integrity audit (B107)
+
+  /** Whole-schema FK audit in one result: for each foreign-key edge
+    * (lineitem→orders, lineitem→part, orders→customer), the child rows
+    * with no parent (orphans) AND the parents with no children — the
+    * both-directions referential report a warehouse runs after every
+    * load (the multi-edge generalization of B33's single orphan rule).
+    * NOT EXISTS semantics on both sides pin null behavior.
+    *
+    * Scale shape: each direction is one anti-join on the FK key (the
+    * child side map-side deduped first where the parent check only
+    * needs distinct keys); results collapse to a 3-row audit table.
+    */
+  private def qFkAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, ck: String, parent: DataFrame, pk: String) = {
+      val orphans = child
+        .join(parent.select(col(pk)), child(ck) === parent(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_children"))
+      val childless = parent
+        .join(child.select(col(ck)).distinct(), child(ck) === parent(pk), "left_anti")
+        .agg(count(lit(1)).as("n_childless_parents"))
+      orphans.crossJoin(childless).select(lit(name).as("fk_edge"), col("n_orphan_children"), col("n_childless_parents"))
+    }
+    edge("lineitem->orders", lineitem(s, dir), "l_orderkey", orders(s, dir), "o_orderkey")
+      .unionByName(edge("lineitem->part", lineitem(s, dir), "l_partkey", part(s, dir), "p_partkey"))
+      .unionByName(edge("orders->customer", orders(s, dir), "o_custkey", customer(s, dir), "c_custkey"))
+  }
+
+  private val qFkAuditSql =
+    """SELECT 'lineitem->orders' AS fk_edge,
+      |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan_children,
+      |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless_parents
+      |UNION ALL
+      |SELECT 'lineitem->part',
+      |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+      |  (SELECT count(*) FROM part p WHERE NOT EXISTS
+      |    (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+      |UNION ALL
+      |SELECT 'orders->customer',
+      |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))""".stripMargin
+
+  // --------------------------- join-cardinality estimator audit (B108)
+
+  /** Optimizer-statistics validation: estimate |orders ⋈ lineitem| from
+    * 64-bucket hashed key histograms (Σ_b cntA(b)·cntB(b) — exactly what
+    * a cost model does with equi-width histograms) and compare against
+    * the TRUE join cardinality, reporting the over-estimate in ppm.
+    * Hash-bucket collisions inflate the estimate by a predictable
+    * amount; watching that error is how you decide whether histogram
+    * resolution is adequate before trusting a join plan. All integers.
+    *
+    * Scale shape: two map-side-combined bucket histograms (64 rows
+    * each) + one bucket equi-join for the estimate; the true
+    * cardinality is one equi-join count — the expensive part any
+    * validation run pays once.
+    */
+  private def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (c: org.apache.spark.sql.Column) =>
+      graft.functions.Hashing.h32(c.cast("string")) % 64
+    val ha = orders(s, dir).groupBy(bucket(col("o_orderkey")).as("b")).agg(count(lit(1)).as("ca"))
+    val hb = lineitem(s, dir).groupBy(bucket(col("l_orderkey")).as("b")).agg(count(lit(1)).as("cb"))
+    val est = ha
+      .join(hb, "b")
+      .agg(sum(col("ca") * col("cb")).as("est_rows"))
+    val actual = orders(s, dir)
+      .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("true_rows"))
+    est
+      .crossJoin(actual)
+      .select(
+        col("est_rows"),
+        col("true_rows"),
+        expr(
+          """CAST((CAST(est_rows AS DECIMAL(38,0)) - true_rows) * 1000000
+            |  div CAST(true_rows AS DECIMAL(38,0)) AS BIGINT)""".stripMargin
+        ).as("overestimate_ppm")
+      )
+  }
+
+  private val qJoinEstimateSql =
+    """WITH ha AS (SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b,
+      |    count(*) AS ca FROM orders GROUP BY 1),
+      |hb AS (SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 64 AS b,
+      |    count(*) AS cb FROM lineitem GROUP BY 1),
+      |est AS (SELECT CAST(sum(ca * cb) AS BIGINT) AS est_rows FROM ha JOIN hb USING (b)),
+      |act AS (SELECT count(*) AS true_rows FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT est_rows, true_rows,
+      |  CAST((est_rows - true_rows) * 1000000 // true_rows AS BIGINT) AS overestimate_ppm
+      |FROM est CROSS JOIN act""".stripMargin
+
+  // --------------------------- discount-response slope (B109)
+
+  /** Price-response analytics: per part brand, the OLS slope of ordered
+    * quantity against the discount percentage — "how much more do
+    * customers buy per discount point" — B67's exact-integer regression
+    * kernel applied across a dimension join (discount in integer percent
+    * units, quantity integral, slope in quantity-ppm per percent).
+    *
+    * Scale shape: one broadcast part-dim join feeding a (brand, pct)
+    * hash-agg with a bounded domain (brands × 11 discount levels); OLS
+    * sums aggregate that tiny table. The fact table is touched once.
+    */
+  private def qDiscountResponse(s: SparkSession, dir: String): DataFrame = {
+    val daily = lineitem(s, dir)
+      .join(broadcast(part(s, dir).select(col("p_partkey"), col("p_brand"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(
+        col("p_brand"),
+        round(col("l_discount") * 100).cast("long").as("pct")
+      )
+      .agg(sum(col("l_quantity").cast("long")).as("qty"), count(lit(1)).as("n_rows"))
+      .select(col("p_brand"), col("pct"), expr("CAST(qty * 1000 div n_rows AS BIGINT)").as("y"))
+    daily
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_pts"),
+        sum(col("pct")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("pct") * col("y")).as("sxy"),
+        sum(col("pct") * col("pct")).as("sxx")
+      )
+      .where(col("n_pts") >= 3)
+      .select(
+        col("p_brand"),
+        col("n_pts"),
+        expr("CAST(((n_pts * sxy - sx * sy) * 1000) div (n_pts * sxx - sx * sx) AS BIGINT)")
+          .as("slope_milli")
+      )
+  }
+
+  private val qDiscountResponseSql =
+    """WITH daily AS (SELECT p_brand, CAST(round(l_discount * 100) AS BIGINT) AS pct,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) * 1000 // count(*) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |c AS (SELECT p_brand, count(*) AS n_pts,
+      |    CAST(sum(pct) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(pct * y) AS BIGINT) AS sxy, CAST(sum(pct * pct) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY 1 HAVING count(*) >= 3)
+      |SELECT p_brand, n_pts,
+      |  CAST(((n_pts * sxy - sx * sy) * 1000) // (n_pts * sxx - sx * sx) AS BIGINT) AS slope_milli
+      |FROM c""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_conformance"   -> (eventsConformance _),
     "text_script_mismatch" -> (textScriptMismatch _),
-    "q_ivm_delta"          -> (qIvmDelta _)
+    "q_ivm_delta"          -> (qIvmDelta _),
+    "q_fk_audit"           -> (qFkAudit _),
+    "q_join_estimate"      -> (qJoinEstimate _),
+    "q_discount_response"  -> (qDiscountResponse _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "events_conformance"   -> eventsConformanceSql,
     "text_script_mismatch" -> textScriptMismatchSql,
-    "q_ivm_delta"          -> qIvmDeltaSql
+    "q_ivm_delta"          -> qIvmDeltaSql,
+    "q_fk_audit"           -> qFkAuditSql,
+    "q_join_estimate"      -> qJoinEstimateSql,
+    "q_discount_response"  -> qDiscountResponseSql
   )
 }
