@@ -297,6 +297,150 @@ object QueriesExt19 {
       |  CAST(((n_pts * sxy - sx * sy) * 1000) // (n_pts * sxx - sx * sx) AS BIGINT) AS slope_milli
       |FROM c""".stripMargin
 
+  // --------------------------- rising-entrants ranking delta (B110)
+
+  /** Rank-delta mining: parts in the LATEST year's revenue top-50 that
+    * were absent from the PREVIOUS year's — the "rising stars" feed a
+    * merchandising/trending pipeline publishes, computed as a set
+    * difference of two bounded ranked lists rather than a full rank
+    * join. Revenue is exact cents.
+    *
+    * Scale shape: each year's list is a bounded-heap TopKBy over a
+    * year-filtered scan (50 rows per partition cross the shuffle, B11's
+    * primitive); the entrant check is an anti-join of one 50-row list
+    * against the other — constant-size work after the aggregates.
+    */
+  private def qRisingParts(s: SparkSession, dir: String): DataFrame = {
+    def topYear(y: Int) =
+      lineitem(s, dir)
+        .where(year(col("l_shipdate").cast("date")) === y)
+        .groupBy("l_partkey")
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("rev_cents"))
+        .agg(graft.functions.TopKBy.topKByLong(col("rev_cents").cast("double"), col("l_partkey"), 50).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("l_partkey"),
+          col("col.score").cast("long").as("rev_cents"))
+    val cur  = topYear(1997)
+    val prev = topYear(1996)
+    cur
+      .join(prev.select(col("l_partkey")), Seq("l_partkey"), "left_anti")
+      .select(col("l_partkey"), col("rank"), col("rev_cents"))
+  }
+
+  private val qRisingPartsSql =
+    """WITH cur AS (SELECT l_partkey, rank, rev_cents FROM (
+      |    SELECT l_partkey,
+      |      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents,
+      |      CAST(row_number() OVER (ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) DESC, l_partkey) AS BIGINT) AS rank
+      |    FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1997 GROUP BY l_partkey)
+      |  WHERE rank <= 50),
+      |prev AS (SELECT l_partkey FROM (
+      |    SELECT l_partkey,
+      |      row_number() OVER (ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) DESC, l_partkey) AS rank
+      |    FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1996 GROUP BY l_partkey)
+      |  WHERE rank <= 50)
+      |SELECT l_partkey, rank, rev_cents FROM cur
+      |WHERE NOT EXISTS (SELECT 1 FROM prev WHERE prev.l_partkey = cur.l_partkey)""".stripMargin
+
+  // --------------------------- user-level cluster holdout (B111)
+
+  /** Cluster sampling at the unit of analysis: hold out ~20 % of USERS
+    * (md5 assignment) and keep ALL their events — the holdout a
+    * behavioral model needs, because row-level sampling (B16) biases
+    * within-user sequences. Reports per-type event rates in the holdout
+    * vs the full population (both ppm) and their gap — the
+    * representativeness check on the sample.
+    *
+    * Scale shape: assignment is scan-fused hashing (no user-table join);
+    * both rate tables are types-sized map-side-combined hash-aggs; the
+    * comparison joins two tiny tables.
+    */
+  private def eventsUserHoldout(s: SparkSession, dir: String): DataFrame = {
+    val inHoldout = graft.functions.Hashing.h32(col("user_id").cast("string")) % 5 === 0
+    val e = events(s, dir).select(col("event_type"), inHoldout.as("held"))
+    val hold = e.where(col("held")).groupBy("event_type").agg(count(lit(1)).as("n_hold"))
+    val full = e.groupBy("event_type").agg(count(lit(1)).as("n_full"))
+    val totH = hold.agg(sum("n_hold").as("t_hold"))
+    val totF = full.agg(sum("n_full").as("t_full"))
+    hold
+      .join(full, Seq("event_type"))
+      .crossJoin(totH)
+      .crossJoin(totF)
+      .select(
+        col("event_type"),
+        col("n_hold"),
+        col("n_full"),
+        expr("CAST(n_hold * 1000000 div t_hold AS BIGINT)").as("hold_share_ppm"),
+        expr("CAST(n_full * 1000000 div t_full AS BIGINT)").as("full_share_ppm"),
+        expr("CAST(abs(n_hold * 1000000 div t_hold - n_full * 1000000 div t_full) AS BIGINT)")
+          .as("gap_ppm")
+      )
+  }
+
+  private val eventsUserHoldoutSql =
+    """WITH e AS (SELECT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 = 0 AS held
+      |  FROM events),
+      |hold AS (SELECT event_type, count(*) AS n_hold FROM e WHERE held GROUP BY 1),
+      |fl AS (SELECT event_type, count(*) AS n_full FROM e GROUP BY 1),
+      |th AS (SELECT CAST(sum(n_hold) AS BIGINT) AS t_hold FROM hold),
+      |tf AS (SELECT CAST(sum(n_full) AS BIGINT) AS t_full FROM fl)
+      |SELECT event_type, n_hold, n_full,
+      |  CAST(n_hold * 1000000 // t_hold AS BIGINT) AS hold_share_ppm,
+      |  CAST(n_full * 1000000 // t_full AS BIGINT) AS full_share_ppm,
+      |  CAST(abs(n_hold * 1000000 // t_hold - n_full * 1000000 // t_full) AS BIGINT) AS gap_ppm
+      |FROM hold JOIN fl USING (event_type) CROSS JOIN th CROSS JOIN tf""".stripMargin
+
+  // --------------------------- Benford first-digit audit (B112)
+
+  /** Fraud-screening statistics: the first-significant-digit
+    * distribution of order totals against Benford's law — natural
+    * multiplicative amounts follow log10(1+1/d); fabricated or
+    * threshold-gamed figures don't. Expected shares are ppm LITERALS
+    * (the only place a log appears, precomputed), observed shares and
+    * deviations are pure integer arithmetic.
+    *
+    * Scale shape: first digit is a scan-fused string op; one 9-row
+    * hash-agg + 1-row total broadcast. Cost is one scan of the column.
+    */
+  private def qBenfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(
+      (1, 301030L), (2, 176091L), (3, 124939L), (4, 96910L), (5, 79181L),
+      (6, 66947L), (7, 57992L), (8, 51153L), (9, 45757L)
+    )
+    import s.implicits._
+    val exp = benford.toDF("digit", "benford_ppm").withColumn("digit", col("digit").cast("long"))
+    val obs = orders(s, dir)
+      .select(substring(col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = obs.agg(sum("n").as("total"))
+    obs
+      .join(broadcast(exp), Seq("digit"))
+      .crossJoin(tot)
+      .select(
+        col("digit"),
+        col("n"),
+        expr("CAST(n * 1000000 div total AS BIGINT)").as("obs_ppm"),
+        col("benford_ppm"),
+        expr("CAST(abs(n * 1000000 div total - benford_ppm) AS BIGINT)").as("dev_ppm")
+      )
+  }
+
+  private val qBenfordAuditSql =
+    """WITH exp(digit, benford_ppm) AS (VALUES
+      |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+      |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+      |obs AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+      |SELECT obs.digit, n,
+      |  CAST(n * 1000000 // total AS BIGINT) AS obs_ppm,
+      |  CAST(benford_ppm AS BIGINT) AS benford_ppm,
+      |  CAST(abs(n * 1000000 // total - benford_ppm) AS BIGINT) AS dev_ppm
+      |FROM obs JOIN exp ON obs.digit = exp.digit CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -305,7 +449,10 @@ object QueriesExt19 {
     "q_ivm_delta"          -> (qIvmDelta _),
     "q_fk_audit"           -> (qFkAudit _),
     "q_join_estimate"      -> (qJoinEstimate _),
-    "q_discount_response"  -> (qDiscountResponse _)
+    "q_discount_response"  -> (qDiscountResponse _),
+    "q_rising_parts"       -> (qRisingParts _),
+    "events_user_holdout"  -> (eventsUserHoldout _),
+    "q_benford_audit"      -> (qBenfordAudit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -314,6 +461,9 @@ object QueriesExt19 {
     "q_ivm_delta"          -> qIvmDeltaSql,
     "q_fk_audit"           -> qFkAuditSql,
     "q_join_estimate"      -> qJoinEstimateSql,
-    "q_discount_response"  -> qDiscountResponseSql
+    "q_discount_response"  -> qDiscountResponseSql,
+    "q_rising_parts"       -> qRisingPartsSql,
+    "events_user_holdout"  -> eventsUserHoldoutSql,
+    "q_benford_audit"      -> qBenfordAuditSql
   )
 }
