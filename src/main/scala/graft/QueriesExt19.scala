@@ -441,6 +441,110 @@ object QueriesExt19 {
       |  CAST(abs(n * 1000000 // total - benford_ppm) AS BIGINT) AS dev_ppm
       |FROM obs JOIN exp ON obs.digit = exp.digit CROSS JOIN tot""".stripMargin
 
+  // --------------------------- LTV cohort triangle (B113)
+
+  /** Lifetime-value triangle: users cohorted by first-activity week,
+    * purchase revenue accumulated per (cohort, age-week) cell, and the
+    * cumulative cents-per-user curve along each cohort row — the LTV
+    * readout that prices acquisition (the VALUE-based sibling of B7's
+    * activity retention). Exact integer cents; per-user division is
+    * integer floor.
+    *
+    * Scale shape: per-user firsts are one min-agg; cohort sizes and
+    * cell revenues are map-side-combined hash-aggs joined on the user's
+    * cohort assignment; the cumulative window runs over the
+    * weeks×weeks TRIANGLE, never the event log.
+    */
+  private def eventsLtvTriangle(s: SparkSession, dir: String): DataFrame = {
+    val dayCol = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long")
+    val e = events(s, dir).select(
+      col("user_id"), col("event_type"), dayCol.as("day_idx"),
+      col("value").cast("decimal(18,2)").as("v")
+    )
+    val firsts = e.groupBy("user_id").agg(expr("CAST(min(day_idx) div 7 AS BIGINT)").as("cohort_week"))
+    val sizes  = firsts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_users"))
+    val cells = e
+      .where(col("event_type") === "purchase")
+      .join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week"), expr("CAST(day_idx div 7 AS BIGINT) - cohort_week").as("age_week"))
+      .agg(expr("CAST(sum(v) * 100 AS BIGINT)").as("rev_cents"))
+    val w = Window.partitionBy("cohort_week").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_rev_cents", sum("rev_cents").over(w))
+      .select(
+        col("cohort_week"), col("age_week"), col("cohort_users"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("CAST(cum_rev_cents div cohort_users AS BIGINT)").as("cum_cents_per_user")
+      )
+  }
+
+  private val eventsLtvTriangleSql =
+    """WITH e AS (SELECT user_id, event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |firsts AS (SELECT user_id, min(day_idx) // 7 AS cohort_week FROM e GROUP BY 1),
+      |sizes AS (SELECT cohort_week, count(*) AS cohort_users FROM firsts GROUP BY 1),
+      |cells AS (SELECT f.cohort_week, e.day_idx // 7 - f.cohort_week AS age_week,
+      |    CAST(sum(v) * 100 AS BIGINT) AS rev_cents
+      |  FROM e JOIN firsts f ON e.user_id = f.user_id
+      |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c2 AS (SELECT cells.*, sizes.cohort_users,
+      |    CAST(sum(rev_cents) OVER (PARTITION BY cells.cohort_week ORDER BY age_week) AS BIGINT) AS cum_rev_cents
+      |  FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week)
+      |SELECT cohort_week, age_week, cohort_users, rev_cents, cum_rev_cents,
+      |  CAST(cum_rev_cents // cohort_users AS BIGINT) AS cum_cents_per_user
+      |FROM c2""".stripMargin
+
+  // --------------------------- skyline / Pareto frontier (B114)
+
+  /** Preference query: the Pareto-optimal parts on (price LOW, size
+    * HIGH) — no other part is at-most-as-expensive AND at-least-as-big
+    * with one strict — the skyline operator of multi-criteria shortlist
+    * UIs. NOT computed as the textbook O(n²) dominance anti-join: after
+    * sorting by price, a part is on the frontier iff its size beats the
+    * running max size over all STRICTLY cheaper parts (RANGE frame on
+    * integer cents) and it carries its price level's max size — two
+    * windows, O(n log n).
+    *
+    * Scale shape: the sort is over the parts DIMENSION (never a fact
+    * table); both windows are one pass; the 2-attribute sort-and-sweep
+    * is the standard distributed-skyline building block (per-partition
+    * sweep + merge of local frontiers at higher dimensionality).
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    val base = part(s, dir).select(
+      col("p_partkey"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_c"),
+      col("p_size").cast("long").as("size")
+    )
+    val wLower = Window.partitionBy(lit(1)).orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSame = Window.partitionBy("price_c")
+    base
+      .withColumn("max_sz_lower", max("size").over(wLower))
+      .withColumn("max_sz_same", max("size").over(wSame))
+      .where(
+        (col("max_sz_lower").isNull || col("size") > col("max_sz_lower")) &&
+          col("size") === col("max_sz_same")
+      )
+      .select(col("p_partkey"), col("price_c"), col("size"))
+  }
+
+  private val qSkylineSql =
+    """WITH base AS (SELECT p_partkey,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part),
+      |w AS (SELECT *,
+      |    max(size) OVER (ORDER BY price_c RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_sz_lower,
+      |    max(size) OVER (PARTITION BY price_c) AS max_sz_same
+      |  FROM base)
+      |SELECT p_partkey, price_c, size FROM w
+      |WHERE (max_sz_lower IS NULL OR size > max_sz_lower) AND size = max_sz_same""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -452,7 +556,9 @@ object QueriesExt19 {
     "q_discount_response"  -> (qDiscountResponse _),
     "q_rising_parts"       -> (qRisingParts _),
     "events_user_holdout"  -> (eventsUserHoldout _),
-    "q_benford_audit"      -> (qBenfordAudit _)
+    "q_benford_audit"      -> (qBenfordAudit _),
+    "events_ltv_triangle"  -> (eventsLtvTriangle _),
+    "q_skyline"            -> (qSkyline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -464,6 +570,8 @@ object QueriesExt19 {
     "q_discount_response"  -> qDiscountResponseSql,
     "q_rising_parts"       -> qRisingPartsSql,
     "events_user_holdout"  -> eventsUserHoldoutSql,
-    "q_benford_audit"      -> qBenfordAuditSql
+    "q_benford_audit"      -> qBenfordAuditSql,
+    "events_ltv_triangle"  -> eventsLtvTriangleSql,
+    "q_skyline"            -> qSkylineSql
   )
 }
