@@ -545,6 +545,113 @@ object QueriesExt19 {
       |SELECT p_partkey, price_c, size FROM w
       |WHERE (max_sz_lower IS NULL OR size > max_sz_lower) AND size = max_sz_same""".stripMargin
 
+  // --------------------------- inter-arrival burstiness (B115)
+
+  /** Traffic-shape diagnostics: per event type, the inter-arrival gap
+    * distribution summarized as mean and squared coefficient of
+    * variation (CoV² = n·Σg²/ (Σg)² − 1, in ppm) — CoV² ≈ 1 ppm-million
+    * means Poisson-like arrivals, ≫ 1 means bursty traffic that needs
+    * B101's rate limiting / B72's debounce in front of it. All moments
+    * are exact integer sums; CoV² is one DECIMAL(38,0) division.
+    *
+    * Scale shape: gaps come from one per-type lag window ordered by
+    * time (bounded per type-partition — the type cardinality is tiny and
+    * a real deployment keys by (entity, type)); moments collapse to a
+    * types-sized map-side-combined hash-agg.
+    */
+  private def eventsInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ms"), col("event_id"))
+    events(s, dir)
+      .select(
+        col("event_type"), col("event_id"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms")
+      )
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg")
+      )
+      .select(
+        col("event_type"),
+        col("n_gaps"),
+        expr("CAST(sg div n_gaps AS BIGINT)").as("mean_gap_ms"),
+        expr(
+          """CAST((CAST(n_gaps AS DECIMAL(38,0)) * sgg * 1000000)
+            |  div (CAST(sg AS DECIMAL(38,0)) * sg) - 1000000 AS BIGINT)""".stripMargin
+        ).as("cov2_ppm")
+      )
+  }
+
+  private val eventsInterarrivalSql =
+    """WITH g AS (SELECT event_type,
+      |    ms - lag(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id) AS gap
+      |  FROM (SELECT event_type, event_id, epoch_ms(ts) AS ms FROM events)),
+      |m AS (SELECT event_type, count(*) AS n_gaps,
+      |    sum(gap) AS sg, sum(gap * gap) AS sgg
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps,
+      |  CAST(sg // n_gaps AS BIGINT) AS mean_gap_ms,
+      |  CAST((n_gaps * sgg * 1000000) // (sg * sg) - 1000000 AS BIGINT) AS cov2_ppm
+      |FROM m""".stripMargin
+
+  // --------------------------- min-max pruning effectiveness (B116)
+
+  /** Layout-quality quantification: simulate per-chunk min/max zone maps
+    * for `l_shipdate` under two layouts — NATURAL insertion order
+    * (chunks of orderkey ranges) vs DATE-CLUSTERED (chunks of day
+    * ranges) — and report, for a one-quarter predicate, how many chunks
+    * a min/max-pruning reader must open. This is the number that
+    * justifies the z-order/sort maintenance job (B15): same data, same
+    * predicate, ~an-order-of-magnitude fewer chunks touched when the
+    * layout clusters the filter column.
+    *
+    * Scale shape: chunk assignment is scan-fused integer division (no
+    * global sort — the clustered layout is simulated by keying chunks on
+    * the date directly); per-chunk min/max are map-side-combined
+    * hash-aggs; the overlap test and summary run over the chunk tables.
+    */
+  private def qMinmaxPruning(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date")).cast("long")
+    val base = lineitem(s, dir).select(col("l_orderkey"), day.as("day_idx"))
+    val lo   = 730L
+    val hi   = 820L
+    def audit(layout: String, chunkCol: org.apache.spark.sql.Column) =
+      base
+        .groupBy(chunkCol.as("chunk"))
+        .agg(min("day_idx").as("mn"), max("day_idx").as("mx"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("mx") >= lo && col("mn") <= hi, 1L).otherwise(0L)).as("n_hit")
+        )
+        .select(
+          lit(layout).as("layout"),
+          col("n_chunks"),
+          col("n_hit"),
+          expr("CAST(n_hit * 1000000 div n_chunks AS BIGINT)").as("hit_ppm")
+        )
+    audit("natural", expr("CAST(l_orderkey div 4000 AS BIGINT)"))
+      .unionByName(audit("date_clustered", expr("CAST(day_idx div 60 AS BIGINT)")))
+  }
+
+  private val qMinmaxPruningSql =
+    """WITH base AS (SELECT l_orderkey,
+      |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx
+      |  FROM lineitem),
+      |nat AS (SELECT l_orderkey // 4000 AS chunk, min(day_idx) AS mn, max(day_idx) AS mx
+      |  FROM base GROUP BY 1),
+      |clu AS (SELECT day_idx // 60 AS chunk, min(day_idx) AS mn, max(day_idx) AS mx
+      |  FROM base GROUP BY 1),
+      |a AS (SELECT 'natural' AS layout, count(*) AS n_chunks,
+      |    CAST(sum(CASE WHEN mx >= 730 AND mn <= 820 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit FROM nat),
+      |b AS (SELECT 'date_clustered' AS layout, count(*) AS n_chunks,
+      |    CAST(sum(CASE WHEN mx >= 730 AND mn <= 820 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit FROM clu)
+      |SELECT layout, n_chunks, n_hit, CAST(n_hit * 1000000 // n_chunks AS BIGINT) AS hit_ppm FROM a
+      |UNION ALL
+      |SELECT layout, n_chunks, n_hit, CAST(n_hit * 1000000 // n_chunks AS BIGINT) AS hit_ppm FROM b""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -558,7 +665,9 @@ object QueriesExt19 {
     "events_user_holdout"  -> (eventsUserHoldout _),
     "q_benford_audit"      -> (qBenfordAudit _),
     "events_ltv_triangle"  -> (eventsLtvTriangle _),
-    "q_skyline"            -> (qSkyline _)
+    "q_skyline"            -> (qSkyline _),
+    "events_interarrival"  -> (eventsInterarrival _),
+    "q_minmax_pruning"     -> (qMinmaxPruning _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -572,6 +681,8 @@ object QueriesExt19 {
     "events_user_holdout"  -> eventsUserHoldoutSql,
     "q_benford_audit"      -> qBenfordAuditSql,
     "events_ltv_triangle"  -> eventsLtvTriangleSql,
-    "q_skyline"            -> qSkylineSql
+    "q_skyline"            -> qSkylineSql,
+    "events_interarrival"  -> eventsInterarrivalSql,
+    "q_minmax_pruning"     -> qMinmaxPruningSql
   )
 }
