@@ -652,6 +652,158 @@ object QueriesExt19 {
       |UNION ALL
       |SELECT layout, n_chunks, n_hit, CAST(n_hit * 1000000 // n_chunks AS BIGINT) AS hit_ppm FROM b""".stripMargin
 
+  // --------------------------- RFM segmentation (B117)
+
+  /** Marketing RFM: every customer scored 1–5 on Recency (days since
+    * last order, lower = better), Frequency (order count), and Monetary
+    * (lifetime cents), quintile boundaries computed with B53's
+    * pure-integer inverted-CDF over BOUNDED histograms — then collapsed
+    * to the classic segment labels (champion / loyal / at-risk / lost /
+    * regular). The workhorse customer-base segmentation, exact in both
+    * engines because no percentile is ever interpolated.
+    *
+    * Scale shape: one per-customer hash-agg builds (r, f, m); each
+    * dimension's quintile thresholds come from a bounded-domain
+    * histogram + cumulative window over that histogram (days / order
+    * counts / whole-dollar buckets); the 12 threshold values broadcast
+    * back onto the customer table. Customers never sort.
+    */
+  private def qRfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("2001-09-01").cast("date")
+    val rfm = orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(anchor, max(col("o_orderdate").cast("date"))).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) * 100").cast("long").as("m_cents")
+      )
+      .withColumn("m", expr("CAST(m_cents div 100 AS BIGINT)")) // whole dollars: bounded histogram domain
+    def quintiles(dim: String, asc: Boolean) = {
+      val hist = rfm.groupBy(dim).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(lit(1)).orderBy(if (asc) col(dim).asc else col(dim).desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("total", sum("cnt").over(Window.partitionBy(lit(1))))
+      val qs = (1 to 4).map(q =>
+        (if (asc) min(when(col("cum") * 5 >= col("total") * q, col(dim)))
+         else max(when(col("cum") * 5 >= col("total") * q, col(dim)))).as(s"${dim}_q$q")
+      )
+      cum
+        .groupBy(lit(1).as("g"))
+        .agg(qs.head, qs.tail: _*)
+        .drop("g")
+    }
+    // recency: LOWER is better → rank ascending gives best (score 5 = lowest r)
+    val rq = quintiles("r", asc = true)
+    val fq = quintiles("f", asc = true)
+    val mq = quintiles("m", asc = true)
+    def score(dim: String, invert: Boolean) = {
+      val raw = when(col(dim) <= col(s"${dim}_q1"), 1L)
+        .when(col(dim) <= col(s"${dim}_q2"), 2L)
+        .when(col(dim) <= col(s"${dim}_q3"), 3L)
+        .when(col(dim) <= col(s"${dim}_q4"), 4L)
+        .otherwise(5L)
+      if (invert) lit(6L) - raw else raw
+    }
+    rfm
+      .crossJoin(broadcast(rq))
+      .crossJoin(broadcast(fq))
+      .crossJoin(broadcast(mq))
+      .select(
+        col("o_custkey").as("custkey"),
+        score("r", invert = true).as("r_score"), // low recency-days → high score
+        score("f", invert = false).as("f_score"),
+        score("m", invert = false).as("m_score")
+      )
+      .withColumn(
+        "segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, lit("champion"))
+          .when(col("f_score") >= 4, lit("loyal"))
+          .when(col("r_score") <= 2 && col("m_score") >= 4, lit("at_risk"))
+          .when(col("r_score") <= 1, lit("lost"))
+          .otherwise(lit("regular"))
+      )
+  }
+
+  private val qRfmSegmentsSql =
+    """WITH rfm AS (SELECT o_custkey,
+      |    CAST(datediff('day', max(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS BIGINT) AS r,
+      |    count(*) AS f,
+      |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) * 100 // 100 AS BIGINT) AS m
+      |  FROM orders GROUP BY 1),
+      |rh AS (SELECT r AS v, count(*) AS cnt FROM rfm GROUP BY 1),
+      |rc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS total FROM rh),
+      |rq AS (SELECT min(CASE WHEN cum * 5 >= total * 1 THEN v END) AS q1,
+      |    min(CASE WHEN cum * 5 >= total * 2 THEN v END) AS q2,
+      |    min(CASE WHEN cum * 5 >= total * 3 THEN v END) AS q3,
+      |    min(CASE WHEN cum * 5 >= total * 4 THEN v END) AS q4 FROM rc),
+      |fh AS (SELECT f AS v, count(*) AS cnt FROM rfm GROUP BY 1),
+      |fc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS total FROM fh),
+      |fq AS (SELECT min(CASE WHEN cum * 5 >= total * 1 THEN v END) AS q1,
+      |    min(CASE WHEN cum * 5 >= total * 2 THEN v END) AS q2,
+      |    min(CASE WHEN cum * 5 >= total * 3 THEN v END) AS q3,
+      |    min(CASE WHEN cum * 5 >= total * 4 THEN v END) AS q4 FROM fc),
+      |mh AS (SELECT m AS v, count(*) AS cnt FROM rfm GROUP BY 1),
+      |mc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum, sum(cnt) OVER () AS total FROM mh),
+      |mq AS (SELECT min(CASE WHEN cum * 5 >= total * 1 THEN v END) AS q1,
+      |    min(CASE WHEN cum * 5 >= total * 2 THEN v END) AS q2,
+      |    min(CASE WHEN cum * 5 >= total * 3 THEN v END) AS q3,
+      |    min(CASE WHEN cum * 5 >= total * 4 THEN v END) AS q4 FROM mc),
+      |scored AS (SELECT o_custkey AS custkey,
+      |    6 - (CASE WHEN r <= rq.q1 THEN 1 WHEN r <= rq.q2 THEN 2 WHEN r <= rq.q3 THEN 3
+      |              WHEN r <= rq.q4 THEN 4 ELSE 5 END) AS r_score,
+      |    CASE WHEN f <= fq.q1 THEN 1 WHEN f <= fq.q2 THEN 2 WHEN f <= fq.q3 THEN 3
+      |         WHEN f <= fq.q4 THEN 4 ELSE 5 END AS f_score,
+      |    CASE WHEN m <= mq.q1 THEN 1 WHEN m <= mq.q2 THEN 2 WHEN m <= mq.q3 THEN 3
+      |         WHEN m <= mq.q4 THEN 4 ELSE 5 END AS m_score
+      |  FROM rfm CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq)
+      |SELECT custkey, CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |  CAST(m_score AS BIGINT) AS m_score,
+      |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+      |       WHEN f_score >= 4 THEN 'loyal'
+      |       WHEN r_score <= 2 AND m_score >= 4 THEN 'at_risk'
+      |       WHEN r_score <= 1 THEN 'lost'
+      |       ELSE 'regular' END AS segment
+      |FROM scored""".stripMargin
+
+  // --------------------------- noisy-neighbor detection (B118)
+
+  /** Multi-tenant fairness: the 20 (hour, user) cells where one user
+    * most dominates an hour's traffic (share of that hour in ppm) — the
+    * noisy-neighbor readout a platform throttles (B101) from. Integer
+    * shares; ties pinned by (hour, user).
+    *
+    * Scale shape: one (hour, user) map-side-combined hash-agg; hourly
+    * totals via a second tiny agg broadcast-joined back; top-20 is
+    * TakeOrdered. The log is scanned once.
+    */
+  private def eventsNoisyNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val hour = expr("CAST(unix_millis(CAST(ts AS TIMESTAMP)) div 3600000 AS BIGINT)")
+    val cell = events(s, dir).groupBy(hour.as("hour_idx"), col("user_id")).agg(count(lit(1)).as("n"))
+    val tot  = cell.groupBy("hour_idx").agg(sum("n").as("hour_total"))
+    cell
+      .join(broadcast(tot), Seq("hour_idx"))
+      .select(
+        col("hour_idx"),
+        col("user_id"),
+        col("n"),
+        col("hour_total"),
+        expr("CAST(n * 1000000 div hour_total AS BIGINT)").as("share_ppm")
+      )
+      .orderBy(desc("share_ppm"), col("hour_idx"), col("user_id"))
+      .limit(20)
+  }
+
+  private val eventsNoisyNeighborsSql =
+    """WITH cell AS (SELECT epoch_ms(ts) // 3600000 AS hour_idx, user_id, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT hour_idx, CAST(sum(n) AS BIGINT) AS hour_total FROM cell GROUP BY 1)
+      |SELECT cell.hour_idx, user_id, n, hour_total,
+      |  CAST(n * 1000000 // hour_total AS BIGINT) AS share_ppm
+      |FROM cell JOIN tot ON cell.hour_idx = tot.hour_idx
+      |ORDER BY share_ppm DESC, cell.hour_idx, user_id LIMIT 20""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -667,7 +819,9 @@ object QueriesExt19 {
     "events_ltv_triangle"  -> (eventsLtvTriangle _),
     "q_skyline"            -> (qSkyline _),
     "events_interarrival"  -> (eventsInterarrival _),
-    "q_minmax_pruning"     -> (qMinmaxPruning _)
+    "q_minmax_pruning"     -> (qMinmaxPruning _),
+    "q_rfm_segments"       -> (qRfmSegments _),
+    "events_noisy_neighbors" -> (eventsNoisyNeighbors _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -683,6 +837,8 @@ object QueriesExt19 {
     "events_ltv_triangle"  -> eventsLtvTriangleSql,
     "q_skyline"            -> qSkylineSql,
     "events_interarrival"  -> eventsInterarrivalSql,
-    "q_minmax_pruning"     -> qMinmaxPruningSql
+    "q_minmax_pruning"     -> qMinmaxPruningSql,
+    "q_rfm_segments"       -> qRfmSegmentsSql,
+    "events_noisy_neighbors" -> eventsNoisyNeighborsSql
   )
 }
