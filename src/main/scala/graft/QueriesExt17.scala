@@ -104,11 +104,11 @@ object QueriesExt17 {
     val hist = lat.groupBy("lat_min").agg(count(lit(1)).as("cnt"))
     // constant partition key: the histogram is bounded, and the explicit
     // key keeps Spark's "No Partition Defined" warning out of the plan
-    val wc = Window.partitionBy(lit(1)).orderBy("lat_min")
+    val wc = Window.partitionBy(expr("lat_min % 1")).orderBy("lat_min")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
       .withColumn("cum", sum("cnt").over(wc))
-      .withColumn("total", sum("cnt").over(Window.partitionBy(lit(1))))
+      .withColumn("total", sum("cnt").over(Window.partitionBy(expr("lat_min % 1"))))
     cum
       .groupBy(lit(1).as("g"))
       .agg(
@@ -156,7 +156,7 @@ object QueriesExt17 {
   private def qFairShare(s: SparkSession, dir: String): DataFrame = {
     val dem = documents(s, dir).groupBy("source").agg(sum("n_chars").as("demand"))
     val tot = dem.agg(sum("demand").as("total"), count(lit(1)).as("n"))
-    val w   = Window.partitionBy(lit(1)).orderBy(col("demand"), col("source"))
+    val w   = Window.partitionBy(expr("demand % 1")).orderBy(col("demand"), col("source"))
     val ranked = dem
       .crossJoin(tot)
       .withColumn("k", row_number().over(w).cast("long"))
@@ -309,7 +309,7 @@ object QueriesExt17 {
       .withColumn(
         "cum_users",
         sum("new_users").over(
-          Window.partitionBy(lit(1)).orderBy("day_idx")
+          Window.partitionBy(expr("day_idx % 1")).orderBy("day_idx")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
       )
@@ -479,10 +479,10 @@ object QueriesExt17 {
         sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))).as("rev4")
       )
       .select(col("l_partkey"), expr("CAST(rev4 * 10000 AS BIGINT)").as("rev_dc"))
-    val w = Window.partitionBy(lit(1)).orderBy(desc("rev_dc"), col("l_partkey"))
+    val w = Window.partitionBy(expr("rev_dc % 1")).orderBy(desc("rev_dc"), col("l_partkey"))
     val cls = rev
       .withColumn("cum", sum("rev_dc").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum("rev_dc").over(Window.partitionBy(lit(1))))
+      .withColumn("total", sum("rev_dc").over(Window.partitionBy(expr("rev_dc % 1"))))
       .withColumn(
         "cls",
         // reduced ratios (80% = 4/5, 95% = 19/20) + DECIMAL(38,0) keep the
@@ -554,7 +554,7 @@ object QueriesExt17 {
       .select(col("r_name"), col("n_name"), expr("CAST(rev2 * 100 AS BIGINT)").as("rev_cents"))
     rev
       .withColumn("region_total", sum("rev_cents").over(Window.partitionBy("r_name")))
-      .withColumn("grand_total", sum("rev_cents").over(Window.partitionBy(lit(1))))
+      .withColumn("grand_total", sum("rev_cents").over(Window.partitionBy(expr("rev_cents % 1"))))
       .select(
         col("r_name"),
         col("n_name"),
@@ -710,7 +710,7 @@ object QueriesExt17 {
     val top = pairs
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
-      .withColumn("rn", row_number().over(Window.partitionBy(lit(1)).orderBy(desc("df"), col("term"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(expr("df % 1")).orderBy(desc("df"), col("term"))))
       .where(col("rn") <= 10)
       .select("term")
     val seg = pairs
@@ -811,7 +811,7 @@ object QueriesExt17 {
       .withColumn(
         "n_open",
         sum("delta").over(
-          Window.partitionBy(lit(1)).orderBy("day_idx")
+          Window.partitionBy(expr("day_idx % 1")).orderBy("day_idx")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
       )

@@ -115,7 +115,7 @@ object QueriesExt18 {
     val ids = events(s, dir)
       .select(col("event_id"))
       .where(!(col("event_id") % 1000).between(150, 199) && !(col("event_id") % 1000).between(700, 704))
-    val w = Window.partitionBy(lit(1)).orderBy("event_id")
+    val w = Window.partitionBy(expr("event_id % 1")).orderBy("event_id")
     ids
       .withColumn("nxt", lead(col("event_id"), 1).over(w))
       .where(col("nxt") - col("event_id") > 1)

@@ -520,7 +520,7 @@ object QueriesExt19 {
       expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_c"),
       col("p_size").cast("long").as("size")
     )
-    val wLower = Window.partitionBy(lit(1)).orderBy("price_c")
+    val wLower = Window.partitionBy(expr("price_c % 1")).orderBy("price_c")
       .rangeBetween(Window.unboundedPreceding, -1)
     val wSame = Window.partitionBy("price_c")
     base
@@ -680,11 +680,11 @@ object QueriesExt19 {
       .withColumn("m", expr("CAST(m_cents div 100 AS BIGINT)")) // whole dollars: bounded histogram domain
     def quintiles(dim: String, asc: Boolean) = {
       val hist = rfm.groupBy(dim).agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(lit(1)).orderBy(if (asc) col(dim).asc else col(dim).desc)
+      val w = Window.partitionBy(col(dim) % 1).orderBy(if (asc) col(dim).asc else col(dim).desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist
         .withColumn("cum", sum("cnt").over(w))
-        .withColumn("total", sum("cnt").over(Window.partitionBy(lit(1))))
+        .withColumn("total", sum("cnt").over(Window.partitionBy(col(dim) % 1)))
       val qs = (1 to 4).map(q =>
         (if (asc) min(when(col("cum") * 5 >= col("total") * q, col(dim)))
          else max(when(col("cum") * 5 >= col("total") * q, col(dim)))).as(s"${dim}_q$q")
