@@ -804,6 +804,134 @@ object QueriesExt19 {
       |FROM cell JOIN tot ON cell.hour_idx = tot.hour_idx
       |ORDER BY share_ppm DESC, cell.hour_idx, user_id LIMIT 20""".stripMargin
 
+  // --------------------------- seasonal decomposition (B119)
+
+  /** STL-lite decomposition of the daily event series: per day,
+    * count = TREND (centered ±3-day mean) + WEEKDAY EFFECT (mean
+    * detrended value of that day-of-week) + RESIDUAL — the
+    * decomposition an anomaly detector runs so weekend dips don't page
+    * anyone (the seasonal upgrade of B23's global z-scores). Everything
+    * is ppm-scaled integer arithmetic: trend = `sum·1e6 div n`, the dow
+    * effect averages integer detrended values, the residual is a
+    * difference — no float drift anywhere.
+    *
+    * Scale shape: the series is the DAYS-sized daily table (one
+    * map-side hash-agg from the log); the centered window, the dow
+    * hash-agg, and the join-back all run over days-sized data.
+    */
+  private def eventsSeasonalDecomp(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("day_idx")
+      )
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(expr("day_idx % 1")).orderBy("day_idx").rowsBetween(-3, 3)
+    val detrended = daily
+      .withColumn("t_sum", sum("cnt").over(wc))
+      .withColumn("t_n", count(lit(1)).over(wc))
+      .withColumn("trend_ppm", expr("CAST(t_sum * 1000000 div t_n AS BIGINT)"))
+      .withColumn("detr_ppm", col("cnt") * 1000000L - col("trend_ppm"))
+      .withColumn("dow", expr("CAST(day_idx % 7 AS BIGINT)"))
+    val dowEffect = detrended
+      .groupBy("dow")
+      .agg(expr("CAST(sum(detr_ppm) div count(1) AS BIGINT)").as("dow_effect_ppm"))
+    detrended
+      .join(broadcast(dowEffect), Seq("dow"))
+      .select(
+        col("day_idx"),
+        col("cnt"),
+        col("trend_ppm"),
+        col("dow_effect_ppm"),
+        (col("detr_ppm") - col("dow_effect_ppm")).as("residual_ppm")
+      )
+  }
+
+  private val eventsSeasonalDecompSql =
+    """WITH daily AS (SELECT
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |d2 AS (SELECT *,
+      |    CAST(sum(cnt) OVER w * 1000000 // count(*) OVER w AS BIGINT) AS trend_ppm,
+      |    day_idx % 7 AS dow
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |d3 AS (SELECT *, cnt * 1000000 - trend_ppm AS detr_ppm FROM d2),
+      |eff AS (SELECT dow, CAST(sum(detr_ppm) // count(*) AS BIGINT) AS dow_effect_ppm
+      |  FROM d3 GROUP BY 1)
+      |SELECT day_idx, cnt, trend_ppm, dow_effect_ppm,
+      |  CAST(detr_ppm - dow_effect_ppm AS BIGINT) AS residual_ppm
+      |FROM d3 JOIN eff USING (dow)""".stripMargin
+
+  // --------------------------- rank correlation (B120)
+
+  /** Ranking-stability statistics: Spearman's ρ between part revenue
+    * RANKS in 1996 and 1997 (parts active both years) — "did the
+    * catalog's pecking order move?", the drift metric for any published
+    * ranking (search results, recommendations, leaderboards). Ranks are
+    * integers (revenue desc, partkey tiebreak), ρ is Pearson on ranks
+    * from exact integer sums with the double formula replayed verbatim
+    * (B67's kernel on rank pairs).
+    *
+    * Scale shape: two year-filtered part-dimension hash-aggs; rank
+    * windows run over the parts dimension; one equi-join on partkey and
+    * a 1-row moment aggregate. The fact table is scanned twice
+    * (year-pruned), never sorted globally beyond the dimension ranks.
+    */
+  private def qRankCorrelation(s: SparkSession, dir: String): DataFrame = {
+    def ranks(y: Int) =
+      lineitem(s, dir)
+        .where(year(col("l_shipdate").cast("date")) === y)
+        .groupBy("l_partkey")
+        .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("rev"))
+        .withColumn(
+          "rk",
+          row_number().over(
+            Window.partitionBy(expr("rev % 1")).orderBy(desc("rev"), col("l_partkey"))
+          ).cast("long")
+        )
+        .select(col("l_partkey"), col("rk"))
+    val joined = ranks(1996).withColumnRenamed("rk", "ra")
+      .join(ranks(1997).withColumnRenamed("rk", "rb"), "l_partkey")
+    joined
+      .agg(
+        count(lit(1)).as("n"),
+        sum("ra").as("sx"),
+        sum("rb").as("sy"),
+        sum(col("ra") * col("rb")).as("sxy"),
+        sum(col("ra") * col("ra")).as("sxx"),
+        sum(col("rb") * col("rb")).as("syy")
+      )
+      .select(
+        col("n"),
+        round(
+          (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n") * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double"))),
+          6
+        ).as("spearman_rho")
+      )
+  }
+
+  private val qRankCorrelationSql =
+    """WITH ra AS (SELECT l_partkey,
+      |    CAST(row_number() OVER (ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) DESC, l_partkey) AS BIGINT) AS ra
+      |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1996 GROUP BY l_partkey),
+      |rb AS (SELECT l_partkey,
+      |    CAST(row_number() OVER (ORDER BY CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) DESC, l_partkey) AS BIGINT) AS rb
+      |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 1997 GROUP BY l_partkey),
+      |j AS (SELECT ra.l_partkey, ra, rb FROM ra JOIN rb ON ra.l_partkey = rb.l_partkey),
+      |m AS (SELECT count(*) AS n,
+      |    CAST(sum(ra) AS BIGINT) AS sx, CAST(sum(rb) AS BIGINT) AS sy,
+      |    CAST(sum(ra * rb) AS BIGINT) AS sxy,
+      |    CAST(sum(ra * ra) AS BIGINT) AS sxx, CAST(sum(rb * rb) AS BIGINT) AS syy
+      |  FROM j)
+      |SELECT n,
+      |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -821,7 +949,9 @@ object QueriesExt19 {
     "events_interarrival"  -> (eventsInterarrival _),
     "q_minmax_pruning"     -> (qMinmaxPruning _),
     "q_rfm_segments"       -> (qRfmSegments _),
-    "events_noisy_neighbors" -> (eventsNoisyNeighbors _)
+    "events_noisy_neighbors" -> (eventsNoisyNeighbors _),
+    "events_seasonal_decomp" -> (eventsSeasonalDecomp _),
+    "q_rank_correlation"   -> (qRankCorrelation _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -839,6 +969,8 @@ object QueriesExt19 {
     "events_interarrival"  -> eventsInterarrivalSql,
     "q_minmax_pruning"     -> qMinmaxPruningSql,
     "q_rfm_segments"       -> qRfmSegmentsSql,
-    "events_noisy_neighbors" -> eventsNoisyNeighborsSql
+    "events_noisy_neighbors" -> eventsNoisyNeighborsSql,
+    "events_seasonal_decomp" -> eventsSeasonalDecompSql,
+    "q_rank_correlation"   -> qRankCorrelationSql
   )
 }
