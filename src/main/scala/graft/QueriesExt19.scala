@@ -932,6 +932,80 @@ object QueriesExt19 {
       |       * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS spearman_rho
       |FROM m""".stripMargin
 
+  // --------------------------- BFS hop distance (B121)
+
+  /** Graph distance: minimum hop count from the root host `src0` to
+    * every reachable host over the staged undirected link graph (B97's
+    * densified edges) — the reachability-with-distance query behind
+    * "how far is this domain from a trusted seed" scoring, completing
+    * the graph family next to components (reach), PageRank (authority),
+    * and triangles (density). The oracle walks the same graph with a
+    * recursive CTE + min().
+    *
+    * Scale shape: frontier BFS as iterative relational rounds — each of
+    * the 6 rounds joins the CURRENT frontier (not the whole visited
+    * set) with the edge list and anti-joins the visited set, exactly
+    * the Pregel frontier expansion; rounds are O(diameter), work per
+    * round is frontier-adjacency sized, and each round
+    * localCheckpoints so lineage stays linear (B71's discipline).
+    */
+  private def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
+    val d = documents(s, dir)
+    val er = d.select(
+      col("source").as("x"),
+      concat(lit("src"), ((col("doc_id") * 7 + col("n_chars")) % 20).cast("string")).as("y")
+    ).unionByName(
+      d.select(
+        col("source").as("x"),
+        concat(lit("src"), ((col("doc_id") * 3 + col("n_chars") * 5 + 1) % 20).cast("string")).as("y")
+      )
+    )
+    val und = er
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val edges = und.unionByName(und.select(col("b").as("a"), col("a").as("b"))).localCheckpoint(true)
+
+    var visited  = d.sparkSession.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row("src0", 0L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("hops", org.apache.spark.sql.types.LongType)
+      ))
+    )
+    var frontier = visited
+    var depth    = 0L
+    while (depth < 6) {
+      depth += 1
+      val next = frontier
+        .join(edges, frontier("node") === edges("a"))
+        .select(col("b").as("node"))
+        .distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(depth))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
+
+  private val graphBfsHopsSql =
+    """WITH RECURSIVE er AS (SELECT source AS x, 'src' || CAST((doc_id * 7 + n_chars) % 20 AS VARCHAR) AS y
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT source AS x, 'src' || CAST((doc_id * 3 + n_chars * 5 + 1) % 20 AS VARCHAR) AS y
+      |  FROM documents),
+      |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM er WHERE x != y),
+      |edges AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+      |walk AS (
+      |  SELECT 'src0' AS node, CAST(0 AS BIGINT) AS hops
+      |  UNION
+      |  SELECT e.b AS node, w.hops + 1
+      |  FROM walk w JOIN edges e ON w.node = e.a
+      |  WHERE w.hops < 6)
+      |SELECT node, min(hops) AS hops FROM walk GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -951,7 +1025,8 @@ object QueriesExt19 {
     "q_rfm_segments"       -> (qRfmSegments _),
     "events_noisy_neighbors" -> (eventsNoisyNeighbors _),
     "events_seasonal_decomp" -> (eventsSeasonalDecomp _),
-    "q_rank_correlation"   -> (qRankCorrelation _)
+    "q_rank_correlation"   -> (qRankCorrelation _),
+    "graph_bfs_hops"       -> (graphBfsHops _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -971,6 +1046,7 @@ object QueriesExt19 {
     "q_rfm_segments"       -> qRfmSegmentsSql,
     "events_noisy_neighbors" -> eventsNoisyNeighborsSql,
     "events_seasonal_decomp" -> eventsSeasonalDecompSql,
-    "q_rank_correlation"   -> qRankCorrelationSql
+    "q_rank_correlation"   -> qRankCorrelationSql,
+    "graph_bfs_hops"       -> graphBfsHopsSql
   )
 }
