@@ -1,0 +1,56 @@
+package graft
+
+/** The driver-contract invariants the correctness gate silently assumes:
+  * every registered query has an oracle and vice versa (the gap that left
+  * B36 "unit-tested but unoracled" in round 6 cannot silently recur),
+  * names are unique across the QueriesExt concatenation (a duplicate key
+  * would make one registry entry shadow another), and every oracle is
+  * non-empty SQL.
+  */
+class RegistrySpec extends GraftSpecBase {
+
+  test("queries and oracleSql cover exactly the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("no registry shadowing across the QueriesExt concatenation") {
+    val registries: Seq[(String, Set[String])] = Seq(
+      "QueriesExt"   -> QueriesExt.queries.keySet,
+      "QueriesExt2"  -> QueriesExt2.queries.keySet,
+      "QueriesExt3"  -> QueriesExt3.queries.keySet,
+      "QueriesExt4"  -> QueriesExt4.queries.keySet,
+      "QueriesExt5"  -> QueriesExt5.queries.keySet,
+      "QueriesExt6"  -> QueriesExt6.queries.keySet,
+      "QueriesExt7"  -> QueriesExt7.queries.keySet,
+      "QueriesExt8"  -> QueriesExt8.queries.keySet,
+      "QueriesExt9"  -> QueriesExt9.queries.keySet,
+      "QueriesExt10" -> QueriesExt10.queries.keySet,
+      "QueriesExt11" -> QueriesExt11.queries.keySet,
+      "QueriesExt12" -> QueriesExt12.queries.keySet,
+      "QueriesExt13" -> QueriesExt13.queries.keySet,
+      "QueriesExt14" -> QueriesExt14.queries.keySet,
+      "QueriesExt15" -> QueriesExt15.queries.keySet,
+      "QueriesExt16" -> QueriesExt16.queries.keySet,
+      "QueriesExt17" -> QueriesExt17.queries.keySet,
+      "QueriesExt18" -> QueriesExt18.queries.keySet,
+      "QueriesExt19" -> QueriesExt19.queries.keySet
+    )
+    val clashes = for {
+      ((na, a), i) <- registries.zipWithIndex
+      (nb, b)      <- registries.drop(i + 1)
+      k            <- (a & b).toSeq
+    } yield s"$k in both $na and $nb"
+    assert(clashes.isEmpty, clashes.mkString("; "))
+    val extTotal = registries.map(_._2.size).sum
+    assert(SparkEntry.queries.size === extTotal + 22, // 22 queries live in SparkEntry itself
+      s"concatenated size ${SparkEntry.queries.size} != ext $extTotal + 22 — a key shadowed a SparkEntry entry")
+  }
+
+  test("every oracle is non-empty SQL") {
+    val empty = SparkEntry.oracleSql.filter(_._2.trim.isEmpty).keys.toSeq.sorted
+    assert(empty.isEmpty, s"empty oracles: $empty")
+  }
+}
