@@ -1006,6 +1006,111 @@ object QueriesExt19 {
       |  WHERE w.hops < 6)
       |SELECT node, min(hops) AS hops FROM walk GROUP BY 1""".stripMargin
 
+  // --------------------------- vocabulary uniqueness (B122)
+
+  /** Provider vocabulary fingerprinting: per source, how much of its
+    * distinct vocabulary appears in NO other source (count + ppm share)
+    * — high uniqueness signals a domain-specialized (or
+    * encoding-damaged) provider, low uniqueness a commodity crawl; the
+    * complement of B37's pairwise overlap matrix at the per-provider
+    * grain.
+    *
+    * Scale shape: one (term, source) dedup hash-agg; per-term source
+    * counts are a vocab-sized agg joined back on the term key (vocab-
+    * scale shuffle, never documents); the per-source rollup is
+    * sources-sized.
+    */
+  private def textVocabUniqueness(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val pairs = documents(s, dir)
+      .select(col("source"), explode(toks).as("term"))
+      .where(length(col("term")) > 0)
+      .distinct()
+    val spread = pairs.groupBy("term").agg(count(lit(1)).as("n_sources"))
+    pairs
+      .join(spread, "term")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L)).as("n_unique")
+      )
+      .select(
+        col("source"),
+        col("n_terms"),
+        col("n_unique"),
+        expr("CAST(n_unique * 1000000 div n_terms AS BIGINT)").as("uniq_ppm")
+      )
+  }
+
+  private val textVocabUniquenessSql =
+    """WITH pairs AS (SELECT DISTINCT source,
+      |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      |  FROM documents),
+      |p2 AS (SELECT * FROM pairs WHERE length(term) > 0),
+      |spread AS (SELECT term, count(*) AS n_sources FROM p2 GROUP BY 1)
+      |SELECT source, count(*) AS n_terms,
+      |  CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS uniq_ppm
+      |FROM p2 JOIN spread USING (term) GROUP BY source""".stripMargin
+
+  // --------------------------- Gini concentration (B123)
+
+  /** Inequality measurement WITHOUT sorting the population: the Gini
+    * coefficient of order basket sizes, computed exactly from the
+    * BOUNDED size histogram — for value v with count c starting after
+    * cum-count `start`, the rank-weighted sum contributes
+    * `v·(c·start + c(c+1)/2)`, all integers; G then follows from the
+    * closed formula `(2Σi·xᵢ − (n+1)Σxᵢ)/(nΣxᵢ)` with one
+    * DECIMAL(38,0) division at the end. The concentration readout
+    * (order-size inequality, spend inequality, traffic inequality)
+    * usually quoted as requiring a full sort — the histogram makes it a
+    * hash-agg (B53's trick applied to an economics statistic).
+    *
+    * Scale shape: basket sizes are one per-order hash-agg; the
+    * histogram is ≤ basket-size-bound rows; the cumulative window and
+    * closed formula run over that tiny table.
+    */
+  private def qBasketGini(s: SparkSession, dir: String): DataFrame = {
+    val sizes = lineitem(s, dir).groupBy("l_orderkey").agg(count(lit(1)).as("v"))
+    val hist  = sizes.groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(expr("v % 1")).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("start", coalesce(sum("c").over(w), lit(0L)))
+      .select(
+        expr("v * (c * start + c * (c + 1) div 2)").as("six_part"),
+        expr("v * c").as("sx_part"),
+        col("c")
+      )
+      .groupBy(lit(1).as("g"))
+      .agg(
+        sum("c").as("n"),
+        sum("sx_part").as("sx"),
+        sum("six_part").as("six")
+      )
+      .drop("g")
+      .select(
+        col("n"),
+        col("sx"),
+        expr(
+          """CAST((CAST(2 AS DECIMAL(38,0)) * six - (CAST(n AS DECIMAL(38,0)) + 1) * sx) * 1000000
+            |  div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)""".stripMargin
+        ).as("gini_ppm")
+      )
+  }
+
+  private val qBasketGiniSql =
+    """WITH sizes AS (SELECT l_orderkey, count(*) AS v FROM lineitem GROUP BY 1),
+      |hist AS (SELECT v, count(*) AS c FROM sizes GROUP BY 1),
+      |h2 AS (SELECT *, coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      |  FROM hist),
+      |m AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS sx,
+      |    sum(v * (c * start + c * (c + 1) // 2)) AS six
+      |  FROM h2)
+      |SELECT n, sx,
+      |  CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT) AS gini_ppm
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1026,7 +1131,9 @@ object QueriesExt19 {
     "events_noisy_neighbors" -> (eventsNoisyNeighbors _),
     "events_seasonal_decomp" -> (eventsSeasonalDecomp _),
     "q_rank_correlation"   -> (qRankCorrelation _),
-    "graph_bfs_hops"       -> (graphBfsHops _)
+    "graph_bfs_hops"       -> (graphBfsHops _),
+    "text_vocab_uniqueness" -> (textVocabUniqueness _),
+    "q_basket_gini"        -> (qBasketGini _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1047,6 +1154,8 @@ object QueriesExt19 {
     "events_noisy_neighbors" -> eventsNoisyNeighborsSql,
     "events_seasonal_decomp" -> eventsSeasonalDecompSql,
     "q_rank_correlation"   -> qRankCorrelationSql,
-    "graph_bfs_hops"       -> graphBfsHopsSql
+    "graph_bfs_hops"       -> graphBfsHopsSql,
+    "text_vocab_uniqueness" -> textVocabUniquenessSql,
+    "q_basket_gini"        -> qBasketGiniSql
   )
 }
