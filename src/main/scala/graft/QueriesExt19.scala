@@ -1111,6 +1111,102 @@ object QueriesExt19 {
       |  CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT) AS gini_ppm
       |FROM m""".stripMargin
 
+  // --------------------------- histogram-exact mode (B124)
+
+  /** Exact MODE per event type — the most frequent value (ties to the
+    * smallest), its frequency, and a multimodality flag (second peak ≥
+    * 80 % of the first) — the descriptive statistic that catches
+    * defaulted/sentinel values (a spike at 9.99) that means and
+    * percentiles smooth over. Computed from the bounded value histogram
+    * with rank windows over the histogram only (B53's machinery aimed
+    * at the mode instead of quantiles).
+    *
+    * Scale shape: one (type, value) hash-agg on the bounded 2-dp
+    * domain; rank + second-peak windows partition per type over the
+    * histogram; one row per type out.
+    */
+  private def eventsModeValues(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir).groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+    val w    = Window.partitionBy("event_type").orderBy(desc("c"), col("value"))
+    hist
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rk") === 1, col("value"))).as("mode_value"),
+        max(when(col("rk") === 1, col("c"))).as("mode_n"),
+        max(when(col("rk") === 2, col("c"))).as("second_n")
+      )
+      .select(
+        col("event_type"),
+        col("mode_value"),
+        col("mode_n"),
+        (coalesce(col("second_n"), lit(0L)) * 5 >= col("mode_n") * 4).as("multimodal")
+      )
+  }
+
+  private val eventsModeValuesSql =
+    """WITH hist AS (SELECT event_type, value, count(*) AS c FROM events GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY c DESC, value) AS rk
+      |  FROM hist)
+      |SELECT event_type,
+      |  max(CASE WHEN rk = 1 THEN value END) AS mode_value,
+      |  max(CASE WHEN rk = 1 THEN c END) AS mode_n,
+      |  coalesce(max(CASE WHEN rk = 2 THEN c END), 0) * 5 >= max(CASE WHEN rk = 1 THEN c END) * 4 AS multimodal
+      |FROM r WHERE rk <= 2 GROUP BY 1""".stripMargin
+
+  // --------------------------- session entry/exit matrix (B125)
+
+  /** Web-analytics entry/exit analysis: per session (30-min gap rule),
+    * the FIRST and LAST event types, aggregated into the
+    * (entry, exit) matrix with counts — where journeys start and where
+    * they die, the landing/abandonment readout next to B65's full-path
+    * mining.
+    *
+    * Scale shape: the session assignment reuses B65's bounded per-user
+    * windows; first/last per session are min/max over (ms, event_id,
+    * type) structs (one hash-agg, no second window); the matrix is
+    * types²-bounded.
+    */
+  private def eventsEntryExit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val sess = events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms")
+      )
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 1800000L, lit(1L)).otherwise(lit(0L))
+      )
+      .withColumn("sess", sum(col("new_s")).over(w))
+    sess
+      .groupBy("user_id", "sess")
+      .agg(
+        min(struct(col("ms"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("ms"), col("event_id"), col("event_type"))).as("last")
+      )
+      .groupBy(col("first.event_type").as("entry_type"), col("last.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
+  private val eventsEntryExitSql =
+    """WITH b AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM b),
+      |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+      |s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS sess FROM s),
+      |r AS (SELECT user_id, sess, event_type,
+      |    row_number() OVER (PARTITION BY user_id, sess ORDER BY ms, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY user_id, sess ORDER BY ms DESC, event_id DESC) AS rb
+      |  FROM s2),
+      |fl AS (SELECT user_id, sess,
+      |    max(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+      |    max(CASE WHEN rb = 1 THEN event_type END) AS exit_type
+      |  FROM r GROUP BY 1, 2)
+      |SELECT entry_type, exit_type, count(*) AS n_sessions
+      |FROM fl GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1133,7 +1229,9 @@ object QueriesExt19 {
     "q_rank_correlation"   -> (qRankCorrelation _),
     "graph_bfs_hops"       -> (graphBfsHops _),
     "text_vocab_uniqueness" -> (textVocabUniqueness _),
-    "q_basket_gini"        -> (qBasketGini _)
+    "q_basket_gini"        -> (qBasketGini _),
+    "events_mode_values"   -> (eventsModeValues _),
+    "events_entry_exit"    -> (eventsEntryExit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1156,6 +1254,8 @@ object QueriesExt19 {
     "q_rank_correlation"   -> qRankCorrelationSql,
     "graph_bfs_hops"       -> graphBfsHopsSql,
     "text_vocab_uniqueness" -> textVocabUniquenessSql,
-    "q_basket_gini"        -> qBasketGiniSql
+    "q_basket_gini"        -> qBasketGiniSql,
+    "events_mode_values"   -> eventsModeValuesSql,
+    "events_entry_exit"    -> eventsEntryExitSql
   )
 }
