@@ -1207,6 +1207,111 @@ object QueriesExt19 {
       |SELECT entry_type, exit_type, count(*) AS n_sessions
       |FROM fl GROUP BY 1, 2""".stripMargin
 
+  // --------------------------- χ² contingency test (B126)
+
+  /** Association testing: the (lang × source) contingency table's χ²
+    * cell contributions — `(o·N − r·c)² / (r·c·N)` in milli-units via
+    * DECIMAL(38,0) floor division per cell — answering "is language
+    * independent of provider?" (it shouldn't be; a uniform answer means
+    * labels were shuffled somewhere). The SRM check (B91) is this
+    * statistic's 2-cell special case; this is the general R×C form,
+    * with per-cell contributions kept so the offending cells are
+    * readable, not just the total.
+    *
+    * Scale shape: one (lang, source) hash-agg bounds everything to the
+    * R×C grid; row/column marginals are tiny aggs broadcast-joined
+    * back; all arithmetic runs on grid-sized data.
+    */
+  private def qChi2Contingency(s: SparkSession, dir: String): DataFrame = {
+    val cell = documents(s, dir).groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowM = cell.groupBy("lang").agg(sum("o").as("r"))
+    val colM = cell.groupBy("source").agg(sum("o").as("c"))
+    val tot  = cell.agg(sum("o").as("n_tot"))
+    cell
+      .join(broadcast(rowM), Seq("lang"))
+      .join(broadcast(colM), Seq("source"))
+      .crossJoin(tot)
+      .select(
+        col("lang"),
+        col("source"),
+        col("o"),
+        expr(
+          """CAST(((CAST(o AS DECIMAL(38,0)) * n_tot - CAST(r AS DECIMAL(38,0)) * c)
+            |  * (CAST(o AS DECIMAL(38,0)) * n_tot - CAST(r AS DECIMAL(38,0)) * c) * 1000)
+            |  div (CAST(r AS DECIMAL(38,0)) * c * n_tot) AS BIGINT)""".stripMargin
+        ).as("chi2_milli")
+      )
+  }
+
+  private val qChi2ContingencySql =
+    """WITH cell AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+      |cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_tot FROM cell)
+      |SELECT lang, source, o,
+      |  CAST(((o * n_tot - r * c) * (o * n_tot - r * c) * 1000) // (r * c * n_tot) AS BIGINT) AS chi2_milli
+      |FROM cell JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN tot""".stripMargin
+
+  // --------------------------- crash-free session rate (B127)
+
+  /** Reliability metric: per day, the share of sessions containing NO
+    * `error` event (crash-free rate, ppm) — the app-health headline
+    * every mobile/SaaS dashboard leads with, sessionized by the
+    * standard 30-minute rule and attributed to the session's START day.
+    *
+    * Scale shape: B65's bounded per-user session windows; the
+    * per-session error flag and start day come from ONE hash-agg
+    * (max of an indicator, min of the day); the daily rollup is
+    * days-sized.
+    */
+  private def eventsCrashFree(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val sess = events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("day_idx")
+      )
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn(
+        "new_s",
+        when(col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 1800000L, lit(1L)).otherwise(lit(0L))
+      )
+      .withColumn("sess", sum(col("new_s")).over(w))
+    sess
+      .groupBy("user_id", "sess")
+      .agg(
+        min("day_idx").as("start_day"),
+        max(when(col("event_type") === "error", 1L).otherwise(0L)).as("had_error")
+      )
+      .groupBy(col("start_day").as("day_idx"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(expr("1 - had_error")).as("n_crash_free")
+      )
+      .select(
+        col("day_idx"),
+        col("n_sessions"),
+        col("n_crash_free"),
+        expr("CAST(n_crash_free * 1000000 div n_sessions AS BIGINT)").as("crash_free_ppm")
+      )
+  }
+
+  private val eventsCrashFreeSql =
+    """WITH b AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx
+      |  FROM events),
+      |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM b),
+      |s AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+      |s2 AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS sess FROM s),
+      |per AS (SELECT user_id, sess, min(day_idx) AS start_day,
+      |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS had_error
+      |  FROM s2 GROUP BY 1, 2)
+      |SELECT start_day AS day_idx, count(*) AS n_sessions,
+      |  CAST(sum(1 - had_error) AS BIGINT) AS n_crash_free,
+      |  CAST(sum(1 - had_error) * 1000000 // count(*) AS BIGINT) AS crash_free_ppm
+      |FROM per GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1231,7 +1336,9 @@ object QueriesExt19 {
     "text_vocab_uniqueness" -> (textVocabUniqueness _),
     "q_basket_gini"        -> (qBasketGini _),
     "events_mode_values"   -> (eventsModeValues _),
-    "events_entry_exit"    -> (eventsEntryExit _)
+    "events_entry_exit"    -> (eventsEntryExit _),
+    "q_chi2_contingency"   -> (qChi2Contingency _),
+    "events_crash_free"    -> (eventsCrashFree _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1256,6 +1363,8 @@ object QueriesExt19 {
     "text_vocab_uniqueness" -> textVocabUniquenessSql,
     "q_basket_gini"        -> qBasketGiniSql,
     "events_mode_values"   -> eventsModeValuesSql,
-    "events_entry_exit"    -> eventsEntryExitSql
+    "events_entry_exit"    -> eventsEntryExitSql,
+    "q_chi2_contingency"   -> qChi2ContingencySql,
+    "events_crash_free"    -> eventsCrashFreeSql
   )
 }
