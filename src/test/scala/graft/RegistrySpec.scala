@@ -36,7 +36,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt16" -> QueriesExt16.queries.keySet,
       "QueriesExt17" -> QueriesExt17.queries.keySet,
       "QueriesExt18" -> QueriesExt18.queries.keySet,
-      "QueriesExt19" -> QueriesExt19.queries.keySet
+      "QueriesExt19" -> QueriesExt19.queries.keySet,
+      "QueriesExt20" -> QueriesExt20.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
