@@ -220,17 +220,135 @@ object QueriesExt20 {
       |    // nullif(n * n - (a_pos * b_pos + (n - a_pos) * (n - b_pos)), 0) AS BIGINT) AS kappa_ppm
       |FROM agg""".stripMargin
 
+  // --------------------------- sequence motif matching (B131)
+
+  /** Row-pattern matching (MATCH_RECOGNIZE-lite): count, per user, the
+    * occurrences of "a `view` followed by a `purchase` within the next
+    * 3 events" — the sequence-motif query behind micro-conversion
+    * funnels and abuse signatures, expressed with lead() probes instead
+    * of a pattern automaton. Overlapping matches count once per
+    * anchoring view (the standard AFTER MATCH SKIP TO NEXT ROW
+    * semantics).
+    *
+    * Scale shape: three lead() probes on the per-user ordered window
+    * (bounded per user) + one count hash-agg; no joins, no explosion —
+    * the k-lookahead trick that keeps short-motif matching linear.
+    */
+  private def eventsMotifWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    events(s, dir)
+      .select(
+        col("user_id"), col("event_id"), col("event_type"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms")
+      )
+      .withColumn("n1", lead(col("event_type"), 1).over(w))
+      .withColumn("n2", lead(col("event_type"), 2).over(w))
+      .withColumn("n3", lead(col("event_type"), 3).over(w))
+      .where(
+        col("event_type") === "view" &&
+          (col("n1") === "purchase" || col("n2") === "purchase" || col("n3") === "purchase")
+      )
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_motifs"))
+  }
+
+  private val eventsMotifWindowSql =
+    """WITH b AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |l AS (SELECT *,
+      |    lead(event_type, 1) OVER w AS n1,
+      |    lead(event_type, 2) OVER w AS n2,
+      |    lead(event_type, 3) OVER w AS n3
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      |SELECT user_id, count(*) AS n_motifs
+      |FROM l
+      |WHERE event_type = 'view' AND (n1 = 'purchase' OR n2 = 'purchase' OR n3 = 'purchase')
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------- Tukey-fence outliers (B132)
+
+  /** Robust outlier detection, boxplot-style: per event type, exact
+    * p25/p75 (B53's integer inverted-CDF over the bounded cent-value
+    * histogram), the Tukey fences `p25 − 1.5·IQR` / `p75 + 1.5·IQR`
+    * (computed in integer CENTS so the 1.5 multiplier stays exact), and
+    * the count outside each fence — the distribution-free complement of
+    * the z-score detector (B23) that a skewed value column needs.
+    *
+    * Scale shape: the histogram trick end to end — one (type, cents)
+    * hash-agg, percentile window over the bounded histogram, 1-row-per-
+    * type fences broadcast back, and the outlier counts come from a
+    * SECOND pass over the HISTOGRAM (not the log): counts weighted by
+    * the bucket counts.
+    */
+  private def eventsTukeyFences(s: SparkSession, dir: String): DataFrame = {
+    val hist = events(s, dir)
+      .groupBy(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("total", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    val fences = cum
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") * 4 >= col("total"), col("cents"))).as("p25_c"),
+        min(when(col("cum") * 4 >= col("total") * 3, col("cents"))).as("p75_c")
+      )
+      .select(
+        col("event_type"),
+        col("p25_c"),
+        col("p75_c"),
+        // 1.5·IQR in cents: 3·IQR/2 with integer div — exact to the half-cent floor
+        (col("p25_c") - expr("(p75_c - p25_c) * 3 div 2")).as("lo_fence_c"),
+        (col("p75_c") + expr("(p75_c - p25_c) * 3 div 2")).as("hi_fence_c")
+      )
+    hist
+      .join(broadcast(fences), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        max("p25_c").as("p25_c"),
+        max("p75_c").as("p75_c"),
+        sum(when(col("cents") < col("lo_fence_c"), col("cnt")).otherwise(0L)).as("n_below"),
+        sum(when(col("cents") > col("hi_fence_c"), col("cnt")).otherwise(0L)).as("n_above")
+      )
+  }
+
+  private val eventsTukeyFencesSql =
+    """WITH hist AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS total FROM hist),
+      |f AS (SELECT event_type,
+      |    min(CASE WHEN cum * 4 >= total THEN cents END) AS p25_c,
+      |    min(CASE WHEN cum * 4 >= total * 3 THEN cents END) AS p75_c
+      |  FROM cum GROUP BY 1),
+      |f2 AS (SELECT *, p25_c - (p75_c - p25_c) * 3 // 2 AS lo_fence_c,
+      |    p75_c + (p75_c - p25_c) * 3 // 2 AS hi_fence_c FROM f)
+      |SELECT hist.event_type, max(p25_c) AS p25_c, max(p75_c) AS p75_c,
+      |  CAST(sum(CASE WHEN cents < lo_fence_c THEN cnt ELSE 0 END) AS BIGINT) AS n_below,
+      |  CAST(sum(CASE WHEN cents > hi_fence_c THEN cnt ELSE 0 END) AS BIGINT) AS n_above
+      |FROM hist JOIN f2 ON hist.event_type = f2.event_type
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_consistent_hash"     -> (qConsistentHash _),
     "q_apportionment"       -> (qApportionment _),
-    "text_kappa_agreement"  -> (textKappaAgreement _)
+    "text_kappa_agreement"  -> (textKappaAgreement _),
+    "events_motif_window"   -> (eventsMotifWindow _),
+    "events_tukey_fences"   -> (eventsTukeyFences _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_consistent_hash"     -> qConsistentHashSql,
     "q_apportionment"       -> qApportionmentSql,
-    "text_kappa_agreement"  -> textKappaAgreementSql
+    "text_kappa_agreement"  -> textKappaAgreementSql,
+    "events_motif_window"   -> eventsMotifWindowSql,
+    "events_tukey_fences"   -> eventsTukeyFencesSql
   )
 }
