@@ -334,6 +334,123 @@ object QueriesExt20 {
       |FROM hist JOIN f2 ON hist.event_type = f2.event_type
       |GROUP BY 1""".stripMargin
 
+  // --------------------------- SCD2 invariant audit (B133)
+
+  /** Warehouse-integrity audit of the SCD2 history's OWN invariants:
+    * per key, intervals must tile time exactly — every `valid_to` equals
+    * the next `valid_from` (no gaps, no overlaps) and exactly one open
+    * (null-`valid_to`) current row per key. Run against the history the
+    * engine itself builds (`cdc_scd2_history`), so the audit doubles as
+    * a self-check of B10's construction; both counts must be zero and
+    * parity proves both engines agree they are.
+    *
+    * Scale shape: the same per-key lead() window that built the history
+    * checks it; violations collapse to a per-key hash-agg and a 1-row
+    * summary.
+    */
+  private def cdcScd2Audit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val hist = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("valid_from", col("ms"))
+      .withColumn("valid_to", lead(col("ms"), 1).over(w))
+    hist
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .groupBy(lit(1).as("g"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"), 1L).otherwise(0L))
+          .as("n_tiling_violations"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_open_rows"),
+        countDistinct(col("user_id")).as("n_keys")
+      )
+      .drop("g")
+      .select(
+        col("n_rows"),
+        col("n_tiling_violations"),
+        (col("n_open_rows") - col("n_keys")).as("open_row_excess")
+      )
+  }
+
+  private val cdcScd2AuditSql =
+    """WITH hist AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    epoch_ms(ts) AS valid_from,
+      |    lead(epoch_ms(ts)) OVER w AS valid_to,
+      |    lead(epoch_ms(ts)) OVER w AS next_from
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN valid_to IS NOT NULL AND valid_to != next_from THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tiling_violations,
+      |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) - count(DISTINCT user_id) AS BIGINT)
+      |    AS open_row_excess
+      |FROM hist""".stripMargin
+
+  // --------------------------- linear interpolation (B134)
+
+  /** Time-series resampling: each user's metric value AT a fixed probe
+    * instant (2024-01-15 12:00), linearly interpolated between the
+    * surrounding events — the gap-filling read sensor/finance pipelines
+    * need where as-of (B9) gives only the step function. The
+    * interpolation `v0 + (v1−v0)·(t−t0) div (t1−t0)` runs in integer
+    * MICRO-value × millisecond space, exact in both engines; users with
+    * no event on one side fall back to the boundary value (clamped
+    * extrapolation, flagged).
+    *
+    * Scale shape: the two boundary events per user come from ONE
+    * conditional hash-agg (max-before / min-after as (ms,value) structs
+    * — no window, no self-join); the formula is scan-side arithmetic on
+    * one row per user.
+    */
+  private def eventsInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val probeMs = 1705320000000L // 2024-01-15T12:00:00Z
+    val base = events(s, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro")
+      )
+    base
+      .groupBy("user_id")
+      .agg(
+        // (ms, event_id) prefix pins ties to a total order in both engines
+        max(when(col("ms") <= probeMs, struct(col("ms"), col("event_id"), col("v_micro")))).as("lo"),
+        min(when(col("ms") > probeMs, struct(col("ms"), col("event_id"), col("v_micro")))).as("hi")
+      )
+      .select(
+        col("user_id"),
+        col("lo.ms").as("t0"),
+        col("hi.ms").as("t1"),
+        when(col("lo").isNull, col("hi.v_micro"))
+          .when(col("hi").isNull, col("lo.v_micro"))
+          .otherwise(
+            expr(s"lo.v_micro + (hi.v_micro - lo.v_micro) * ($probeMs - lo.ms) div (hi.ms - lo.ms)")
+          ).as("v_interp_micro"),
+        (col("lo").isNull || col("hi").isNull).as("clamped")
+      )
+  }
+
+  private val eventsInterpolateSql =
+    """WITH base AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 1000000) AS BIGINT) AS v_micro
+      |  FROM events),
+      |lo AS (SELECT user_id, ms AS t0, v_micro AS v0 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+      |    FROM base WHERE ms <= 1705320000000) WHERE rn = 1),
+      |hi AS (SELECT user_id, ms AS t1, v_micro AS v1 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS rn
+      |    FROM base WHERE ms > 1705320000000) WHERE rn = 1),
+      |agg AS (SELECT coalesce(lo.user_id, hi.user_id) AS user_id, t0, v0, t1, v1
+      |  FROM lo FULL OUTER JOIN hi ON lo.user_id = hi.user_id)
+      |SELECT user_id, t0, t1,
+      |  CASE WHEN t0 IS NULL THEN v1
+      |       WHEN t1 IS NULL THEN v0
+      |       ELSE v0 + (v1 - v0) * (1705320000000 - t0) // (t1 - t0) END AS v_interp_micro,
+      |  t0 IS NULL OR t1 IS NULL AS clamped
+      |FROM agg""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -341,7 +458,9 @@ object QueriesExt20 {
     "q_apportionment"       -> (qApportionment _),
     "text_kappa_agreement"  -> (textKappaAgreement _),
     "events_motif_window"   -> (eventsMotifWindow _),
-    "events_tukey_fences"   -> (eventsTukeyFences _)
+    "events_tukey_fences"   -> (eventsTukeyFences _),
+    "cdc_scd2_audit"        -> (cdcScd2Audit _),
+    "events_interpolate"    -> (eventsInterpolate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -349,6 +468,8 @@ object QueriesExt20 {
     "q_apportionment"       -> qApportionmentSql,
     "text_kappa_agreement"  -> textKappaAgreementSql,
     "events_motif_window"   -> eventsMotifWindowSql,
-    "events_tukey_fences"   -> eventsTukeyFencesSql
+    "events_tukey_fences"   -> eventsTukeyFencesSql,
+    "cdc_scd2_audit"        -> cdcScd2AuditSql,
+    "events_interpolate"    -> eventsInterpolateSql
   )
 }
