@@ -140,8 +140,9 @@ object QueriesExt17 {
 
   // --------------------------- max-min fair-share allocation (B79)
 
-  /** Water-filling scheduler: a fixed character budget (half the corpus
-    * total) split across sources max-min fairly — every source gets
+  /** Water-filling scheduler: a fixed character budget (90 % of the
+    * corpus total — chosen so the fixtures exercise BOTH fully-satisfied
+    * and capped sources) split across sources max-min fairly — every source gets
     * `min(demand, λ)` where the water level λ exactly exhausts the
     * budget over the capped sources. The satisfied-set boundary is found
     * with EXACT integer cross-products (`d_k·(n−k) ≤ B−prefix_k <
@@ -162,7 +163,7 @@ object QueriesExt17 {
       .withColumn("k", row_number().over(w).cast("long"))
       .withColumn("prefix", sum("demand").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("d_next", lead(col("demand"), 1).over(w))
-      .withColumn("budget", expr("CAST(total div 2 AS BIGINT)"))
+      .withColumn("budget", expr("CAST((total * 9) div 10 AS BIGINT)"))
     val levelK = ranked
       .where(
         expr("demand * (n - k) <= budget - prefix") &&
@@ -174,8 +175,8 @@ object QueriesExt17 {
     val level0 = dem
       .agg(min("demand").as("d1"))
       .crossJoin(tot)
-      .where(expr("total div 2 < d1 * n"))
-      .select(expr("CAST((total div 2) div n AS BIGINT)").as("lambda"))
+      .where(expr("(total * 9) div 10 < d1 * n"))
+      .select(expr("CAST(((total * 9) div 10) div n AS BIGINT)").as("lambda"))
     dem
       .crossJoin(levelK.unionByName(level0))
       .select(
@@ -192,15 +193,15 @@ object QueriesExt17 {
       |    row_number() OVER (ORDER BY demand, source) AS k,
       |    sum(demand) OVER (ORDER BY demand, source) AS prefix,
       |    lead(demand) OVER (ORDER BY demand, source) AS d_next,
-      |    total // 2 AS budget
+      |    (total * 9) // 10 AS budget
       |  FROM dem CROSS JOIN tot),
       |levelk AS (SELECT CAST((budget - prefix) // (n - k) AS BIGINT) AS lambda
       |  FROM ranked
       |  WHERE demand * (n - k) <= budget - prefix
       |    AND (d_next IS NULL OR budget - prefix < d_next * (n - k))),
-      |level0 AS (SELECT CAST((total // 2) // n AS BIGINT) AS lambda
+      |level0 AS (SELECT CAST(((total * 9) // 10) // n AS BIGINT) AS lambda
       |  FROM (SELECT min(demand) AS d1 FROM dem) CROSS JOIN tot
-      |  WHERE total // 2 < d1 * n),
+      |  WHERE (total * 9) // 10 < d1 * n),
       |level AS (SELECT lambda FROM levelk UNION ALL SELECT lambda FROM level0)
       |SELECT source, demand, least(demand, lambda) AS alloc
       |FROM dem CROSS JOIN level""".stripMargin
