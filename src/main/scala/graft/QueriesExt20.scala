@@ -390,7 +390,7 @@ object QueriesExt20 {
   // --------------------------- linear interpolation (B134)
 
   /** Time-series resampling: each user's metric value AT a fixed probe
-    * instant (2024-01-15 12:00), linearly interpolated between the
+    * instant (2024-01-01 06:00), linearly interpolated between the
     * surrounding events — the gap-filling read sensor/finance pipelines
     * need where as-of (B9) gives only the step function. The
     * interpolation `v0 + (v1−v0)·(t−t0) div (t1−t0)` runs in integer
@@ -404,7 +404,7 @@ object QueriesExt20 {
     * one row per user.
     */
   private def eventsInterpolate(s: SparkSession, dir: String): DataFrame = {
-    val probeMs = 1705320000000L // 2024-01-15T12:00:00Z
+    val probeMs = 1704088800000L // 2024-01-01T06:00:00Z — near the range start so both clamped and two-sided users occur
     val base = events(s, dir)
       .select(
         col("user_id"),
@@ -438,16 +438,16 @@ object QueriesExt20 {
       |  FROM events),
       |lo AS (SELECT user_id, ms AS t0, v_micro AS v0 FROM (
       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
-      |    FROM base WHERE ms <= 1705320000000) WHERE rn = 1),
+      |    FROM base WHERE ms <= 1704088800000) WHERE rn = 1),
       |hi AS (SELECT user_id, ms AS t1, v_micro AS v1 FROM (
       |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS rn
-      |    FROM base WHERE ms > 1705320000000) WHERE rn = 1),
+      |    FROM base WHERE ms > 1704088800000) WHERE rn = 1),
       |agg AS (SELECT coalesce(lo.user_id, hi.user_id) AS user_id, t0, v0, t1, v1
       |  FROM lo FULL OUTER JOIN hi ON lo.user_id = hi.user_id)
       |SELECT user_id, t0, t1,
       |  CASE WHEN t0 IS NULL THEN v1
       |       WHEN t1 IS NULL THEN v0
-      |       ELSE v0 + (v1 - v0) * (1705320000000 - t0) // (t1 - t0) END AS v_interp_micro,
+      |       ELSE v0 + (v1 - v0) * (1704088800000 - t0) // (t1 - t0) END AS v_interp_micro,
       |  t0 IS NULL OR t1 IS NULL AS clamped
       |FROM agg""".stripMargin
 
