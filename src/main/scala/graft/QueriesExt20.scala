@@ -451,6 +451,107 @@ object QueriesExt20 {
       |  t0 IS NULL OR t1 IS NULL AS clamped
       |FROM agg""".stripMargin
 
+  // --------------------------- shipping SLA buckets (B135)
+
+  /** Service-level reporting: per order priority, the share of orders
+    * FULLY shipped within 30 / 60 / 90 days of order date (ppm) plus
+    * the worst fulfillment time — the multi-threshold SLA table an ops
+    * review reads, where "fully shipped" means the LAST line item's
+    * ship date (max per order, not min — the customer's view).
+    *
+    * Scale shape: one per-order max-agg over lineitem, one broadcast-
+    * size join back to orders' priority column, and a priorities-sized
+    * conditional-sum rollup; thresholds are integer day diffs.
+    */
+  private def qShippingSla(s: SparkSession, dir: String): DataFrame = {
+    val shipped = lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(col("l_shipdate").cast("date")).as("ship_end"))
+    orders(s, dir)
+      .join(shipped, Seq("o_orderkey"))
+      .select(
+        col("o_orderpriority"),
+        datediff(col("ship_end"), col("o_orderdate").cast("date")).cast("long").as("d")
+      )
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000 div count(1) AS BIGINT)")
+          .as("within_30d_ppm"),
+        expr("CAST(sum(CASE WHEN d <= 60 THEN 1 ELSE 0 END) * 1000000 div count(1) AS BIGINT)")
+          .as("within_60d_ppm"),
+        expr("CAST(sum(CASE WHEN d <= 90 THEN 1 ELSE 0 END) * 1000000 div count(1) AS BIGINT)")
+          .as("within_90d_ppm"),
+        max("d").as("worst_days")
+      )
+  }
+
+  private val qShippingSlaSql =
+    """WITH shipped AS (SELECT l_orderkey AS o_orderkey, max(CAST(l_shipdate AS DATE)) AS ship_end
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT o_orderpriority,
+      |    CAST(datediff('day', CAST(o_orderdate AS DATE), ship_end) AS BIGINT) AS d
+      |  FROM orders JOIN shipped USING (o_orderkey))
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CASE WHEN d <= 30 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS within_30d_ppm,
+      |  CAST(sum(CASE WHEN d <= 60 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS within_60d_ppm,
+      |  CAST(sum(CASE WHEN d <= 90 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS within_90d_ppm,
+      |  max(d) AS worst_days
+      |FROM j GROUP BY 1""".stripMargin
+
+  // --------------------------- error-budget burn (B136)
+
+  /** SRE error-budget accounting against a 25 % error SLO: per day, the
+    * error share of events, the day's budget burn (error share / SLO,
+    * ppm — 1e6 means the day consumed exactly its daily budget), and
+    * the CUMULATIVE burn ratio since the window opened — the
+    * "will we exhaust the budget before the period ends" curve an
+    * on-call review reads. Pure integer arithmetic: burn =
+    * `errors·1e6 div (events·SLO)` with the SLO as the rational 1/4.
+    *
+    * Scale shape: one (day) conditional-sum hash-agg from the log; the
+    * cumulative window runs over the days-sized series.
+    */
+  private def eventsErrorBudget(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("day_idx")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("day_idx % 1")).orderBy("day_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("cum_events", sum("n_events").over(w))
+      .withColumn("cum_errors", sum("n_errors").over(w))
+      .select(
+        col("day_idx"),
+        col("n_events"),
+        col("n_errors"),
+        expr("CAST(n_errors * 4000000 div n_events AS BIGINT)").as("day_burn_ppm"),
+        expr("CAST(cum_errors * 4000000 div cum_events AS BIGINT)").as("cum_burn_ppm")
+      )
+  }
+
+  private val eventsErrorBudgetSql =
+    """WITH daily AS (SELECT
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx,
+      |    count(*) AS n_events,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+      |  FROM events GROUP BY 1),
+      |c AS (SELECT *,
+      |    sum(n_events) OVER (ORDER BY day_idx) AS cum_events,
+      |    sum(n_errors) OVER (ORDER BY day_idx) AS cum_errors
+      |  FROM daily)
+      |SELECT day_idx, n_events, n_errors,
+      |  CAST(n_errors * 4000000 // n_events AS BIGINT) AS day_burn_ppm,
+      |  CAST(cum_errors * 4000000 // cum_events AS BIGINT) AS cum_burn_ppm
+      |FROM c""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -460,7 +561,9 @@ object QueriesExt20 {
     "events_motif_window"   -> (eventsMotifWindow _),
     "events_tukey_fences"   -> (eventsTukeyFences _),
     "cdc_scd2_audit"        -> (cdcScd2Audit _),
-    "events_interpolate"    -> (eventsInterpolate _)
+    "events_interpolate"    -> (eventsInterpolate _),
+    "q_shipping_sla"        -> (qShippingSla _),
+    "events_error_budget"   -> (eventsErrorBudget _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -470,6 +573,8 @@ object QueriesExt20 {
     "events_motif_window"   -> eventsMotifWindowSql,
     "events_tukey_fences"   -> eventsTukeyFencesSql,
     "cdc_scd2_audit"        -> cdcScd2AuditSql,
-    "events_interpolate"    -> eventsInterpolateSql
+    "events_interpolate"    -> eventsInterpolateSql,
+    "q_shipping_sla"        -> qShippingSlaSql,
+    "events_error_budget"   -> eventsErrorBudgetSql
   )
 }
