@@ -552,6 +552,137 @@ object QueriesExt20 {
       |  CAST(cum_errors * 4000000 // cum_events AS BIGINT) AS cum_burn_ppm
       |FROM c""".stripMargin
 
+  // --------------------------- ABC × XYZ matrix (B137)
+
+  /** Inventory-planning 2D segmentation: every part classified on TWO
+    * axes — ABC by cumulative revenue share (B84's exact-integer
+    * machinery) and XYZ by demand VARIABILITY (monthly-quantity CoV² in
+    * ppm: X ≤ 0.25e6, Y ≤ 1e6, Z above — B115's exact-moment kernel) —
+    * summarized as the 9-cell matrix with counts and revenue share.
+    * AX parts get automated replenishment, CZ parts get manual review;
+    * this matrix IS that policy table.
+    *
+    * Scale shape: monthly demand is one (part, month) hash-agg; both
+    * classifications and the matrix run over part-dimension-sized
+    * tables; the only corpus-wide work is the two fact-table hash-aggs.
+    */
+  private def qAbcXyzMatrix(s: SparkSession, dir: String): DataFrame = {
+    val monthly = lineitem(s, dir)
+      .groupBy(
+        col("l_partkey"),
+        expr("CAST(year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE)) AS BIGINT)")
+          .as("m")
+      )
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val xyz = monthly
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n_m"),
+        sum("q").as("sq"),
+        sum(col("q") * col("q")).as("sqq")
+      )
+      .select(
+        col("l_partkey"),
+        expr(
+          """CASE
+            |  WHEN CAST(n_m AS DECIMAL(38,0)) * sqq * 1000000
+            |       div nullif(CAST(sq AS DECIMAL(38,0)) * sq, 0) - 1000000 <= 250000 THEN 'X'
+            |  WHEN CAST(n_m AS DECIMAL(38,0)) * sqq * 1000000
+            |       div nullif(CAST(sq AS DECIMAL(38,0)) * sq, 0) - 1000000 <= 1000000 THEN 'Y'
+            |  ELSE 'Z' END""".stripMargin
+        ).as("xyz")
+      )
+    val rev = lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("rev_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("rev_c % 1")).orderBy(desc("rev_c"), col("l_partkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val abc = rev
+      .withColumn("cum", sum("rev_c").over(w))
+      .withColumn("total", sum("rev_c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(expr("rev_c % 1"))))
+      .select(
+        col("l_partkey"),
+        col("rev_c"),
+        when(expr("CAST(cum AS DECIMAL(38,0)) * 5 <= CAST(total AS DECIMAL(38,0)) * 4"), lit("A"))
+          .when(expr("CAST(cum AS DECIMAL(38,0)) * 20 <= CAST(total AS DECIMAL(38,0)) * 19"), lit("B"))
+          .otherwise(lit("C")).as("abc")
+      )
+    abc
+      .join(xyz, "l_partkey")
+      .groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("cell_rev_c"))
+  }
+
+  private val qAbcXyzMatrixSql =
+    """WITH monthly AS (SELECT l_partkey,
+      |    CAST(year(CAST(l_shipdate AS DATE)) * 12 + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS m,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |xyz AS (SELECT l_partkey,
+      |    CASE WHEN count(*) * sum(q * q) * 1000000 // nullif(sum(q) * sum(q), 0) - 1000000 <= 250000 THEN 'X'
+      |         WHEN count(*) * sum(q * q) * 1000000 // nullif(sum(q) * sum(q), 0) - 1000000 <= 1000000 THEN 'Y'
+      |         ELSE 'Z' END AS xyz
+      |  FROM monthly GROUP BY 1),
+      |rev AS (SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l_partkey, rev_c,
+      |    sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum,
+      |    sum(rev_c) OVER () AS total
+      |  FROM rev),
+      |abc AS (SELECT l_partkey, rev_c,
+      |    CASE WHEN cum * 5 <= total * 4 THEN 'A'
+      |         WHEN cum * 20 <= total * 19 THEN 'B'
+      |         ELSE 'C' END AS abc
+      |  FROM c)
+      |SELECT abc, xyz, count(*) AS n_parts, CAST(sum(rev_c) AS BIGINT) AS cell_rev_c
+      |FROM abc JOIN xyz USING (l_partkey)
+      |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------- power-user concentration (B138)
+
+  /** Whale-curve concentration: the share of all events generated by
+    * the top-15 most active users (ppm) plus their individual loads —
+    * the "how dependent are we on a few accounts" number next to B118's
+    * per-hour noisy neighbors and B123's Gini.
+    *
+    * Scale shape: per-user counts are one map-side hash-agg; the top-15
+    * is a bounded-heap TopKBy (15 rows/partition cross the shuffle);
+    * the share divides by the 1-row total broadcast.
+    */
+  private def eventsPowerUsers(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val tot     = perUser.agg(sum("n").as("total"))
+    perUser
+      .agg(graft.functions.TopKBy.topKByLong(col("n").cast("double"), col("user_id"), 15).as("top"))
+      .select(posexplode(col("top")))
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("user_id"),
+        col("col.score").cast("long").as("n_events")
+      )
+      .crossJoin(broadcast(tot))
+      .select(
+        col("rank"),
+        col("user_id"),
+        col("n_events"),
+        expr("CAST(n_events * 1000000 div total AS BIGINT)").as("share_ppm")
+      )
+  }
+
+  private val eventsPowerUsersSql =
+    """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM pu),
+      |r AS (SELECT user_id, n,
+      |    CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rank
+      |  FROM pu)
+      |SELECT rank, user_id, n AS n_events,
+      |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+      |FROM r CROSS JOIN tot WHERE rank <= 15""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -563,7 +694,9 @@ object QueriesExt20 {
     "cdc_scd2_audit"        -> (cdcScd2Audit _),
     "events_interpolate"    -> (eventsInterpolate _),
     "q_shipping_sla"        -> (qShippingSla _),
-    "events_error_budget"   -> (eventsErrorBudget _)
+    "events_error_budget"   -> (eventsErrorBudget _),
+    "q_abc_xyz_matrix"      -> (qAbcXyzMatrix _),
+    "events_power_users"    -> (eventsPowerUsers _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -575,6 +708,8 @@ object QueriesExt20 {
     "cdc_scd2_audit"        -> cdcScd2AuditSql,
     "events_interpolate"    -> eventsInterpolateSql,
     "q_shipping_sla"        -> qShippingSlaSql,
-    "events_error_budget"   -> eventsErrorBudgetSql
+    "events_error_budget"   -> eventsErrorBudgetSql,
+    "q_abc_xyz_matrix"      -> qAbcXyzMatrixSql,
+    "events_power_users"    -> eventsPowerUsersSql
   )
 }

@@ -34,7 +34,7 @@ object PlanAudit {
       // brute-force scored base with broadcast queries (B4's documented trade)
       "sim_rrf_fusion", "sim_negative_sample",
       // 1-row bounds/totals/level broadcasts (B27 pattern)
-      "events_gap_fill", "q_fair_share", "events_ab_test", "events_srm_check", "q_assoc_rules", "q_source_drift", "q_partition_skew", "q_reco_fallback", "q_fk_audit", "q_join_estimate", "events_user_holdout", "q_benford_audit", "q_rfm_segments", "q_chi2_contingency", "q_consistent_hash", "q_apportionment"
+      "events_gap_fill", "q_fair_share", "events_ab_test", "events_srm_check", "q_assoc_rules", "q_source_drift", "q_partition_skew", "q_reco_fallback", "q_fk_audit", "q_join_estimate", "events_user_holdout", "q_benford_audit", "q_rfm_segments", "q_chi2_contingency", "q_consistent_hash", "q_apportionment", "events_power_users"
     )
 
   def main(args: Array[String]): Unit = {
