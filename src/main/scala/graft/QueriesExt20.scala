@@ -683,6 +683,105 @@ object QueriesExt20 {
       |  CAST(n * 1000000 // total AS BIGINT) AS share_ppm
       |FROM r CROSS JOIN tot WHERE rank <= 15""".stripMargin
 
+  // --------------------------- dormancy reactivation (B139)
+
+  /** Resurrection metric: per day, how many users RETURNED after ≥ 2
+    * days of inactivity (sized to the fixture's per-user event density) — the reactivation count that completes the
+    * growth-accounting family (B81's new/returning split plus this
+    * churn-recovery term). A reactivation is an event whose same-user
+    * predecessor is more than the dormancy threshold older.
+    *
+    * Scale shape: one per-user lag window (bounded per user) flags
+    * reactivation events at the scan; the rollup is days-sized.
+    */
+  private def eventsReactivation(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        operators.EventAnalytics.tsMillis(col("ts")).as("ms"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("day_idx")
+      )
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .where(col("prev_ms").isNotNull && col("ms") - col("prev_ms") > 2L * 86400000L)
+      .groupBy("day_idx")
+      .agg(
+        count(lit(1)).as("n_reactivations"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+  }
+
+  private val eventsReactivationSql =
+    """WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx
+      |  FROM events),
+      |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM b)
+      |SELECT day_idx, count(*) AS n_reactivations, count(DISTINCT user_id) AS n_users
+      |FROM l WHERE prev_ms IS NOT NULL AND ms - prev_ms > 2 * 86400000
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------- revenue waterfall (B140)
+
+  /** Financial reconciliation waterfall: gross extended price → minus
+    * discounts → net → plus tax → charged, each step as an exact
+    * DECIMAL total and a ppm share of gross — the one-row bridge a
+    * finance close reads to see where money went between list price and
+    * invoice (q1 computes the same sums; this query pins the STEP
+    * DELTAS and their shares). Every component is an exact
+    * integer cent·percent-unit sum with ONE floor at the end (B22's
+    * money rule, integer form); shares are DECIMAL(38,0) divisions.
+    *
+    * Scale shape: one map-side-combined 1-row aggregate over the fact
+    * table; all derived arithmetic on that row.
+    */
+  private def qRevenueWaterfall(s: SparkSession, dir: String): DataFrame = {
+    // pure integer cent·percent units per row — no decimal-precision
+    // clipping anywhere (Spark trims scale on wide decimal products; a
+    // naive sum-then-shift drifted by one cent against the oracle)
+    lineitem(s, dir)
+      .select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ep_c"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("d_p"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("t_p")
+      )
+      .agg(
+        expr("CAST(sum(CAST(ep_c AS DECIMAL(38,0))) AS BIGINT)").as("gross_c"),
+        expr("CAST(sum(CAST(ep_c * d_p AS DECIMAL(38,0))) div 100 AS BIGINT)").as("discount_c"),
+        expr("CAST(sum(CAST(ep_c * (100 - d_p) * t_p AS DECIMAL(38,0))) div 10000 AS BIGINT)").as("tax_c")
+      )
+      .select(
+        col("gross_c"),
+        col("discount_c"),
+        (col("gross_c") - col("discount_c")).as("net_c"),
+        col("tax_c"),
+        (col("gross_c") - col("discount_c") + col("tax_c")).as("charged_c"),
+        expr("CAST(CAST(discount_c AS DECIMAL(38,0)) * 1000000 div gross_c AS BIGINT)")
+          .as("discount_share_ppm"),
+        expr("CAST(CAST(tax_c AS DECIMAL(38,0)) * 1000000 div gross_c AS BIGINT)")
+          .as("tax_share_ppm")
+      )
+  }
+
+  private val qRevenueWaterfallSql =
+    """WITH r AS (SELECT
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ep_c,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d_p,
+      |    CAST(round(l_tax * 100) AS BIGINT) AS t_p
+      |  FROM lineitem),
+      |a AS (SELECT
+      |    CAST(sum(ep_c) AS BIGINT) AS gross_c,
+      |    CAST(sum(ep_c * d_p) // 100 AS BIGINT) AS discount_c,
+      |    CAST(sum(ep_c * (100 - d_p) * t_p) // 10000 AS BIGINT) AS tax_c
+      |  FROM r)
+      |SELECT gross_c, discount_c,
+      |  gross_c - discount_c AS net_c,
+      |  tax_c,
+      |  gross_c - discount_c + tax_c AS charged_c,
+      |  CAST(discount_c * 1000000 // gross_c AS BIGINT) AS discount_share_ppm,
+      |  CAST(tax_c * 1000000 // gross_c AS BIGINT) AS tax_share_ppm
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -696,7 +795,9 @@ object QueriesExt20 {
     "q_shipping_sla"        -> (qShippingSla _),
     "events_error_budget"   -> (eventsErrorBudget _),
     "q_abc_xyz_matrix"      -> (qAbcXyzMatrix _),
-    "events_power_users"    -> (eventsPowerUsers _)
+    "events_power_users"    -> (eventsPowerUsers _),
+    "events_reactivation"   -> (eventsReactivation _),
+    "q_revenue_waterfall"   -> (qRevenueWaterfall _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -710,6 +811,8 @@ object QueriesExt20 {
     "q_shipping_sla"        -> qShippingSlaSql,
     "events_error_budget"   -> eventsErrorBudgetSql,
     "q_abc_xyz_matrix"      -> qAbcXyzMatrixSql,
-    "events_power_users"    -> eventsPowerUsersSql
+    "events_power_users"    -> eventsPowerUsersSql,
+    "events_reactivation"   -> eventsReactivationSql,
+    "q_revenue_waterfall"   -> qRevenueWaterfallSql
   )
 }
