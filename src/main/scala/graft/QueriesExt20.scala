@@ -782,6 +782,88 @@ object QueriesExt20 {
       |  CAST(tax_c * 1000000 // gross_c AS BIGINT) AS tax_share_ppm
       |FROM a""".stripMargin
 
+  // --------------------------- dead-stock value at risk (B141)
+
+  /** Merchandising slow-mover report: per brand, the parts with NO
+    * shipment since 2001-01-01 and the retail value they tie up (exact
+    * cents) —
+    * the value-at-risk rollup of B107's childless-parents count, the
+    * list a buyer clears before the next assortment review.
+    *
+    * Scale shape: one anti-join of the part dimension against the
+    * distinct fact keys (fact side deduped map-side first), then a
+    * brands-sized rollup — the fact table contributes only its date-pruned key
+    * projection (the recency filter pushes to the scan).
+    */
+  private def qDeadStock(s: SparkSession, dir: String): DataFrame = {
+    val sold = lineitem(s, dir)
+      .where(col("l_shipdate").cast("date") >= lit("2001-01-01").cast("date"))
+      .select(col("l_partkey"))
+      .distinct()
+    part(s, dir)
+      .join(sold, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_unsold"),
+        expr("CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT)").as("retail_value_c")
+      )
+  }
+
+  private val qDeadStockSql =
+    """SELECT p_brand, count(*) AS n_unsold,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS retail_value_c
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND CAST(l.l_shipdate AS DATE) >= DATE '2001-01-01')
+      |GROUP BY 1""".stripMargin
+
+  // --------------------------- activity streaks (B142)
+
+  /** Engagement streaks: each user's LONGEST run of consecutive active
+    * days and their current-streak length at the end of the window —
+    * the habit metric retention teams optimize, via the gaps-and-islands
+    * identity (day − dense row number is constant within a consecutive
+    * run).
+    *
+    * Scale shape: distinct (user, day) dedup hash-agg; the island id
+    * comes from one per-user row_number window (bounded by a user's
+    * active-day count ≤ window days); two more hash-aggs collapse to
+    * one row per user.
+    */
+  private def eventsStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = events(s, dir)
+      .select(
+        col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("day_idx")
+      )
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day_idx")
+    val islands = days
+      .withColumn("grp", col("day_idx") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), max("day_idx").as("streak_end"))
+    islands
+      .groupBy("user_id")
+      .agg(
+        max("len").as("longest_streak"),
+        max(when(col("streak_end") === 29L, col("len")).otherwise(0L)).as("current_streak")
+      )
+  }
+
+  private val eventsStreaksSql =
+    """WITH days AS (SELECT DISTINCT user_id,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_idx
+      |  FROM events),
+      |i AS (SELECT user_id, day_idx,
+      |    day_idx - row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS grp
+      |  FROM days),
+      |isl AS (SELECT user_id, grp, count(*) AS len, max(day_idx) AS streak_end
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, max(len) AS longest_streak,
+      |  CAST(max(CASE WHEN streak_end = 29 THEN len ELSE 0 END) AS BIGINT) AS current_streak
+      |FROM isl GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -797,7 +879,9 @@ object QueriesExt20 {
     "q_abc_xyz_matrix"      -> (qAbcXyzMatrix _),
     "events_power_users"    -> (eventsPowerUsers _),
     "events_reactivation"   -> (eventsReactivation _),
-    "q_revenue_waterfall"   -> (qRevenueWaterfall _)
+    "q_revenue_waterfall"   -> (qRevenueWaterfall _),
+    "q_dead_stock"          -> (qDeadStock _),
+    "events_streaks"        -> (eventsStreaks _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -813,6 +897,8 @@ object QueriesExt20 {
     "q_abc_xyz_matrix"      -> qAbcXyzMatrixSql,
     "events_power_users"    -> eventsPowerUsersSql,
     "events_reactivation"   -> eventsReactivationSql,
-    "q_revenue_waterfall"   -> qRevenueWaterfallSql
+    "q_revenue_waterfall"   -> qRevenueWaterfallSql,
+    "q_dead_stock"          -> qDeadStockSql,
+    "events_streaks"        -> eventsStreaksSql
   )
 }
