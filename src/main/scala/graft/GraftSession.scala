@@ -30,6 +30,11 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as raw nanos and convert in the loader (Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // timestamp[us] fixture columns are NOT UTC-adjusted (isAdjustedToUTC
+      // = false); read them as TimestampType under the UTC session instead
+      // of TIMESTAMP_NTZ so epoch_ms semantics match the DuckDB oracle and
+      // every time function (unix_millis, window, watermark) stays usable
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

@@ -19,15 +19,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in the parquet, which Spark reads only
-    * as a raw long (spark.sql.legacy.parquet.nanosAsLong). Convert to a
-    * microsecond TimestampType here with integer division — `div`, not
-    * `/`, since epoch-nanos exceed double's 2^53 exact-integer range.
+  /** events.ts has shipped as TIMESTAMP(NANOS) (readable only as a raw
+    * long via spark.sql.legacy.parquet.nanosAsLong) in some fixture
+    * generations and TIMESTAMP(MICROS) in others — adapt on the observed
+    * schema so both load identically:
+    *  - long  → epoch-nanos: integer-divide to micros (`div`, not `/`,
+    *    since epoch-nanos exceed double's 2^53 exact-integer range);
+    *  - timestamp/timestamp_ntz → already micros; cast unifies NTZ to
+    *    TimestampType under the UTC session (a no-op re-interpretation).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
