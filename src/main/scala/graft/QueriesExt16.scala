@@ -733,7 +733,7 @@ object QueriesExt16 {
       |l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS prev_ms FROM b),
       |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 21600000 THEN 1 ELSE 0 END AS new_burst FROM l)
       |SELECT event_id, user_id, event_type, ms,
-      |  sum(new_burst) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS burst,
+      |  CAST(sum(new_burst) OVER (PARTITION BY user_id, event_type ORDER BY ms, event_id) AS BIGINT) AS burst,
       |  new_burst = 1 AS kept
       |FROM f""".stripMargin
 

@@ -30,11 +30,17 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected LongType (nanos " +
+            "fixture generation) or Timestamp[NTZ]Type (micros generation); " +
+            "a malformed fixture must fail loudly, not load as nulls")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")

@@ -112,9 +112,10 @@ object ScaleUp {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * SUPP))
     }, "lineitem")
 
-    // events.ts arrives as raw epoch-nanos long (nanosAsLong) and is written
-    // back as a plain BIGINT — Tables.events' `ts div 1000` conversion reads
-    // both encodings identically.
+    // events.ts round-trips in whichever encoding the fixture generation
+    // uses — raw epoch-nanos long (nanosAsLong) written back as BIGINT, or
+    // TIMESTAMP(MICROS) written back as a timestamp — and Tables.events
+    // dispatches on the observed schema, so either replica loads identically.
     write(replicate(tbl("events")) { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * EVT))
         .withColumn("user_id", col("user_id") + lit(i * EVT))
