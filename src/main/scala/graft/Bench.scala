@@ -93,7 +93,13 @@ object Bench {
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}"
       )
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_STREAM=only runs JUST the stream drain (for standalone
+    // throughput iteration); =skip omits it from a SPARK_GRAFT_ONLY-less
+    // run; unset keeps the driver contract (full suite + stream).
+    val streamMode = sys.env.getOrElse("SPARK_GRAFT_STREAM", "")
+    val names =
+      if (streamMode == "only") Seq.empty[String]
+      else SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
 
     /** Streaming throughput: envelope rows/sec through the full CDC
       * enrich pipeline (source scan → extract → broadcast lookup join →
@@ -102,12 +108,33 @@ object Bench {
       * profile (BASELINE.md). AvailableNow drains the whole fixture in
       * micro-batches.
       */
-    def streamThroughput(): (Long, Double) =
+    /** Returns (rows, rows/sec, source files, micro-batches, per-batch ms).
+      * The extra fields are the instrumentation the r7 throughput cliff
+      * demanded: 115k → 8k rows/s across a fixture regeneration is only
+      * diagnosable if the snapshot records whether the drain split into
+      * many micro-batches (per-batch fixed cost: persist + broadcast join
+      * + two parquet sink commits + a count) or one batch got slower.
+      */
+    def streamThroughput(): (Long, Double, Int, Int, Seq[Long]) =
       try {
         val srcDir = graft.streaming.WorkDirs.fresh(spark, "bench-stream-src")
+        // Spread the synthesized source across executor parallelism — a
+        // real CDC landing zone arrives as many files per trigger, and the
+        // drain's batch inherits the SOURCE file layout as its scan
+        // parallelism (the regenerated events.parquet yields only 2 files
+        // under the bench's 2 MB override). Measured at sf0.1 this is
+        // throughput-neutral (the ~1.5 s batch is sink-commit + machinery
+        // dominated, not scan-bound), so it's kept for representativeness,
+        // not as an optimization.
         graft.cdc.Envelope
           .synthesizeFromEvents(graft.Tables.events(spark, sfDir))
+          .repartition(spark.sparkContext.defaultParallelism)
           .write.mode("overwrite").parquet(srcDir)
+        val nFiles = {
+          val p  = new org.apache.hadoop.fs.Path(srcDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        }
         val n      = spark.read.parquet(srcDir).count()
         val schema = spark.read.parquet(srcDir).schema
         val t0     = System.nanoTime()
@@ -123,11 +150,17 @@ object Bench {
         )
         q.awaitTermination()
         val wall = (System.nanoTime() - t0) / 1e9
-        (n, n / wall)
+        // recentProgress holds up to spark.sql.streaming.numRecentProgressUpdates
+        // (default 100) — enough unless the drain pathologically splits.
+        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        System.err.println(
+          f"[bench] stream trial: $n rows, ${n / wall}%.0f rows/s, $nFiles src files, " +
+            f"${batches.length} batches, batch_ms=${batches.map(_.batchDuration).mkString(",")}")
+        (n, n / wall, nFiles, batches.length, batches.map(_.batchDuration).toSeq)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
-          (0L, -1.0)
+          (0L, -1.0, 0, 0, Seq.empty)
       }
     val firstPass = names.map(n => n -> run(n))
 
@@ -217,9 +250,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val head  = results.filter(r => headline(r._1)).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val (streamRows, streamRps) = if (only.isEmpty) streamThroughput() else (0L, -1.0)
-    val streamField =
-      if (streamRps > 0) s""","stream_rows":$streamRows,"stream_rows_per_sec":${fmt(streamRps)}""" else ""
+    val runStream = streamMode == "only" || (only.isEmpty && streamMode != "skip")
+    // best-of-N on the stream drain, ALWAYS (r7 postmortem: the drain ran
+    // once per suite, so a single multi-second host stall produced the
+    // "7,998 rows/s" sf0.1 snapshot — 12.5 s wall vs the 1-1.6 s the same
+    // binary does all day. Queries get a median of trials; the drain gets
+    // best-of-trials because stalls only ever deflate rows/s; ~2 s/trial
+    // at sf0.1 is cheap insurance on the committed number.)
+    val streamRuns =
+      if (runStream) Seq.fill(trials)(streamThroughput()).filter(_._2 > 0) else Seq.empty
+    val streamField = streamRuns.sortBy(-_._2).headOption.map {
+      case (rows, rps, files, nb, batchMs) =>
+        s""","stream_rows":$rows,"stream_rows_per_sec":${fmt(rps)}""" +
+          s""","stream_src_files":$files,"stream_batches":$nb""" +
+          batchMs.mkString(""","stream_batch_ms":[""", ",", "]")
+    }.getOrElse("")
     // spread audit trail: how this run compared to the history median on
     // first pass, and whether the >25%-drift rerun fired
     val histField = ratio.map(r => s""","hist_ratio":${fmt(r)},"rerun":$rerun""").getOrElse("")
@@ -233,7 +278,7 @@ object Bench {
       // FULL runs only — SPARK_GRAFT_ONLY dev subsets would litter the
       // history (they're excluded from the drift ratio anyway, but the
       // files accumulate in git)
-      if (only.isEmpty) {
+      if (only.isEmpty && streamMode != "only") {
         val stamp = java.time.format.DateTimeFormatter
           .ofPattern("yyyyMMdd-HHmmss")
           .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
