@@ -39,17 +39,26 @@ import org.apache.spark.sql.functions._
   *    rows per window — the honest scaling mode for an analytics suite.
   *  - `region`/`nation` stay as-is: dimensions don't grow with sf.
   *
-  * Usage: `ScaleUp srcDir dstDir [factor]` (defaults: sf0.1 → testdata/sf1,
-  * 10×). Output row groups are capped at 4 MB so a `local[32]` scan of the
+  * Usage: `ScaleUp srcDir dstDir [factor] [strideMult] [tables...]`
+  * (defaults: sf0.1 → testdata/sf1, 10×, strideMult 1, all tables).
+  * `strideMult` widens the key strides for SECOND-level scaling — replicas
+  * of an already-scaled dir (e.g. sf1 → sf10) occupy `factor` stride slots
+  * per level, so reusing the level-1 strides would collide keys; pass the
+  * previous level's factor (10 for sf1 → sf10). `tables` restricts output
+  * to a subset (e.g. `documents embeddings` for a dedup/ANN-only probe)
+  * so a 100×-scale corpus doesn't drag 60 M lineitem rows along with it.
+  * Output row groups are capped at 4 MB so a `local[32]` scan of the
   * 10-file tables still parallelizes well past 10 tasks.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val src    = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val dst    = if (args.length > 1) args(1) else "testdata/sf1"
-    val factor = if (args.length > 2) args(2).toInt else 10
-    val spark  = graft.GraftSession.get("graft-scaleup")
-    try run(spark, src, dst, factor)
+    val src        = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst        = if (args.length > 1) args(1) else "testdata/sf1"
+    val factor     = if (args.length > 2) args(2).toInt else 10
+    val strideMult = if (args.length > 3) args(3).toLong else 1L
+    val tables     = if (args.length > 4) Some(args.drop(4).toSet) else None
+    val spark      = graft.GraftSession.get("graft-scaleup")
+    try run(spark, src, dst, factor, strideMult, tables)
     finally spark.stop()
   }
 
@@ -64,10 +73,26 @@ object ScaleUp {
   private val DOC  = 1000000L
   private val VEC  = 1000000L
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
-    def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+  def run(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      factor: Int,
+      strideMult: Long = 1L,
+      tables: Option[Set[String]] = None
+  ): Unit = {
+    val CUST = this.CUST * strideMult
+    val SUPP = this.SUPP * strideMult
+    val PART = this.PART * strideMult
+    val ORD  = this.ORD * strideMult
+    val EVT  = this.EVT * strideMult
+    val DOC  = this.DOC * strideMult
+    val VEC  = this.VEC * strideMult
 
-    def write(df: DataFrame, name: String): Unit = {
+    def wanted(name: String): Boolean = tables.forall(_.contains(name))
+    def tbl(name: String): DataFrame  = spark.read.parquet(s"$src/$name.parquet")
+
+    def write(df: => DataFrame, name: String): Unit = if (wanted(name)) {
       df.write
         .mode("overwrite")
         .option("parquet.block.size", (4L * 1024 * 1024).toString)
@@ -122,7 +147,16 @@ object ScaleUp {
     }, "events")
 
     write(replicate(tbl("documents")) { (df, i) =>
-      val salt = s"q${('a' + (i % 26)).toChar}"
+      // The salt must be level-distinguishable for second-level scaling:
+      // suffixing level-1-replica-0 text with a LEVEL-1 salt would exactly
+      // reproduce a level-1 salted replica ("word"+"qb" == "wordqb"),
+      // handing every doc a cross-replica exact twin and re-creating the
+      // O(factor²) candidate blowup the salting exists to prevent. Level-2
+      // salts append a strideMult-derived letter, making every
+      // (level-1, level-2) replica-pair suffix distinct by construction.
+      val salt =
+        if (strideMult > 1) s"q${('a' + (i % 26)).toChar}${('a' + (strideMult % 26)).toChar}"
+        else s"q${('a' + (i % 26)).toChar}"
       df.withColumn("text", regexp_replace(col("text"), "(\\w+)", "$1" + salt))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .withColumn("doc_id", col("doc_id") + lit(i * DOC))

@@ -149,6 +149,71 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  // ------- round 8: the bench's most expensive queries get named gates
+  // (r7 advice: the top of the cost table is exactly where a silent plan
+  // regression costs the most wall-clock at 100 TB).
+
+  test("text_lm_score: bigram model broadcast to the scoring join, corpus never sort-merge-joined") {
+    val d = df("text_lm_score")
+    val p = d.queryExecution.executedPlan.toString
+    assert(broadcastJoins(p) >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(globalWindows(d) === 0)
+    // model-side aggs + per-doc score agg; anything beyond means the
+    // corpus itself started shuffling
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("q_reco_fallback: both top-3 lists via bounded-heap TopKBy, no rank windows, no all-pairs") {
+    val d = df("q_reco_fallback")
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("graft_topk_by"), p)
+    assert(d.queryExecution.optimizedPlan.collect { case w: LogicalWindow => w }.isEmpty,
+      "reco fallback must not rank via windows")
+    // the cohort-keyed semi join may be SMJ or broadcast (AQE decides at
+    // runtime on heap-sized sides). One nested-loop join is sanctioned:
+    // broadcasting the 3-row GLOBAL fallback list onto uncovered cohorts
+    // (a bounded micro-list attach); a second would mean an all-pairs shape
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+  }
+
+  test("q_assoc_rules: basket-bounded pair generation; only the 1-row global count cross-attaches") {
+    val d = df("q_assoc_rules")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one nested-loop join is sanctioned: broadcasting the single
+    // global basket-count row onto the pair table (a scalar attach, not a
+    // pair explosion) — anything more means candidate generation regressed
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"), p)
+    assert(globalWindows(d) === 0)
+  }
+
+  test("dedup_minhash_incremental: banded candidates only, no all-pairs shape") {
+    // NOTE: construction localCheckpoints the candidate set (per design —
+    // it is reused by both the fresh×corpus and fresh×fresh branches), so
+    // building the DataFrame runs those bounded jobs at sf0.001 scale.
+    val d = df("dedup_minhash_incremental")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(globalWindows(d) === 0)
+  }
+
+  test("text_dup_spans: per-doc span work; only doc-keyed equi-joins, bounded shuffles") {
+    val d = df("text_dup_spans")
+    val p = d.queryExecution.executedPlan.toString
+    // span stats re-attach to per-doc shingle counts by doc_id — hash
+    // equi-joins only; a nested-loop/cartesian here would be a cross-doc
+    // comparison this operator must never do
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(globalWindows(d) === 0)
+    // shingle-count agg, span-run agg chain, and the doc_id re-attach —
+    // all doc-keyed; a 5th shuffle would mean a corpus-wide stage appeared
+    assert(shuffles(p) <= 4, p)
+  }
+
   test("negative control: an opaque predicate visibly loses its pushdown") {
     // Same shape as q2's scan, but the shipdate bound is wrapped in an
     // expression parquet can't evaluate — the PushedFilters assertion that
