@@ -65,11 +65,15 @@ object QueriesExt7 {
   private def dedupCanonicalDocs(s: SparkSession, dir: String): DataFrame = {
     val pairs  = Dedup.minhashPairs(documents(s, dir), "doc_id", "text", 3, 0.5)
     val labels = Dedup.connectedComponents(pairs)
-    // score quality ONLY for cluster members: the label set (near-dup docs)
-    // is a small fraction of the corpus, and it broadcasts — the expensive
-    // per-document regexp/tokenize work never touches non-duplicates
+    // score quality ONLY for cluster members, so the expensive per-document
+    // regexp/tokenize work never touches non-duplicates. The label set is
+    // NOT hint-broadcast: it grows linearly with the corpus (a web-scale
+    // corpus is 30-50% near-dup members), so a forced broadcast is exactly
+    // the unbounded-build-side bug the sf10 probe caught (8 g heap OOM at
+    // 500 k docs). A doc_id-keyed join lets AQE broadcast while the label
+    // set is actually small and shuffle-join co-keyed once it isn't.
     val members = documents(s, dir)
-      .join(broadcast(labels), col("doc_id") === labels("id"))
+      .join(labels, col("doc_id") === labels("id"))
     val quality = TextAnalysis
       .withQuality(members, "text")
       .select(col("doc_id"), col("cluster_id"), col("quality_score"))
