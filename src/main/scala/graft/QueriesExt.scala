@@ -214,6 +214,16 @@ object QueriesExt {
        |  FROM st x JOIN st y ON x.source = y.source AND x.doc_id < y.doc_id)
        |WHERE jaccard >= 0.5""".stripMargin
 
+  /** EXACT-BY-CONTRACT baseline: every same-label pair with cosine ≥ 0.35.
+    * Cost is quadratic in label-block size BY DEFINITION — τ=0.35 is below
+    * the similarity range any LSH family can bucket with useful recall
+    * (per-plane sign-match p ≈ 0.61 ⇒ p^bits vanishes), so no candidate
+    * scheme can recover these pairs without examining the block. This is
+    * the documented exact-recall anchor the approximate family
+    * (sim_rp_lsh / sim_knn_graph, both count-auto-tuned) is measured
+    * against; at 100 TB you run THOSE, and this only on bounded blocks.
+    * The sf10 probe's 114× ratio is this contract, not a plan regression.
+    */
   private def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(embeddings(s, dir), "vec_id", "embedding", "label", tau = 0.35)
 

@@ -142,28 +142,47 @@ object QueriesExt10 {
 
   // ------------------------------------------- random-hyperplane LSH (B4)
 
-  private def simRpLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.randomHyperplanePairs(embeddings(s, dir), "vec_id", "embedding", tau = 0.3)
+  private def simRpLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.randomHyperplanePairs(
+      emb, "vec_id", "embedding", tau = 0.3,
+      bitsPerBand = Similarity.bitsFor(emb.count())
+    )
+  }
 
-  private val simRpLshSql = {
-    val planes = Similarity.signPlanes(16, 64)
+  /** Shared RP-LSH candidate-pair oracle fragment (CTEs through `pairs`):
+    * replays `Similarity.randomHyperplanePairs` with the SAME count-derived
+    * bits-per-band (`bitsFor`: clamp(ceil(log2(n/64)), 8, 16)) and the same
+    * md5-derived planes at `band * MaxBitsPerBand + bit`, so query and
+    * oracle agree on geometry at EVERY scale factor, not just the gate's.
+    * All 16 per-band bit terms are emitted, each gated on `bit < nb`.
+    */
+  private[graft] def rpCandPairsSql(tau: String): String = {
+    val maxBits = Similarity.MaxBitsPerBand
+    val planes  = Similarity.signPlanes(2 * maxBits, 64)
     def arr(row: Array[Double]) =
       row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     val buckets = (0 until 2).map { bd =>
-      (0 until 8).map { b =>
-        s"(CASE WHEN list_dot_product(e, ${arr(planes(bd * 8 + b))}::DOUBLE[]) > 0 THEN ${1L << b} ELSE 0 END)"
+      (0 until maxBits).map { b =>
+        s"(CASE WHEN $b < nb AND list_dot_product(e, ${arr(planes(bd * maxBits + b))}::DOUBLE[]) > 0 THEN ${1L << b} ELSE 0 END)"
       }.mkString(" + ")
     }
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |b AS (SELECT vec_id, e, ${buckets.zipWithIndex.map { case (ex, i) => s"($ex) AS b$i" }.mkString(", ")} FROM v),
+    s"""nn AS (SELECT count(*) AS cnt FROM embeddings),
+       |bits AS (SELECT LEAST(16, GREATEST(8, CAST(ceil(log2(cnt / 64.0)) AS INT))) AS nb FROM nn),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |b AS (SELECT vec_id, ${buckets.zipWithIndex.map { case (ex, i) => s"($ex) AS b$i" }.mkString(", ")}, e FROM v, bits),
        |x AS (SELECT vec_id, unnest([b0, b1]) AS bucket, unnest([0, 1]) AS band FROM b),
        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-       |         FROM x JOIN x AS y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-       |SELECT id_a, id_b, cosine FROM (
-       |  SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.e, z.e), 6) AS cosine
-       |  FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v z ON c.id_b = z.vec_id)
-       |WHERE cosine >= 0.3""".stripMargin
+       |         FROM x JOIN x AS y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |pairs AS (SELECT id_a, id_b, cosine FROM (
+       |    SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.e, z.e), 6) AS cosine
+       |    FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v z ON c.id_b = z.vec_id)
+       |  WHERE cosine >= $tau)""".stripMargin
   }
+
+  private val simRpLshSql =
+    s"""WITH ${rpCandPairsSql("0.3")}
+       |SELECT id_a, id_b, cosine FROM pairs""".stripMargin
 
   // ------------------------------------------- char-bigram LM score (B5)
 

@@ -257,27 +257,16 @@ object QueriesExt11 {
     * ranks each node's candidates with a window — rank parity holds
     * because both engines order by (rounded cosine desc, neighbor asc).
     */
-  private def simKnnGraph(s: SparkSession, dir: String): DataFrame =
-    operators.Similarity.knnGraph(embeddings(s, dir), "vec_id", "embedding", k = 3, tau = 0.0)
+  private def simKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    operators.Similarity.knnGraph(
+      emb, "vec_id", "embedding", k = 3, tau = 0.0,
+      bitsPerBand = operators.Similarity.bitsFor(emb.count())
+    )
+  }
 
-  private val simKnnGraphSql = {
-    val planes = operators.Similarity.signPlanes(16, 64)
-    def arr(row: Array[Double]) =
-      row.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    val buckets = (0 until 2).map { bd =>
-      (0 until 8).map { b =>
-        s"(CASE WHEN list_dot_product(e, ${arr(planes(bd * 8 + b))}::DOUBLE[]) > 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-    }
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |b AS (SELECT vec_id, e, ${buckets.zipWithIndex.map { case (ex, i) => s"($ex) AS b$i" }.mkString(", ")} FROM v),
-       |x AS (SELECT vec_id, unnest([b0, b1]) AS bucket, unnest([0, 1]) AS band FROM b),
-       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-       |         FROM x JOIN x AS y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-       |pairs AS (SELECT id_a, id_b, cosine FROM (
-       |    SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.e, z.e), 6) AS cosine
-       |    FROM cand c JOIN v a ON c.id_a = a.vec_id JOIN v z ON c.id_b = z.vec_id)
-       |  WHERE cosine >= 0.0),
+  private val simKnnGraphSql =
+    s"""WITH ${QueriesExt10.rpCandPairsSql("0.0")},
        |sym AS (SELECT id_a AS src, id_b AS nbr, cosine FROM pairs
        |        UNION ALL SELECT id_b, id_a, cosine FROM pairs)
        |SELECT vec_id, CAST(rn AS BIGINT) AS nbr_rank, nbr_id, cosine FROM (
@@ -285,7 +274,6 @@ object QueriesExt11 {
        |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr) AS rn
        |  FROM sym)
        |WHERE rn <= 3""".stripMargin
-  }
 
   // ---------------------------------------------- pHash near-dup (B6)
 
@@ -627,21 +615,35 @@ object QueriesExt11 {
   private def simIvfIncremental(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
     val thr = emb.agg(expr("max(vec_id) * 4 div 5").cast("long")).head.getLong(0)
+    val standing = emb.filter(col("vec_id") < thr)
+    // Cell count scales as ceil(sqrt(index size)) — FAISS's IVF sizing rule
+    // — clamped to [8, 128]. A FIXED cell count is the fixed-bucket scale
+    // bug: with queries ∝ corpus (an incremental batch grows with the
+    // corpus) and cell size ∝ corpus, probe work went Θ(n²/20) — the sf10
+    // probe measured 140× for 10× data. √n cells give the accepted IVF
+    // curve Θ(q·√n); the 128 cap bounds the codegen'd argmin width (the
+    // centroid model stays a literal array family).
+    val nIdx   = standing.count()
+    val nCells = math.min(128, math.max(8, math.ceil(math.sqrt(nIdx.toDouble)).toInt))
     operators.Similarity.ivfTopK(
       emb,
       emb.filter(col("vec_id") >= thr),
       "vec_id", "embedding",
-      k = 5, nCells = 8, nProbe = 2,
-      seedSource = Some(emb.filter(col("vec_id") < thr))
+      k = 5, nCells = nCells, nProbe = 2,
+      seedSource = Some(standing),
+      broadcastQueries = false
     )
   }
 
   private val simIvfIncrementalSql =
     """WITH thr AS (SELECT max(vec_id) * 4 // 5 AS t FROM embeddings),
       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-      |seeds AS (SELECT vec_id AS cell_id, e AS ce FROM v
-      |          WHERE vec_id < (SELECT t FROM thr)
-      |          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 8),
+      |idx AS (SELECT count(*) AS ic FROM v WHERE vec_id < (SELECT t FROM thr)),
+      |nc AS (SELECT LEAST(128, GREATEST(8, CAST(ceil(sqrt(ic)) AS INT))) AS n FROM idx),
+      |seeds AS (SELECT vec_id AS cell_id, e AS ce FROM (
+      |    SELECT *, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+      |    FROM v WHERE vec_id < (SELECT t FROM thr))
+      |  WHERE rn <= (SELECT n FROM nc)),
       |assign AS (
       |  SELECT vec_id, e, cell_id FROM (
       |    SELECT v.vec_id, v.e, s.cell_id,

@@ -118,9 +118,13 @@ object Similarity {
     * index: every step here — seed pick, argmin assignment, probe set,
     * final ranking — is plain deterministic relational algebra.
     *
-    * The centroid "model" is tiny (nCells × dim doubles) and broadcasts
-    * via literal arrays — cell assignment is a codegen'd argmin over
-    * `DotProduct` expressions, no ML pipeline anywhere.
+    * The centroid "model" is small (nCells × dim doubles) and ships as a
+    * BROADCAST TABLE: cell assignment is a crossJoin against it plus a
+    * map-side-combining `min(struct(d, cell))` per vector — the same
+    * deterministic argmin, but linear in nCells inside whole-stage codegen
+    * (an earlier literal-array `least(...)` form fell out of codegen past
+    * ~100 cells and ran 15× slower the moment cell count scaled with the
+    * corpus). No ML pipeline anywhere.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -133,7 +137,13 @@ object Similarity {
       // incremental refresh: pass the STANDING corpus here so centroids
       // stay those of the existing index while `corpus` includes fresh
       // rows assigned into the same cells (no re-clustering on update)
-      seedSource: Option[DataFrame] = None
+      seedSource: Option[DataFrame] = None,
+      // true (default) broadcasts the probe-expanded query side — right
+      // when queries are a bounded set. Pass false when the query batch
+      // grows with the corpus (incremental refresh): a corpus-fraction
+      // broadcast is the unbounded-build-side bug, and the cell-keyed
+      // shuffle join partitions fine once nCells scales with the corpus.
+      broadcastQueries: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
@@ -148,30 +158,50 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-    // squared-distance-to-seed, ordered (distance, cell id) for a total
-    // deterministic order; ||v||² is shared across cells but kept inline so
-    // the expression matches the replayable formula exactly
-    def distStructs(vec: Column): Seq[Column] = seeds.map { case (cellId, c) =>
-      val cl = array(c.map(lit): _*)
-      val d  = dot(vec, vec) - lit(2.0) * dot(vec, cl) + lit(c.map(x => x * x).sum)
-      struct(d.as("d"), lit(cellId).as("cell"))
-    }.toSeq
+    // the centroid table: (cell id, centroid, ||centroid||²) — ||c||² is
+    // driver-computed once so the distance formula below is exactly the
+    // replayable d = v·v − 2·v·c + Σc², same op order as the oracle SQL
+    val spark = corpus.sparkSession
+    val cents = broadcast(
+      spark.createDataFrame(
+        seeds.toIndexedSeq.map { case (id, v) => (id, v.toSeq, v.map(x => x * x).sum) }
+      ).toDF("cell", "ce", "ce2")
+    )
+    def d(vec: Column): Column =
+      dot(vec, vec) - lit(2.0) * dot(vec, col("ce")) + col("ce2")
 
-    def cellOf(vec: Column): Column = least(distStructs(vec): _*).getField("cell")
-
+    // corpus → nearest cell: crossJoin the broadcast centroids, then a
+    // map-side-combining min over struct(d, cell) — lexicographic struct
+    // order == ORDER BY (distance, cell id), the deterministic tie-break
     val c = spread(corpus)
       .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cell", cellOf(col("cv")))
+      .crossJoin(cents)
+      .groupBy(col("corpus_id"))
+      .agg(
+        min(struct(d(col("cv")).as("d"), col("cell").as("cell"))).as("m"),
+        // cv is functionally dependent on corpus_id (every crossJoin row
+        // carries the same vector), so first() is deterministic here
+        first(col("cv")).as("cv")
+      )
+      .select(col("corpus_id"), col("cv"), col("m.cell").as("cell"))
 
-    // per query: the nProbe nearest cells (lexicographic struct sort ==
-    // ORDER BY distance, cell id)
+    // per query: the nProbe nearest cells via the same distance, ranked
+    // (distance, cell id); the window shuffles queries×nCells rows keyed
+    // by query — linear in both
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("probe_cells", slice(array_sort(array(distStructs(col("qv")): _*)), 1, nProbe))
-      .select(col("query_id"), col("qv"), explode(col("probe_cells.cell")).as("cell"))
+      .crossJoin(cents)
+      .withColumn(
+        "prn",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(d(col("qv")).asc, col("cell").asc)
+        )
+      )
+      .filter(col("prn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
 
     val scored = c
-      .join(broadcast(q), Seq("cell"))
+      .join(if (broadcastQueries) broadcast(q) else q, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
@@ -193,6 +223,30 @@ object Similarity {
       if (java.lang.Long.parseLong(hex.take(8), 16) % 2 == 0) 1.0 else -1.0
     }
 
+  /** Max bits per band the sign-plane pool reserves. Plane indexing is
+    * `band * MaxBitsPerBand + bit` so widening `bitsPerBand` EXTENDS a
+    * band's bit pattern without moving any other band's planes — the
+    * 8-bit geometry is a strict prefix of the 12-bit one.
+    */
+  val MaxBitsPerBand = 16
+
+  /** Bucket-width auto-tuning for the sign-bucket LSH family: bits per
+    * band = ceil(log2(corpus / target per-bucket density)), clamped to
+    * [8, MaxBitsPerBand]. A FIXED bucket count is the classic LSH scale
+    * bug — with 2^8 buckets, per-bucket density grows linearly with the
+    * corpus and within-bucket candidate PAIRS grow quadratically (the
+    * sf10 probe measured exactly this: 200 k vectors → ~n²/2^8 pairs →
+    * 68 GB of shuffle spill). Holding density ~constant keeps candidate
+    * generation linear; per-band recall declines as bits grow (p^bits),
+    * which is the standard LSH trade — add bands to recover recall at
+    * scale. At ≤ 2^14 vectors this returns 8, so small-corpus geometry
+    * (and every existing oracle) is unchanged.
+    */
+  def bitsFor(n: Long, targetDensity: Long = 64L): Int = {
+    val raw = math.ceil(math.log(math.max(n, 1L).toDouble / targetDensity) / math.log(2.0)).toInt
+    math.min(MaxBitsPerBand, math.max(8, raw))
+  }
+
   /** Random-hyperplane LSH near-neighbor pairs (SimHash for vectors,
     * Charikar-style): each vector's sign pattern against `bands*bitsPerBand`
     * fixed hyperplanes is split into bands; two vectors sharing ANY band's
@@ -203,7 +257,10 @@ object Similarity {
     * identical LSH-banding geometry as MinHash dedup, never all-pairs.
     * The cosine angle between two vectors bounds the per-plane sign-match
     * probability (1 - θ/π), so banding concentrates true near-neighbors
-    * while the verify step removes the false positives exactly.
+    * while the verify step removes the false positives exactly. Callers
+    * on growing corpora must pass `bitsPerBand = bitsFor(corpus count)`
+    * so per-bucket density (hence candidate-pair count per vector) stays
+    * bounded as the corpus grows.
     *
     * Returns (id_a, id_b, cosine) with id_a < id_b, cosine >= tau.
     */
@@ -216,7 +273,8 @@ object Similarity {
       bitsPerBand: Int = 8,
       dim: Int = 64
   ): DataFrame = {
-    val planes = signPlanes(bands * bitsPerBand, dim)
+    require(bitsPerBand <= MaxBitsPerBand, s"bitsPerBand $bitsPerBand > $MaxBitsPerBand")
+    val planes = signPlanes(bands * MaxBitsPerBand, dim)
     val base = spread(embeddings).select(
       col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v")
@@ -224,7 +282,7 @@ object Similarity {
     // bit-pack each band's sign pattern into one long: Σ 2^b · [dot > 0]
     val bandBuckets = (0 until bands).map { bd =>
       (0 until bitsPerBand).map { b =>
-        val plane = planes(bd * bitsPerBand + b)
+        val plane = planes(bd * MaxBitsPerBand + b)
         when(dot(col("v"), array(plane.map(lit).toIndexedSeq: _*)) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
@@ -266,9 +324,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      tau: Double
+      tau: Double,
+      bitsPerBand: Int = 8
   ): DataFrame =
-    randomHyperplanePairs(embeddings, idCol, vecCol, tau)
+    randomHyperplanePairs(embeddings, idCol, vecCol, tau, bitsPerBand = bitsPerBand)
       .select(
         explode(
           array(
