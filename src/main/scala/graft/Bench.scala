@@ -211,21 +211,34 @@ object Bench {
     }
 
     val firstMap = firstPass.toMap.map { case (n, s) => n -> s.med }
-    val ratio    = historyRatio(firstMap)
-    // the drift rerun is a FULL-run safeguard: a dev subset's ratio is
+    // Drift reruns LOOP until the snapshot clears the 25% band or the cap
+    // is hit (r7 postmortem: a single rerun landed both passes in the same
+    // slow-host window and committed a 1.38×-inflated snapshot anyway).
+    // Per-query stats keep the MIN across passes — stalls only ever
+    // inflate a timing — so the merged ratio is non-increasing and the
+    // loop terminates the moment the host gives one honest pass. Capped at
+    // 3 extra passes; a still-drifting snapshot ships with its hist_ratio
+    // and rerun count on record rather than burning the driver's round.
+    // The rerun is a FULL-run safeguard only: a dev subset's ratio is
     // still reported for context, but re-running a hand-picked subset
-    // would just double iteration time without protecting any snapshot
-    val rerun    = only.isEmpty && ratio.exists(r => r > 1.25 || r < 0.75)
-    val stats =
-      if (!rerun) firstPass
-      else {
-        System.err.println(s"[bench] total drifted ${ratio.get}x vs history median — re-running suite")
-        names.map { n =>
-          val second = run(n)
-          val first  = firstPass.toMap.apply(n)
-          n -> (if (second.med >= 0 && (first.med < 0 || second.med < first.med)) second else first)
-        }
+    // would just double iteration time without protecting any snapshot.
+    val maxReruns      = 3
+    var stats          = firstPass
+    var ratio          = historyRatio(firstMap)
+    var reruns         = 0
+    def drifted(r: Option[Double]) = r.exists(r => r > 1.25 || r < 0.75)
+    while (only.isEmpty && reruns < maxReruns && drifted(ratio)) {
+      System.err.println(
+        s"[bench] total drifted ${ratio.get}x vs history median — rerun ${reruns + 1}/$maxReruns")
+      val prev = stats.toMap
+      stats = names.map { n =>
+        val second = run(n)
+        val first  = prev(n)
+        n -> (if (second.med >= 0 && (first.med < 0 || second.med < first.med)) second else first)
       }
+      ratio = historyRatio(stats.toMap.map { case (n, s) => n -> s.med })
+      reruns += 1
+    }
     val results = stats.map { case (n, s) => n -> s.med }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -267,7 +280,9 @@ object Bench {
     }.getOrElse("")
     // spread audit trail: how this run compared to the history median on
     // first pass, and whether the >25%-drift rerun fired
-    val histField = ratio.map(r => s""","hist_ratio":${fmt(r)},"rerun":$rerun""").getOrElse("")
+    // hist_ratio is the FINAL (post-rerun-merge) ratio; reruns counts the
+    // extra full passes the drift loop took (0 = first pass was clean)
+    val histField = ratio.map(r => s""","hist_ratio":${fmt(r)},"reruns":$reruns""").getOrElse("")
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"trials":$trials$histField,"queries":$all$streamField,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
