@@ -214,6 +214,34 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(shuffles(p) <= 4, p)
   }
 
+  test("sim_ivf_incremental: centroid table broadcast, corpus-proportional query side NOT broadcast") {
+    // NOTE: construction runs two bounded driver jobs (threshold scalar +
+    // seed collect) — model-sized, fine at sf0.001.
+    val d = df("sim_ivf_incremental")
+    val p = d.queryExecution.executedPlan.toString
+    // exactly one broadcast build: the nCells×dim centroid table (used by
+    // both the assign and probe branches). A second would mean the
+    // query batch is being broadcast again — the unbounded-build-side
+    // shape the sf10 probe OOM'd on.
+    assert("BroadcastExchange".r.findAllIn(p).length <= 2, p) // assign + probe reuse, AQE may dedupe to 1
+    assert(!p.contains("CartesianProduct"), p)
+    // the scored corpus⋈queries join must be a hash equi-join on cell, not
+    // a broadcast of the query side: after the centroid crossJoins, no
+    // BroadcastHashJoin may remain for the cell join
+    assert(p.contains("SortMergeJoin") || "ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+      "cell join must shuffle, not broadcast, when queries grow with the corpus\n" + p)
+    assert(globalWindows(d) === 0)
+  }
+
+  test("sim_rp_lsh: banded self-join on (band,bucket), never all-pairs") {
+    val d = df("sim_rp_lsh")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate generation joins on the band+bucket equi-key
+    assert(p.contains("band") && p.contains("bucket"), p)
+    assert(globalWindows(d) === 0)
+  }
+
   test("negative control: an opaque predicate visibly loses its pushdown") {
     // Same shape as q2's scan, but the shipdate bound is wrapped in an
     // expression parquet can't evaluate — the PushedFilters assertion that
