@@ -37,7 +37,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt17" -> QueriesExt17.queries.keySet,
       "QueriesExt18" -> QueriesExt18.queries.keySet,
       "QueriesExt19" -> QueriesExt19.queries.keySet,
-      "QueriesExt20" -> QueriesExt20.queries.keySet
+      "QueriesExt20" -> QueriesExt20.queries.keySet,
+      "QueriesExt21" -> QueriesExt21.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
