@@ -160,15 +160,120 @@ object QueriesExt21 {
       |  CAST(round(cov * cov / (varx * vary) * 1000000.0, 0) AS BIGINT) AS var_reduction_ppm
       |FROM arms, k""".stripMargin
 
+  // --------------------------- MMR diversified top-k (B145)
+
+  /** Maximal Marginal Relevance reranking: retrieve the 20 most
+    * query-similar vectors (query = the smallest vec_id's embedding),
+    * then greedily pick 5 maximizing λ·rel − (1−λ)·max-sim-to-picked
+    * (λ = 0.7) — the standard diversity reranker between retrieval and a
+    * RAG context window / eval-set sample, so near-duplicate candidates
+    * don't crowd out coverage. Every similarity is rounded to 6 dp before
+    * entering a comparison (the sim-family parity idiom); ties break by
+    * vec_id; the first pick's diversity term is 0.
+    *
+    * Scale shape: retrieval is the corpus-linear part (brute-force here
+    * as the oracle anchor; the LSH/IVF paths are the scale variants);
+    * MMR itself runs over the BOUNDED candidate set — k driver rounds,
+    * each a ≤ k-row broadcast of picked vectors against 20 candidate
+    * rows, only the 1-row argmax returning to the driver (the k-means
+    * model-sized-state precedent). At production candidate counts (100s–
+    * 1000s) the same rounds stay partition-parallel with a k-row
+    * broadcast — never a candidate×candidate shuffle.
+    */
+  private def simMmr(s: SparkSession, dir: String): DataFrame = {
+    import operators.Similarity.{cosine => cos}
+    val k      = 5
+    val nCand  = 20
+    val lambda = 0.7
+    val emb = embeddings(s, dir).select(
+      col("vec_id").cast("long").as("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e")
+    )
+    val qRow = emb.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    val qId  = qRow.getLong(0)
+    val qVec = qRow.getSeq[Double](1).toArray
+    val qCol = array(qVec.map(lit).toIndexedSeq: _*)
+    val cands = emb
+      .filter(col("vec_id") =!= qId)
+      .withColumn("rel", round(cos(col("e"), qCol), 6))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(nCand)
+      .persist()
+
+    // greedy MMR: picked vectors are the only driver state (≤ k × dim
+    // doubles — model-sized); each round is one bounded Spark job
+    var picked = Vector.empty[(Long, Array[Double], Double, Double)]
+    for (_ <- 1 to k) {
+      val sims = picked.map { case (_, pv, _, _) =>
+        round(cos(col("e"), array(pv.map(lit).toIndexedSeq: _*)), 6)
+      }
+      val maxSim = sims.size match {
+        case 0 => lit(0.0)
+        case 1 => sims.head
+        case _ => greatest(sims: _*)
+      }
+      val scored = (if (picked.isEmpty) cands else cands.filter(!col("vec_id").isin(picked.map(_._1): _*)))
+        .withColumn("score", round(lit(lambda) * col("rel") - lit(1.0 - lambda) * maxSim, 6))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(1)
+        .collect()(0)
+      picked :+= ((
+        scored.getAs[Long]("vec_id"),
+        scored.getAs[scala.collection.Seq[Double]]("e").toArray,
+        scored.getAs[Double]("rel"),
+        scored.getAs[Double]("score")
+      ))
+    }
+    cands.unpersist()
+    s.createDataFrame(
+      picked.zipWithIndex.map { case ((id, _, rel, score), i) => (i + 1L, id, rel, score) }
+    ).toDF("pick_rank", "vec_id", "rel", "mmr_score")
+  }
+
+  /** Oracle: the same greedy unrolled as k chained CTEs (p1..p5), each
+    * step excluding prior picks and taking the (score desc, id asc)
+    * argmax with the diversity term as a correlated max over the union
+    * of prior steps.
+    */
+  private val simMmrSql = {
+    val k      = 5
+    val lambda = "0.7"
+    def pickedUnion(r: Int) = (1 until r).map(i => s"SELECT vec_id, e FROM p$i").mkString(" UNION ALL ")
+    val steps = (1 to k).map { r =>
+      if (r == 1)
+        s"""p1 AS (SELECT vec_id, e, rel, round($lambda * rel - 0.3 * 0.0, 6) AS score FROM cand
+           |  ORDER BY round($lambda * rel - 0.3 * 0.0, 6) DESC, vec_id ASC LIMIT 1)"""
+      else
+        s"""p$r AS (SELECT vec_id, e, rel, score FROM (
+           |    SELECT c.vec_id, c.e, c.rel,
+           |      round($lambda * c.rel - 0.3 * (SELECT max(round(list_cosine_similarity(c.e, p.e), 6))
+           |                                     FROM (${pickedUnion(r)}) p), 6) AS score
+           |    FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM (${pickedUnion(r)})))
+           |  ORDER BY score DESC, vec_id ASC LIMIT 1)"""
+    }
+    val out = (1 to k).map(r => s"SELECT $r AS pick_rank, vec_id, rel, score AS mmr_score FROM p$r")
+      .mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT e FROM v ORDER BY vec_id ASC LIMIT 1),
+       |cand AS (SELECT vec_id, e,
+       |    round(list_cosine_similarity(e, (SELECT e FROM q)), 6) AS rel
+       |  FROM v WHERE vec_id != (SELECT min(vec_id) FROM v)
+       |  ORDER BY rel DESC, vec_id ASC LIMIT 20),
+       |${steps.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   // ------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dp_counts"  -> (qDpCounts _),
-    "events_cuped" -> (eventsCuped _)
+    "events_cuped" -> (eventsCuped _),
+    "sim_mmr"      -> (simMmr _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_dp_counts"  -> qDpCountsSql,
-    "events_cuped" -> eventsCupedSql
+    "events_cuped" -> eventsCupedSql,
+    "sim_mmr"      -> simMmrSql
   )
 }
