@@ -80,7 +80,8 @@ object EventAnalytics {
     * previous event of the same user exceeds `gapMs`. Returns per-user
     * session counts and bounds. One shuffle on user_id; the window sort is
     * the standard sessionize shape (streaming twin:
-    * flatMapGroupsWithState in graft.streaming).
+    * graft.streaming.SessionWindows — same session_window aggregation
+    * under a watermark).
     */
   def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
