@@ -143,20 +143,12 @@ object QueriesExt22 {
     * join against the previous state) is the fixpoint.
     * Output: the 20 largest components (size, then min-part label).
     *
-    * Scale shape: edge building is one self-join per order group (bounded
-    * by per-order line count); each round is one shuffle join on node,
+    * Scale shape: edge building is GraphOps.copurchaseEdges (two
+    * hash-aggs, no self-join); each round is one shuffle join on node,
     * localCheckpointed so lineage stays flat.
     */
   private def graphComponents(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val und = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
-      .agg(count(lit(1)).as("n_orders"))
-      .where(col("n_orders") >= 2)
-      .select(col("u"), col("v"))
+    val und = operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2)
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)

@@ -40,7 +40,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt20" -> QueriesExt20.queries.keySet,
       "QueriesExt21" -> QueriesExt21.queries.keySet,
       "QueriesExt22" -> QueriesExt22.queries.keySet,
-      "QueriesExt23" -> QueriesExt23.queries.keySet
+      "QueriesExt23" -> QueriesExt23.queries.keySet,
+      "QueriesExt24" -> QueriesExt24.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
