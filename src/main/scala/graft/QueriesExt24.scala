@@ -29,10 +29,16 @@ object QueriesExt24 {
     */
   private def graphDegreeStats(s: SparkSession, dir: String): DataFrame = {
     val und = operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2)
+    // degree via explode of both endpoints — the edge build appears ONCE
+    // in the plan (a union of und with its swap would duplicate the
+    // whole build as two scan branches)
     val deg = und
-      .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .groupBy(col("u").as("node"))
+      .select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
+      // nodes-sized; materialized once so the histogram branch and the
+      // 1-row total branch don't each replay the whole edge build
+      .localCheckpoint(true)
     val hist = deg
       .groupBy(when(col("degree") >= 10, lit(10L)).otherwise(col("degree")).as("deg_bucket"))
       .agg(count(lit(1)).as("n_nodes"))
