@@ -42,7 +42,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt22" -> QueriesExt22.queries.keySet,
       "QueriesExt23" -> QueriesExt23.queries.keySet,
       "QueriesExt24" -> QueriesExt24.queries.keySet,
-      "QueriesExt25" -> QueriesExt25.queries.keySet
+      "QueriesExt25" -> QueriesExt25.queries.keySet,
+      "QueriesExt26" -> QueriesExt26.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
