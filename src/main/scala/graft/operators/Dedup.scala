@@ -124,7 +124,11 @@ object Dedup {
     val members = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
-    val pruned = sigs.join(members, Seq("doc_id"), "left_semi")
+    // broadcast the (pair-list-sized) member set: a shuffle semi-join
+    // would move the WIDE signature rows (shingle-set arrays) through an
+    // exchange just to drop most of them — the pruning must not cost a
+    // sigs shuffle
+    val pruned = sigs.join(broadcast(members), Seq("doc_id"), "left_semi")
     val sets   = pruned.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
     val sizes  = pruned.select(col("doc_id"), col("set_size"))
     candidates
@@ -225,6 +229,10 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+      // pair-list-sized; materialized once because verifyPairs consumes it
+      // THREE times (member pruning + both set joins) — unmaterialized,
+      // the band self-join would replay per consumer
+      .localCheckpoint(true)
 
     // materialize the (small) verified-pairs result eagerly so the big
     // signature table can be released here — localCheckpoint storage is
