@@ -286,12 +286,10 @@ object Dedup {
     // re-running both band joins per consumer
     val candidates = freshVsCorpus.unionByName(freshVsFresh).distinct().localCheckpoint(true)
 
-    val candIds = candidates.select(col("id_a").as("doc_id"))
-      .unionByName(candidates.select(col("id_b").as("doc_id")))
-      .distinct()
-    val sigsNeeded = cS.unionByName(fS).join(candIds, Seq("doc_id"), "left_semi")
-
-    val out = verifyPairs(candidates, sigsNeeded, tau).localCheckpoint(true)
+    // member pruning happens INSIDE verifyPairs (broadcast semi-join on
+    // the pair-member ids) — an explicit shuffle semi-join here would
+    // move the wide signature rows through an exchange a second time
+    val out = verifyPairs(candidates, cS.unionByName(fS), tau).localCheckpoint(true)
     cS.unpersist(); fS.unpersist()
     out
   }
