@@ -79,20 +79,21 @@ object SyntheticEventsSource {
 
 private class SyntheticEventsTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
-  private val rows  = options.getLong("rows", 1000L)
-  private val users = options.getLong("users", 100L)
-  private val parts = options.getInt("partitions", 8)
+  private val rows     = options.getLong("rows", 1000L)
+  private val users    = options.getLong("users", 100L)
+  private val parts    = options.getInt("partitions", 8)
+  private val perBatch = options.getLong("rowsPerBatch", 1000L)
 
   override def name(): String = s"graft_synthetic_events($rows)"
   override def schema(): StructType = SyntheticEventsSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, users, parts)
+    new SyntheticScanBuilder(rows, users, parts, perBatch)
 }
 
-private class SyntheticScanBuilder(rows: Long, users: Long, parts: Int)
+private class SyntheticScanBuilder(rows: Long, users: Long, parts: Int, perBatch: Long)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -122,14 +123,53 @@ private class SyntheticScanBuilder(rows: Long, users: Long, parts: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SyntheticScan(schema, lo, math.max(lo, hi), users, parts, rows)
+  override def build(): Scan =
+    new SyntheticScan(schema, lo, math.max(lo, hi), users, parts, rows, perBatch)
 }
 
 private class SyntheticScan(
-    schema: StructType, lo: Long, hi: Long, users: Long, parts: Int, totalRows: Long)
+    schema: StructType, lo: Long, hi: Long, users: Long, parts: Int, totalRows: Long,
+    perBatch: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Streaming read: the same deterministic generator exposed as a
+    * MicroBatchStream — offsets are plain row positions, each trigger
+    * advances by `rowsPerBatch` until the nominal row count is exhausted
+    * (a bounded soak stream; an unbounded one sets rows very high). The
+    * generator is a pure function of event_id, so recovery from any
+    * committed offset replays identical rows — exactly-once without a
+    * write-ahead log.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new streaming.MicroBatchStream {
+      import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+      private var cur: Long = lo
+      override def initialOffset(): SOffset = SyntheticOffset(lo)
+      override def latestOffset(): SOffset = {
+        cur = math.min(hi, cur + math.max(1L, perBatch))
+        SyntheticOffset(cur)
+      }
+      override def deserializeOffset(json: String): SOffset = {
+        val p = json.toLong
+        if (p > cur) cur = p
+        SyntheticOffset(p)
+      }
+      override def commit(end: SOffset): Unit = ()
+      override def stop(): Unit = ()
+      override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+        val a = start.asInstanceOf[SyntheticOffset].pos
+        val b = end.asInstanceOf[SyntheticOffset].pos
+        val n = b - a
+        val nPart = if (n <= 0) 0 else math.min(parts.toLong, n).toInt
+        (0 until nPart).map { i =>
+          SyntheticRange(a + n * i / nPart, a + n * (i + 1) / nPart, users): InputPartition
+        }.toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new SyntheticReaderFactory(schema)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = hi - lo
@@ -149,6 +189,11 @@ private class SyntheticScan(
 }
 
 private case class SyntheticRange(lo: Long, hi: Long, users: Long) extends InputPartition
+
+private case class SyntheticOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
 
 private class SyntheticReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

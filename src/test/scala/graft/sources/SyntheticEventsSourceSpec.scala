@@ -49,6 +49,27 @@ class SyntheticEventsSourceSpec extends GraftSpecBase {
     assert(full.rdd.getNumPartitions === 100)
   }
 
+  test("streaming read: micro-batches advance by rowsPerBatch and replay the same rows") {
+    val q = spark.readStream
+      .format("graft-synthetic-events")
+      .option("rows", 100)
+      .option("users", 50)
+      .option("rowsPerBatch", 30)
+      .load()
+      .writeStream.format("memory").queryName("syn_stream").outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("syn_stream")
+    assert(got.count() === 100)
+    assert(got.select("event_id").distinct().count() === 100)
+    // stream rows equal the batch read bit-for-bit (same pure generator)
+    val batch = load(100).collect().map(_.toString).sorted
+    assert(got.collect().map(_.toString).sorted === batch)
+    // ceil(100 / 30) = 4 micro-batches carried data
+    assert(q.recentProgress.count(_.numInputRows > 0) === 4, q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("generated values are in-contract (types bounded, users modulo)") {
     val d = load(20000)
     val r = d.agg(
