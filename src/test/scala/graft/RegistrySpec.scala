@@ -47,7 +47,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt27" -> QueriesExt27.queries.keySet,
       "QueriesExt28" -> QueriesExt28.queries.keySet,
       "QueriesExt29" -> QueriesExt29.queries.keySet,
-      "QueriesExt30" -> QueriesExt30.queries.keySet
+      "QueriesExt30" -> QueriesExt30.queries.keySet,
+      "QueriesExt31" -> QueriesExt31.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
