@@ -45,16 +45,40 @@ def main():
         try:
             ores = con.execute(sql)
             ocols = [d[0] for d in ores.description]
+            otypes = [str(d[1]) for d in ores.description]
             orows = ores.fetchall()
+            odf = con.execute(sql).df()
             sres = con.execute(f"SELECT * FROM '{pq}/*.parquet'")
             scols = [d[0] for d in sres.description]
             srows = sres.fetchall()
+            sdf = con.execute(f"SELECT * FROM '{pq}/*.parquet'").df()
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0]}")
             n_fail += 1
             continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        # Mirror the driver gate's pandas-dtype-sensitive hash: a HUGEINT
+        # oracle column (DuckDB sum() promotion) lands as float64 while
+        # Spark emits int64 -> driver hash mismatch even with equal values.
+        # Array/struct output columns crash the driver's sort_values.
+        type_bad = []
+        for c, t in zip(ocols, otypes):
+            if "HUGEINT" in t.upper():
+                type_bad.append(f"oracle col '{c}' is {t} (un-CAST sum()?)")
+        for c in scols:
+            od, sd = odf[c].dtype, sdf[c].dtype
+            # kind-level compare: int32 vs int64 hash alike, float vs int don't
+            if od.kind != sd.kind:
+                type_bad.append(f"col '{c}' dtype oracle={od} spark={sd}")
+        for df_name, df in (("oracle", odf), ("spark", sdf)):
+            for c in df.columns:
+                if len(df) and df[c].map(lambda v: hasattr(v, "__len__") and not isinstance(v, (str, bytes))).any():
+                    type_bad.append(f"{df_name} col '{c}' holds array cells (driver sort_values crashes)")
+        if type_bad:
+            print(f"FAIL {name}: TYPE {'; '.join(type_bad)}")
             n_fail += 1
             continue
         _, on = norm_rows(ocols, orows)

@@ -54,8 +54,16 @@ object QueriesExt23 {
       .groupBy(col("epoch"), col("batch_id"))
       .agg(
         count(lit(1)).as("n_docs"),
-        transform(sort_array(collect_list(struct(col("pos"), col("doc_id")))), _.getField("doc_id"))
-          .as("doc_ids")
+        // delimited string, not array<bigint>: the driver's oracle harness
+        // canonicalizes rows via pandas sort_values, which cannot hash/sort
+        // array cells (r8 gate err) — a scalar column round-trips cleanly
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+            _.getField("doc_id")
+          ),
+          ","
+        ).as("doc_ids")
       )
   }
 
@@ -71,7 +79,8 @@ object QueriesExt23 {
       |    row_number() OVER (PARTITION BY epoch ORDER BY h ASC, doc_id ASC) AS pos
       |  FROM h)
       |SELECT epoch, CAST((pos - 1) // 8 AS BIGINT) AS batch_id,
-      |  count(*) AS n_docs, list(doc_id ORDER BY pos) AS doc_ids
+      |  count(*) AS n_docs,
+      |  array_to_string(list(doc_id ORDER BY pos), ',') AS doc_ids
       |FROM r WHERE pos <= 16
       |GROUP BY 1, 2""".stripMargin
 

@@ -115,7 +115,9 @@ object QueriesExt27 {
        |  GROUP BY 1)
        |SELECT m.cluster_id, m.n_members, m.survivor_doc,
        |  m.n_members - 1 AS n_removed,
-       |  m.total_chars - d2.n_chars AS chars_removed
+       |  -- CAST: DuckDB promotes sum(BIGINT) to HUGEINT, which its pandas
+       |  -- bridge renders as float64 and fails the driver's typed row-hash
+       |  CAST(m.total_chars - d2.n_chars AS BIGINT) AS chars_removed
        |FROM m JOIN documents d2 ON d2.doc_id = m.survivor_doc""".stripMargin
 
   // --------------------------- CDC stream health profile (B165)

@@ -65,4 +65,23 @@ class RegistrySpec extends GraftSpecBase {
     val empty = SparkEntry.oracleSql.filter(_._2.trim.isEmpty).keys.toSeq.sorted
     assert(empty.isEmpty, s"empty oracles: $empty")
   }
+
+  test("every query output schema is scalar-only (driver-harness contract)") {
+    // The driver's oracle gate canonicalizes results via pandas sort_values
+    // + a dtype-sensitive row hash; an array/map/struct toplevel column
+    // crashes the sort (r8: corpus_epoch_order err). Emit delimited strings
+    // instead. Schema derivation is analysis-only for declarative plans;
+    // the handful of queries that collect model state at construction run
+    // tiny sf0.001 jobs here, which is acceptable for a contract gate.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sf()).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+      bad
+    }
+    assert(offenders.isEmpty, s"non-scalar output columns: ${offenders.mkString("; ")}")
+  }
 }
