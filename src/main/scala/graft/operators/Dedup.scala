@@ -120,6 +120,13 @@ object Dedup {
     * exploding every document's shingle set to verify a bounded pair list
     * was the dominant cost of the whole LSH pipeline at scale.
     */
+  /** Above this many distinct member ids the broadcast fallback kicks in:
+    * 20M longs ≈ 160 MB raw (~0.5 GB as a HashedRelation) — past that a
+    * forced broadcast risks the driver/executor broadcast ceiling, and on
+    * a corpus THAT duplicated the shuffle semi-join is the honest plan.
+    */
+  private val MaxBroadcastMembers = 20L * 1000 * 1000
+
   private def verifyPairs(candidates: DataFrame, sigs: DataFrame, tau: Double): DataFrame = {
     val members = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
@@ -127,8 +134,15 @@ object Dedup {
     // broadcast the (pair-list-sized) member set: a shuffle semi-join
     // would move the WIDE signature rows (shingle-set arrays) through an
     // exchange just to drop most of them — the pruning must not cost a
-    // sigs shuffle
-    val pruned = sigs.join(broadcast(members), Seq("doc_id"), "left_semi")
+    // sigs shuffle. But the member set is DATA-DEPENDENT (a pathologically
+    // duplicated corpus makes it corpus-sized), so gate the forced
+    // broadcast on a count — cheap, because every caller hands in
+    // localCheckpoint()ed candidates — and fall back to a shuffle
+    // semi-join (AQE may still choose broadcast if it fits) above the cap.
+    val nMembers = members.count()
+    val memberSide =
+      if (nMembers <= MaxBroadcastMembers) broadcast(members) else members
+    val pruned = sigs.join(memberSide, Seq("doc_id"), "left_semi")
     val sets   = pruned.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
     val sizes  = pruned.select(col("doc_id"), col("set_size"))
     candidates

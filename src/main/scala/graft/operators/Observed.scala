@@ -29,6 +29,7 @@ object Observed {
   )(action: DataFrame => T): (T, Row) = {
     val spark   = df.sparkSession
     val results = TrieMap.empty[String, Row]
+    val failure = new java.util.concurrent.atomic.AtomicReference[Exception](null)
     val latch   = new java.util.concurrent.CountDownLatch(1)
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
@@ -37,16 +38,32 @@ object Observed {
           latch.countDown()
         }
       }
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        latch.countDown()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
+        // the listener bus is session-global: only release the latch for a
+        // failure of OUR observed query (identified by its observation
+        // name in the analyzed plan), not any concurrent query's failure
+        val ours = qe.analyzed.collectFirst {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics if c.name == name => c
+        }.isDefined
+        if (ours) {
+          failure.set(exception)
+          latch.countDown()
+        }
+      }
     }
     spark.listenerManager.register(listener)
     try {
       val observed = df.observe(name, metrics.head, metrics.tail: _*)
       val out      = action(observed)
       // listeners fire on a separate bus thread after the action returns
-      latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
-      (out, results.getOrElse(name, Row.empty))
+      val arrived = latch.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      Option(failure.get).foreach(e => throw e)
+      // a silent Row.empty here would drop gate metrics a caller is
+      // deciding on — fail loudly if delivery never happened
+      if (!arrived || !results.contains(name))
+        throw new IllegalStateException(
+          s"observe('$name'): metrics not delivered within 30s (listener bus stalled or observation name mismatch)")
+      (out, results(name))
     } finally spark.listenerManager.unregister(listener)
   }
 }

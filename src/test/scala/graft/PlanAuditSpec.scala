@@ -282,6 +282,21 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(globalWindows(d) === 0)
   }
 
+  test("q_discount_response: part dim broadcast, two-level agg, no sort-merge join") {
+    // r8 flagged this query at 9x its shape-twin q9_product_revenue in one
+    // full-suite run; adjacent same-binary runs (bench_history 104317,
+    // 121205) and a warm head-to-head show parity (~0.25-0.62 s at sf0.1)
+    // — the outlier was a host stall, not the plan. Pin the plan shape the
+    // parity depends on so a silent broadcast fallback can't recreate it.
+    val d = df("q_discount_response")
+    val p = d.queryExecution.executedPlan.toString
+    assert(broadcastJoins(p) === 1, p)              // part dim broadcast, fact never shuffled for the join
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(shuffles(p) === 2, p)                    // (brand,pct) agg + brand agg; both map-side combined
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(globalWindows(d) === 0)
+  }
+
   test("negative control: an opaque predicate visibly loses its pushdown") {
     // Same shape as q2's scan, but the shipdate bound is wrapped in an
     // expression parquet can't evaluate — the PushedFilters assertion that
