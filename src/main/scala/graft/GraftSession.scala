@@ -23,6 +23,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Partition count must track DATA VOLUME, not the constant above:
+      // with a fixed 32, a 10× corpus packs 10× the keys into each
+      // reduce-side hash-agg and tips it into spill (measured: the sf10
+      // probe's copurchase-edge build went 16× for 10× data). Start every
+      // exchange at 8×threads and let AQE coalesce down to the advisory
+      // size — small inputs still collapse to a handful of partitions,
+      // large ones keep per-partition state bounded.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus.toInt * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

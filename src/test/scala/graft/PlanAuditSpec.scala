@@ -218,12 +218,28 @@ class PlanAuditSpec extends GraftSpecBase {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
     assert(globalWindows(d) === 0)
     assert(shuffles(p) <= 3, p)
-    // the shared edge build itself: two hash-aggs, zero joins of any kind
+    // the shared edge build: zero joins, and exactly two exchanges — the
+    // orderkey agg's, and the deliberate (u,v) REPARTITION_BY_NUM that
+    // REPLACES the support agg's ENSURE_REQUIREMENTS exchange (r9: the
+    // support count's partial+final pair then runs fused in one stage on
+    // already-partitioned data, so per-task agg state is pairs/N instead
+    // of a mostly-unique-key map-side mega-map — see GraphOps docstring).
+    // The load-bearing property: the pair explode feeds the exchange
+    // DIRECTLY (no HashAggregate between Generate and the repartition).
     val ep = graft.operators.GraphOps
       .copurchaseEdges(Tables.lineitem(spark, sf()), 2)
       .queryExecution.executedPlan.toString
     assert(!ep.contains("Join"), ep)
     assert(shuffles(ep) === 2, ep)
+    assert(ep.contains("REPARTITION_BY_NUM"), ep)
+    // plan reads bottom-up: the Exchange directly above the Generate span
+    // must be the repartition, not an agg — i.e. no partial agg before
+    // the shuffle of the exploded pairs
+    val gen = ep.indexOf("Generate explode")
+    val seg = ep.substring(0, gen)
+    val lastExchange = seg.lastIndexOf("Exchange hashpartitioning")
+    val lastAgg      = seg.lastIndexOf("HashAggregate")
+    assert(lastExchange > lastAgg, ep)
   }
 
   test("sim_pq_recall: codebook joins broadcast; only the probe truth pass nested-loops") {

@@ -48,7 +48,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt28" -> QueriesExt28.queries.keySet,
       "QueriesExt29" -> QueriesExt29.queries.keySet,
       "QueriesExt30" -> QueriesExt30.queries.keySet,
-      "QueriesExt31" -> QueriesExt31.queries.keySet
+      "QueriesExt31" -> QueriesExt31.queries.keySet,
+      "QueriesExt32" -> QueriesExt32.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
