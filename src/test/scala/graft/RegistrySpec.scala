@@ -50,7 +50,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt30" -> QueriesExt30.queries.keySet,
       "QueriesExt31" -> QueriesExt31.queries.keySet,
       "QueriesExt32" -> QueriesExt32.queries.keySet,
-      "QueriesExt33" -> QueriesExt33.queries.keySet
+      "QueriesExt33" -> QueriesExt33.queries.keySet,
+      "QueriesExt34" -> QueriesExt34.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
