@@ -181,8 +181,14 @@ object Bench {
       if (!java.nio.file.Files.isDirectory(dir)) return scala.None
       import scala.jdk.CollectionConverters._
       import org.json4s._
+      // Parse and sf-filter EVERY snapshot first, THEN take the last 8:
+      // takeRight on raw names silently dropped all comparable history
+      // once probe/scaling snapshots (scaling_*, sf10probe_*) sorted after
+      // bench_full_* — the r9 full run emitted no hist_ratio at all. The
+      // last-modified time orders mixed-name snapshots chronologically.
       val runs = java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString).takeRight(8)
+        .filter(_.toString.endsWith(".json")).toSeq
+        .sortBy(p => java.nio.file.Files.getLastModifiedTime(p).toMillis)
         .flatMap { p =>
           scala.util.Try {
             val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
@@ -195,9 +201,10 @@ object Bench {
               }.flatten.toMap
               case _ => Map.empty[String, Double]
             }
-            if (sfOk) Some(qs) else scala.None
+            if (sfOk && qs.nonEmpty) Some(qs) else scala.None
           }.toOption.flatten
         }
+        .takeRight(8)
       val ratios = runs.flatMap { hist =>
         val common = current.keySet.intersect(hist.keySet)
           .filter(k => current(k) > 0 && hist(k) > 0)
