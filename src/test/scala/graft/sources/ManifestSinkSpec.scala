@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSpecBase
+
+/** The V2 write connector's commit protocol, proven property by property:
+  * manifest-defined visibility (stray files invisible), exact rows/bytes
+  * accounting, append = manifest union, overwrite = atomic snapshot swap,
+  * unsupported types rejected loudly, and temp-dir cleanup.
+  */
+class ManifestSinkSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = Files.createTempDirectory(s"manifest-$tag-")
+    d.toString
+  }
+
+  private def sample = Seq(
+    (1L, "alpha", 1.5, true),
+    (2L, "beta \"quoted\" \\slash\n", 2.5, false),
+    (3L, "γunicode", -0.25, true)
+  ).toDF("id", "name", "score", "flag")
+
+  test("round trip: committed data reads back exactly, manifest accounts rows") {
+    val dir = freshDir("rt")
+    sample.repartition(3).write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    val m = ManifestJsonl.readManifest(Paths.get(dir)).get
+    assert(m.files.map(_.rows).sum === 3L)
+    assert(m.files.nonEmpty && m.files.forall(_.bytes > 0))
+    val back = ManifestJsonl.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "name", "score", "flag"))
+    assert(back.orderBy("id").collect().toSeq === sample.orderBy("id").collect().toSeq)
+    // _tmp is gone after a successful commit
+    assert(!Files.exists(Paths.get(dir).resolve("_tmp")))
+  }
+
+  test("visibility is manifest-defined: stray part files are invisible") {
+    val dir = freshDir("stray")
+    sample.write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    // a crashed/concurrent writer left a plausible-looking file behind
+    Files.write(
+      Paths.get(dir).resolve("part-99999-424242.jsonl"),
+      """{"id":999,"name":"ghost","score":0.0,"flag":false}""".getBytes(StandardCharsets.UTF_8)
+    )
+    assert(ManifestJsonl.read(spark, dir).count() === 3L)
+    assert(ManifestJsonl.read(spark, dir).where(col("id") === 999).count() === 0L)
+  }
+
+  test("append unions manifests; overwrite swaps the snapshot") {
+    val dir = freshDir("modes")
+    sample.write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    Seq((10L, "x", 0.0, false)).toDF("id", "name", "score", "flag")
+      .write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    assert(ManifestJsonl.read(spark, dir).count() === 4L)
+    Seq((42L, "only", 9.0, true)).toDF("id", "name", "score", "flag")
+      .write.format("graft-manifest-jsonl").option("path", dir).mode("overwrite").save()
+    val back = ManifestJsonl.read(spark, dir)
+    assert(back.count() === 1L)
+    assert(back.select("id").as[Long].head() === 42L)
+    // the replaced files were physically cleaned after the swap
+    val leftovers = Files.list(Paths.get(dir)).iterator()
+    var partFiles = 0
+    while (leftovers.hasNext) {
+      if (leftovers.next().getFileName.toString.startsWith("part-")) partFiles += 1
+    }
+    assert(partFiles === ManifestJsonl.readManifest(Paths.get(dir)).get.files.size)
+  }
+
+  test("unsupported column types are rejected loudly at write build") {
+    val dir = freshDir("types")
+    val withTs = sample.withColumn("ts", current_timestamp())
+    val e = intercept[Exception] {
+      withTs.write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("cast timestamps to epoch longs"))
+  }
+
+  test("null cells and special doubles serialize as JSON nulls") {
+    val dir = freshDir("nulls")
+    Seq((1L, Option.empty[String], Double.NaN), (2L, Some("ok"), 1.0))
+      .toDF("id", "name", "score")
+      .write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    val back = ManifestJsonl.read(spark, dir).orderBy("id").collect()
+    assert(back(0).isNullAt(1) && back(0).isNullAt(2))
+    assert(back(1).getString(1) === "ok" && back(1).getDouble(2) === 1.0)
+  }
+}
