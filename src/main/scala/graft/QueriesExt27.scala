@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -64,12 +65,16 @@ object QueriesExt27 {
     * (B3's pairs → components), keep the longest document (ties: lowest
     * doc_id) and emit the cluster's survivor beside what gets removed —
     * the keep/remove manifest a curation run actually executes, where B3
-    * stops at "these belong together". Canonical pick is
-    * min(struct(−n_chars, doc_id)) — one agg, no per-cluster sort.
+    * stops at "these belong together". Canonical pick is rank-1 under
+    * (n_chars DESC, doc_id ASC) — a window rank rather than an arithmetic
+    * max_by composite, which would wrap past n_chars ~9.2M (Spark wraps
+    * Long overflow silently; DuckDB raises — query and oracle would
+    * diverge on large documents).
     *
     * Scale shape: pairs/components as B3 (banded LSH, never all-pairs);
-    * the survivor agg and removed-char rollup are cluster-keyed hash-aggs
-    * over the labels table.
+    * the window and the rollup share one hash partitioning on cluster_id
+    * (no second shuffle), and the per-cluster sort is bounded by cluster
+    * size.
     */
   private def dedupCanonicalPick(s: SparkSession, dir: String): DataFrame = {
     val docs  = documents(s, dir)
@@ -77,12 +82,14 @@ object QueriesExt27 {
     operators.Dedup
       .connectedComponents(pairs)
       .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("id").asc)))
       .groupBy(col("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
-        // injective composite: maximize (n_chars, then lowest id); ids are
-        // unique, so the key never ties and max_by is deterministic
-        expr("max_by(id, n_chars * 1000000000000 - id)").as("survivor_doc"),
+        max(when(col("rn") === 1, col("id"))).as("survivor_doc"),
         sum(col("n_chars")).as("total_chars")
       )
       .join(
@@ -107,11 +114,15 @@ object QueriesExt27 {
        |  UNION
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
        |labels AS (SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.id, d.n_chars,
+       |    row_number() OVER (PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.id ASC) AS rn
+       |  FROM labels l JOIN documents d ON d.doc_id = l.id),
        |m AS (
-       |  SELECT l.cluster_id, count(*) AS n_members,
-       |    max_by(l.id, d.n_chars * 1000000000000 - l.id) AS survivor_doc,
-       |    sum(d.n_chars) AS total_chars
-       |  FROM labels l JOIN documents d ON d.doc_id = l.id
+       |  SELECT cluster_id, count(*) AS n_members,
+       |    max(CASE WHEN rn = 1 THEN id END) AS survivor_doc,
+       |    sum(n_chars) AS total_chars
+       |  FROM ranked
        |  GROUP BY 1)
        |SELECT m.cluster_id, m.n_members, m.survivor_doc,
        |  m.n_members - 1 AS n_removed,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -137,11 +138,17 @@ object QueriesExt33 {
       .connectedComponents(pairs)
       .withColumnRenamed("id", "doc_id")
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    // survivor = rank-1 under (n_chars DESC, doc_id ASC): a window rank
+    // instead of an arithmetic max_by composite, which would silently
+    // wrap past n_chars ~9.2M (Spark wraps Long overflow; DuckDB raises
+    // — the query and its oracle would diverge on large documents).
+    // Clusters are small, so the per-cluster sort is bounded.
     val removed = labels
-      .groupBy(col("cluster_id"))
-      .agg(expr("max_by(doc_id, n_chars * 1000000000000 - doc_id)").as("survivor_doc"))
-      .join(labels, Seq("cluster_id"))
-      .where(col("doc_id") =!= col("survivor_doc"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .where(col("rn") =!= 1)
       .select(col("doc_id"))
     val base = docs
       .join(removed.withColumn("removed", lit(1L)), Seq("doc_id"), "left")
@@ -176,12 +183,11 @@ object QueriesExt33 {
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
        |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
        |lj AS (SELECT l.doc_id, l.cluster_id, d.n_chars FROM lbl l JOIN documents d USING (doc_id)),
-       |surv AS (
-       |  SELECT cluster_id, max_by(doc_id, n_chars * 1000000000000 - doc_id) AS survivor_doc
-       |  FROM lj GROUP BY 1),
-       |removed AS (
-       |  SELECT lj.doc_id FROM lj JOIN surv USING (cluster_id)
-       |  WHERE lj.doc_id != surv.survivor_doc),
+       |ranked AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM lj),
+       |removed AS (SELECT doc_id FROM ranked WHERE rn != 1),
        |base AS (
        |  SELECT d.source, count(*) AS n_before,
        |    CAST(sum(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after

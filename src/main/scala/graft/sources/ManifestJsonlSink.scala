@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util
 
 import scala.jdk.CollectionConverters._
@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -21,27 +22,45 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   *  - task writers land data in `_tmp/<queryId>/` under ATTEMPT-unique
   *    names and report them via `WriterCommitMessage`;
-  *  - the driver's `BatchWrite.commit` promotes exactly the reported
-  *    files and then atomically swaps `_MANIFEST.json` (write-temp +
-  *    rename) — a reader either sees the old snapshot or the new one,
-  *    never a torn directory listing;
+  *  - the driver's commit promotes exactly the reported files and then
+  *    publishes a NEW VERSIONED SNAPSHOT `_manifests/v<N>.json` with a
+  *    create-exclusive (put-if-absent) publish — a reader either sees
+  *    the previous snapshot or the new one, never a torn directory
+  *    listing, and two concurrent committers cannot both win version N
+  *    (the loser re-reads, re-merges, and retries at N+1: optimistic
+  *    concurrency, the same shape as Delta's `_delta_log`);
   *  - orphan files from failed or speculative task attempts are never
   *    promoted and die with `_tmp` — visibility is defined by the
   *    manifest, not by what `ls` returns (the property that makes
   *    atomic writes possible on stores without atomic directory moves);
   *  - `abort` removes `_tmp` and leaves the previous snapshot intact.
   *
+  * Exactly-once re-commit: `.option("txnAppId", app)` +
+  * `.option("txnVersion", v)` record (app → v) in the manifest; a commit
+  * whose version is ≤ the recorded high-water mark is a no-op (its files
+  * are discarded, not promoted). A foreachBatch sink passing
+  * `txnVersion = batchId` gets exactly-once output across micro-batch
+  * replays — checkpoint + transactional sink, not directory-overwrite
+  * idempotence. The streaming write path (`writeStream.format(...)`)
+  * applies the same protocol with `txnVersion = epochId` automatically.
+  *
+  * Append-mode schema gate: a second append whose column names/types
+  * differ from the manifest's fails loudly — silently recording a new
+  * schema would leave old files unreadable under it.
+  *
   * `ManifestJsonl.read` consumes only manifest-listed files, so stray
   * files in the directory are invisible by construction. Append mode
   * unions the old manifest's files with the new ones; overwrite
-  * (SupportsTruncate) swaps the manifest to exactly the new files and
-  * deletes the replaced ones AFTER the swap (readers holding the old
+  * (SupportsTruncate) swaps the snapshot to exactly the new files and
+  * deletes the replaced ones AFTER the publish (readers holding the old
   * manifest finish their scan first on a posix-delete store; on S3-like
   * stores the delete is deferred garbage collection — same protocol).
   *
   * Local-filesystem `java.nio` file ops keep the sink testable in this
-  * sandbox; on a cluster the same sequence maps 1:1 onto Hadoop
-  * FileSystem rename/delete. Scale shape: one manifest write per commit,
+  * sandbox; the create-exclusive publish uses a hard link (atomic
+  * fail-if-exists on POSIX) with a documented fail-if-exists-move
+  * fallback — on a cluster the same sequence maps onto the store's
+  * put-if-absent primitive. Scale shape: one manifest write per commit,
   * O(files) driver memory at commit — the 100 TB failure mode this
   * avoids is full-directory listing on every read.
   *
@@ -64,36 +83,51 @@ class ManifestJsonlSink extends TableProvider with org.apache.spark.sql.sources.
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-manifest-jsonl requires .option(\"path\", ...)")
     )
-    new ManifestJsonlTable(path, schema)
+    new ManifestJsonlTable(path, schema, opts)
   }
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-private class ManifestJsonlTable(path: String, schema: StructType)
+private class ManifestJsonlTable(path: String, schema: StructType, opts: CaseInsensitiveStringMap)
     extends Table with SupportsWrite {
   override def name(): String = s"graft-manifest-jsonl(`$path`)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ManifestWriteBuilder(path, info.schema(), info.queryId(), truncate = false)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // txn options may arrive on the writer (info.options) or the source
+    // (table properties) — accept both, writer wins
+    def opt(k: String): Option[String] =
+      Option(info.options.get(k)).orElse(Option(opts.get(k)))
+    val txn = for {
+      app <- opt("txnAppId")
+      ver <- opt("txnVersion")
+    } yield (app, ver.toLong)
+    new ManifestWriteBuilder(path, info.schema(), info.queryId(), truncate = false, txn, opt("txnAppId"))
+  }
 }
 
 private class ManifestWriteBuilder(
     path: String,
     schema: StructType,
     queryId: String,
-    truncate: Boolean
+    truncate: Boolean,
+    txn: Option[(String, Long)],
+    txnAppId: Option[String]
 ) extends WriteBuilder with SupportsTruncate {
   ManifestJsonl.validateSchema(schema)
 
   override def truncate(): WriteBuilder =
-    new ManifestWriteBuilder(path, schema, queryId, truncate = true)
+    new ManifestWriteBuilder(path, schema, queryId, truncate = true, txn, txnAppId)
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema, queryId, truncate)
+    override def toBatch: BatchWrite = new ManifestBatchWrite(path, schema, queryId, truncate, txn)
+    // streaming: txnVersion is the epochId — cross-restart exactly-once
+    // needs a stable explicit txnAppId (queryId changes per run)
+    override def toStreaming: StreamingWrite =
+      new ManifestStreamingWrite(path, schema, queryId, truncate, txnAppId.getOrElse(s"stream-$queryId"))
   }
 }
 
@@ -103,7 +137,8 @@ private class ManifestBatchWrite(
     path: String,
     schema: StructType,
     queryId: String,
-    truncate: Boolean
+    truncate: Boolean,
+    txn: Option[(String, Long)]
 ) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -111,31 +146,13 @@ private class ManifestBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
-    Files.createDirectories(dir)
     val tmp = dir.resolve("_tmp").resolve(queryId)
-    // promote EXACTLY the reported files; anything else in _tmp is a
-    // failed/speculative attempt and is never made visible
     val committed = messages.toSeq.collect { case f: FileCommit => f }
-    committed.foreach { f =>
-      Files.move(tmp.resolve(f.file), dir.resolve(f.file), StandardCopyOption.ATOMIC_MOVE)
+    try ManifestJsonl.commitFiles(dir, tmp, committed, schema, truncate, txn)
+    finally {
+      ManifestJsonl.deleteRecursively(tmp)
+      ManifestJsonl.deleteIfEmptyDir(dir.resolve("_tmp"))
     }
-    val prior =
-      if (truncate) Seq.empty
-      else ManifestJsonl.readManifest(dir).map(_.files).getOrElse(Seq.empty)
-    val next = prior ++ committed.map(f => ManifestJsonl.FileCommitInfo(f.file, f.rows, f.bytes))
-    ManifestJsonl.writeManifestAtomically(dir, ManifestJsonl.Manifest(schema.json, next))
-    if (truncate) {
-      // old files drop out of visibility at the manifest swap above; the
-      // physical delete is cleanup, not the visibility boundary
-      val keep = next.map(_.file).toSet
-      val stale = Files.list(dir).iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filter(p => p.getFileName.toString.startsWith("part-") && !keep(p.getFileName.toString))
-        .toList
-      stale.foreach(Files.deleteIfExists(_))
-    }
-    ManifestJsonl.deleteRecursively(tmp)
-    ManifestJsonl.deleteIfEmptyDir(dir.resolve("_tmp"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -144,16 +161,57 @@ private class ManifestBatchWrite(
   }
 }
 
-private class ManifestWriterFactory(path: String, schema: StructType, queryId: String)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path, schema, queryId, partitionId, taskId)
-}
-
-private class ManifestDataWriter(
+private class ManifestStreamingWrite(
     path: String,
     schema: StructType,
     queryId: String,
+    truncate: Boolean,
+    txnAppId: String
+) extends StreamingWrite {
+
+  private def tmpFor(epochId: Long): Path =
+    Paths.get(path).resolve("_tmp").resolve(s"$queryId-e$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(path, schema, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    val tmp = tmpFor(epochId)
+    val committed = messages.toSeq.collect { case f: FileCommit => f }
+    // txnVersion = epochId: a replayed micro-batch (crash between sink
+    // commit and checkpoint commit) re-commits the same epoch and is
+    // dropped by the manifest's txn high-water mark — exactly-once
+    try ManifestJsonl.commitFiles(dir, tmp, committed, schema, truncate, Some((txnAppId, epochId)))
+    finally {
+      ManifestJsonl.deleteRecursively(tmp)
+      ManifestJsonl.deleteIfEmptyDir(dir.resolve("_tmp"))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    ManifestJsonl.deleteRecursively(tmpFor(epochId))
+    ManifestJsonl.deleteIfEmptyDir(Paths.get(path).resolve("_tmp"))
+  }
+}
+
+private class ManifestWriterFactory(path: String, schema: StructType, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(Paths.get(path).resolve("_tmp").resolve(queryId), schema, partitionId, taskId)
+}
+
+private class ManifestStreamingWriterFactory(path: String, schema: StructType, queryId: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(
+      Paths.get(path).resolve("_tmp").resolve(s"$queryId-e$epochId"),
+      schema, partitionId, taskId)
+}
+
+private class ManifestDataWriter(
+    tmpDir: Path,
+    schema: StructType,
     partitionId: Int,
     taskId: Long
 ) extends DataWriter[InternalRow] {
@@ -162,7 +220,6 @@ private class ManifestDataWriter(
   // partition writes a different file and only the committed attempt's
   // name reaches the driver
   private val fileName = f"part-$partitionId%05d-$taskId.jsonl"
-  private val tmpDir   = Paths.get(path).resolve("_tmp").resolve(queryId)
   Files.createDirectories(tmpDir)
   private val out =
     Files.newBufferedWriter(tmpDir.resolve(fileName), StandardCharsets.UTF_8)
@@ -191,7 +248,12 @@ private class ManifestDataWriter(
 
 object ManifestJsonl {
 
-  final case class Manifest(schemaJson: String, files: Seq[FileCommitInfo])
+  final case class Manifest(
+      version: Long,
+      schemaJson: String,
+      files: Seq[FileCommitInfo],
+      txns: Map[String, Long]
+  )
   final case class FileCommitInfo(file: String, rows: Long, bytes: Long)
 
   def validateSchema(schema: StructType): Unit = {
@@ -206,6 +268,79 @@ object ManifestJsonl {
         "(cast timestamps to epoch longs before writing)"
     )
   }
+
+  /** Driver-side commit: promote the reported files, then publish the next
+    * manifest version with put-if-absent. Losing the version race re-reads
+    * and retries (append re-merges; truncate just re-versions — it is
+    * serialized after the winner either way). The txn high-water mark makes
+    * a replayed commit a no-op BEFORE any file is promoted.
+    */
+  private[sources] def commitFiles(
+      dir: Path,
+      tmp: Path,
+      committed: Seq[FileCommit],
+      schema: StructType,
+      truncate: Boolean,
+      txn: Option[(String, Long)]
+  ): Unit = {
+    Files.createDirectories(dir)
+    var promoted = false
+    var attempts = 0
+    while (true) {
+      val prior = readManifest(dir)
+      txn.foreach { case (app, ver) =>
+        if (prior.exists(_.txns.get(app).exists(_ >= ver))) return // replay: no-op
+      }
+      if (!truncate) prior.filter(_.files.nonEmpty).foreach { p =>
+        val ps = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+        require(
+          sameShape(ps, schema),
+          s"graft-manifest-jsonl append schema mismatch at $dir: manifest has " +
+            s"${ps.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")} but the write has " +
+            s"${schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")} — old files would be " +
+            "misread under the new schema (use overwrite to replace the snapshot)"
+        )
+      }
+      if (!promoted) {
+        // files land before the manifest that references them; if the
+        // publish below loses its race and retries, they stay in place
+        // (still invisible — only the manifest grants visibility)
+        committed.foreach { f =>
+          Files.move(tmp.resolve(f.file), dir.resolve(f.file), StandardCopyOption.ATOMIC_MOVE)
+        }
+        promoted = true
+      }
+      val base      = if (truncate) Seq.empty else prior.map(_.files).getOrElse(Seq.empty)
+      val priorTxns = prior.map(_.txns).getOrElse(Map.empty[String, Long])
+      val next = Manifest(
+        prior.map(_.version + 1).getOrElse(1L),
+        schema.json,
+        base ++ committed.map(f => FileCommitInfo(f.file, f.rows, f.bytes)),
+        txn.fold(priorTxns) { case (a, v) => priorTxns + (a -> v) }
+      )
+      if (tryPublish(dir, next)) {
+        if (truncate) {
+          // old files drop out of visibility at the publish above; the
+          // physical delete is cleanup, not the visibility boundary —
+          // delete only what the PRIOR snapshot held (a concurrent later
+          // append's files are not in it and stay untouched)
+          val keep = next.files.map(_.file).toSet
+          prior.toSeq.flatMap(_.files).map(_.file).filterNot(keep)
+            .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+        }
+        return
+      }
+      attempts += 1
+      require(
+        attempts < 50,
+        s"graft-manifest-jsonl: lost the manifest version race $attempts times at $dir — " +
+          "pathological commit contention, giving up (no partial state published)"
+      )
+    }
+  }
+
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq == b.fields.map(f => (f.name, f.dataType)).toSeq
 
   private def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
@@ -237,25 +372,72 @@ object ManifestJsonl {
     parts.mkString("{", ",", "}")
   }
 
-  private[sources] def manifestPath(dir: Path): Path = dir.resolve("_MANIFEST.json")
+  private[sources] def logDir(dir: Path): Path = dir.resolve("_manifests")
+  private def versionFile(dir: Path, v: Long): Path = logDir(dir).resolve(f"v$v%020d.json")
+  // pre-log layout (single mutable _MANIFEST.json): still readable as the
+  // version-0 base so existing directories upgrade on their next commit
+  private[sources] def legacyManifestPath(dir: Path): Path = dir.resolve("_MANIFEST.json")
 
-  def writeManifestAtomically(dir: Path, m: Manifest): Unit = {
+  private def render(m: Manifest): String = {
     val files = m.files
       .map(f => s"""{"file":"${esc(f.file)}","rows":${f.rows},"bytes":${f.bytes}}""")
       .mkString("[", ",", "]")
-    val body = s"""{"schema":${m.schemaJson},"files":$files}"""
-    val tmp  = dir.resolve(s"._MANIFEST.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val txns = m.txns.toSeq.sortBy(_._1)
+      .map { case (a, v) => s""""${esc(a)}":$v""" }.mkString("{", ",", "}")
+    s"""{"version":${m.version},"schema":${m.schemaJson},"files":$files,"txns":$txns}"""
+  }
+
+  /** Put-if-absent publish of one complete snapshot: write the body to a
+    * temp name, then HARD-LINK it to the version file — link(2) is atomic
+    * and fails if the target exists, so exactly one committer wins a
+    * version and a reader never observes partial content. Filesystems
+    * without hard links fall back to a fail-if-exists move (the same
+    * contract with a narrower atomicity guarantee, as Delta does on
+    * stores without native put-if-absent).
+    */
+  private def tryPublish(dir: Path, m: Manifest): Boolean = {
+    val log = logDir(dir)
+    Files.createDirectories(log)
+    val target = versionFile(dir, m.version)
+    val tmp    = log.resolve(s".v${m.version}.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, render(m).getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+      case _: UnsupportedOperationException =>
+        try { Files.move(tmp, target); true }
+        catch { case _: FileAlreadyExistsException => Files.deleteIfExists(tmp); false }
+    }
   }
 
   def readManifest(dir: Path): Option[Manifest] = {
-    val p = manifestPath(dir)
-    if (!Files.exists(p)) return None
-    val body = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val log = logDir(dir)
+    val latest: Option[Path] =
+      if (Files.isDirectory(log)) {
+        val vs = Files.list(log).iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v\\d{20}\\.json")).toSeq
+        if (vs.isEmpty) scala.None else Some(vs.maxBy(_.getFileName.toString))
+      } else scala.None
+    latest match {
+      case Some(p) => Some(parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      case scala.None =>
+        val legacy = legacyManifestPath(dir)
+        if (!Files.exists(legacy)) scala.None
+        else Some(parseManifest(new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8)))
+    }
+  }
+
+  private def parseManifest(body: String): Manifest = {
     import org.json4s._
     val j = org.json4s.jackson.JsonMethods.parse(body)
     val schemaJson = org.json4s.jackson.JsonMethods.compact(j \ "schema")
+    val version = (j \ "version") match {
+      case JInt(n) => n.toLong; case JLong(n) => n; case _ => 0L
+    }
     val files = (j \ "files") match {
       case JArray(items) => items.map { it =>
         FileCommitInfo(
@@ -266,7 +448,14 @@ object ManifestJsonl {
       }
       case _ => Seq.empty
     }
-    Some(Manifest(schemaJson, files))
+    val txns = (j \ "txns") match {
+      case JObject(fields) => fields.collect {
+        case (k, JInt(n))  => k -> n.toLong
+        case (k, JLong(n)) => k -> n
+      }.toMap
+      case _ => Map.empty[String, Long]
+    }
+    Manifest(version, schemaJson, files, txns)
   }
 
   /** Snapshot read: only manifest-listed files are visible — stray files
@@ -275,7 +464,7 @@ object ManifestJsonl {
   def read(spark: SparkSession, path: String): DataFrame = {
     val dir = Paths.get(path)
     val m = readManifest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no _MANIFEST.json at $path — nothing committed")
+      throw new IllegalArgumentException(s"no manifest at $path — nothing committed")
     )
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val files  = m.files.map(f => dir.resolve(f.file).toString)

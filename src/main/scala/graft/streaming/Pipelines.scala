@@ -108,6 +108,57 @@ object Pipelines {
       }
       .start()
 
+  /** §3.1 pipeline with MANIFEST-COMMITTED sinks: same enrich/branch as
+    * `startEnrichPipeline`, but both sinks go through the transactional
+    * `graft-manifest-jsonl` connector with `txnVersion = batchId` instead
+    * of `batch=<id>` directory-overwrite idempotence. A replayed
+    * micro-batch (crash between sink commit and checkpoint commit)
+    * re-commits the same txnVersion and is dropped by the manifest's
+    * per-app high-water mark — exactly-once output with ATOMIC visibility
+    * (a reader of the sink sees whole committed snapshots, never a
+    * half-written batch directory), the lakehouse commit protocol the
+    * sink's docstring promises, exercised end-to-end.
+    *
+    * Sink rows are flattened to the connector's scalar surface: the key
+    * struct becomes `key_id`, and the DLQ keeps the ORIGINAL envelope as
+    * its JSON serialization — exactly what a Kafka DLQ topic carries.
+    */
+  def startEnrichPipelineManifest(
+      name: String,
+      source: DataFrame,
+      dim: () => DataFrame,
+      dimKey: String,
+      dimCols: Seq[String],
+      successPath: String,
+      dlqPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    source.writeStream
+      .queryName(name)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val (ok, failed) = enrichBatch(batch, dim(), dimKey, dimCols)
+          val okFlat = ok.select(
+            col("key.id").as("key_id") +: ok.columns.filterNot(_ == "key").map(col).toSeq: _*)
+          okFlat.write.format("graft-manifest-jsonl")
+            .option("path", successPath)
+            .option("txnAppId", s"$name-ok").option("txnVersion", batchId.toString)
+            .mode("append").save()
+          val dlqFlat = failed.select(
+            col("key.id").as("key_id"), to_json(col("value")).as("envelope_json"))
+          dlqFlat.write.format("graft-manifest-jsonl")
+            .option("path", dlqPath)
+            .option("txnAppId", s"$name-dlq").option("txnVersion", batchId.toString)
+            .mode("append").save()
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
   /** §3.2 DLQ replay: consume the DLQ (file-based stand-in), re-run the
     * same enrichment against the *repair* dimension, append to the success
     * sink. `maxFilesPerTrigger` throttles like max.poll.records: 10.

@@ -21,10 +21,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * touched key per micro-batch. Downstream a bounded `TopKBy` over the
   * emitted table gives the dashboard's top-N without a global sort.
   *
-  * Determinism: within a batch, rows for one key are folded in the input
-  * iterator's order; because decay is a pure function of the event
-  * timestamps (not wall clock), any replay from a checkpoint recomputes
-  * identical scores — the property the spec pins against the closed form.
+  * Determinism: within a batch, rows for one key are SORTED by event
+  * time before folding — iterator order after groupByKey's shuffle is
+  * not stable, and with the max(0, Δt) late-row clamp an out-of-order
+  * pair inside one batch would otherwise fold to a different score than
+  * the sorted order (the later event would never be decayed). Sorting
+  * makes the score a pure function of the timestamp multiset, so any
+  * replay from a checkpoint recomputes identical scores — the property
+  * the spec pins against the closed form. Same in-batch-sort discipline
+  * as Anomaly and Debounce.
   */
 object Trending {
 
@@ -48,7 +53,10 @@ object Trending {
         timerValues: TimerValues
     ): Iterator[TopicScore] = {
       var (score, lastMs, n) = Option(state.get()).getOrElse((0.0, Long.MinValue, 0L))
-      rows.foreach { case (_, ms) =>
+      // sort the batch slice by event time: fold order must not depend on
+      // shuffle iterator order (see determinism note above). The slice is
+      // one key's rows in one micro-batch — bounded, safe to materialize.
+      rows.toSeq.sortBy(_._2).foreach { case (_, ms) =>
         // lazy decay: bring the score forward to this event's time, then
         // bump. A backwards timestamp (replayed/late row) decays by 0 —
         // max(0, Δt) — instead of inflating the score exponentially.

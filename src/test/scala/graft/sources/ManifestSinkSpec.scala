@@ -80,6 +80,96 @@ class ManifestSinkSpec extends GraftSpecBase {
     assert(e.getMessage.contains("cast timestamps to epoch longs"))
   }
 
+  test("commits publish a versioned manifest log, one snapshot per commit") {
+    val dir = freshDir("log")
+    sample.write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    sample.write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    val log = Paths.get(dir).resolve("_manifests")
+    val versions = Files.list(log).iterator()
+    var names = List.empty[String]
+    while (versions.hasNext) names ::= versions.next().getFileName.toString
+    assert(names.sorted === List(f"v${1L}%020d.json", f"v${2L}%020d.json"))
+    assert(ManifestJsonl.readManifest(Paths.get(dir)).get.version === 2L)
+    assert(ManifestJsonl.read(spark, dir).count() === 6L)
+  }
+
+  test("append with a different schema fails loudly instead of corrupting") {
+    val dir = freshDir("schema")
+    sample.write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    val e = intercept[Exception] {
+      Seq((1L, 2L)).toDF("id", "other")
+        .write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+    }
+    assert(e.getMessage.contains("append schema mismatch"))
+    // the failed append published nothing: snapshot still the original
+    assert(ManifestJsonl.read(spark, dir).count() === 3L)
+    // overwrite with the new schema IS allowed — it replaces the snapshot
+    Seq((1L, 2L)).toDF("id", "other")
+      .write.format("graft-manifest-jsonl").option("path", dir).mode("overwrite").save()
+    assert(ManifestJsonl.read(spark, dir).columns.toSeq === Seq("id", "other"))
+  }
+
+  test("a replayed txn commit is a no-op: exactly-once across forced retry") {
+    val dir = freshDir("txn")
+    def writeOnce(): Unit =
+      sample.write.format("graft-manifest-jsonl").option("path", dir)
+        .option("txnAppId", "pipeline-ok").option("txnVersion", "7")
+        .mode("append").save()
+    writeOnce()
+    // the forced retry: a crash between sink commit and checkpoint commit
+    // re-runs the same micro-batch with the same txnVersion
+    writeOnce()
+    assert(ManifestJsonl.read(spark, dir).count() === 3L)
+    // a LATER txnVersion from the same app does append
+    sample.write.format("graft-manifest-jsonl").option("path", dir)
+      .option("txnAppId", "pipeline-ok").option("txnVersion", "8")
+      .mode("append").save()
+    assert(ManifestJsonl.read(spark, dir).count() === 6L)
+    assert(ManifestJsonl.readManifest(Paths.get(dir)).get.txns === Map("pipeline-ok" -> 8L))
+  }
+
+  test("concurrent appends do not lose updates (optimistic version race)") {
+    val dir = freshDir("race")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() =>
+        try {
+          (0 until 3).foreach { i =>
+            Seq((t * 10L + i, s"w$t-$i", 0.0, true)).toDF("id", "name", "score", "flag")
+              .write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()
+          }
+        } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent append failed: ${Option(errors.peek()).map(_.getMessage)}")
+    // every one of the 12 single-row commits is visible — the pre-log
+    // read-modify-write of a mutable manifest would have lost some
+    assert(ManifestJsonl.read(spark, dir).count() === 12L)
+    assert(ManifestJsonl.readManifest(Paths.get(dir)).get.version === 12L)
+  }
+
+  test("writeStream path: epochs commit transactionally through the manifest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir   = freshDir("stream")
+    val ckpt  = freshDir("stream-ckpt")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("id", "name")
+      .writeStream
+      .format("graft-manifest-jsonl")
+      .option("path", dir)
+      .option("txnAppId", "stream-spec")
+      .option("checkpointLocation", ckpt)
+      .start()
+    input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+    input.addData((3L, "c")); q.processAllAvailable()
+    q.stop()
+    val m = ManifestJsonl.readManifest(Paths.get(dir)).get
+    assert(ManifestJsonl.read(spark, dir).count() === 3L)
+    // txn ledger carries the LAST committed epoch for the app
+    assert(m.txns.get("stream-spec").exists(_ >= 1L))
+  }
+
   test("null cells and special doubles serialize as JSON nulls") {
     val dir = freshDir("nulls")
     Seq((1L, Option.empty[String], Double.NaN), (2L, Some("ok"), 1.0))

@@ -75,6 +75,58 @@ class PipelineSpec extends GraftSpecBase {
       === Array(1L, 2L, 3L))
   }
 
+  test("manifest pipeline: exactly-once across a FORCED micro-batch replay") {
+    import graft.sources.ManifestJsonl
+    val srcDir  = tmp("m-src")
+    val okPath  = tmp("m-ok")
+    val dlqPath = tmp("m-dlq")
+    val ckpt    = tmp("m-ckpt")
+
+    spark
+      .createDataFrame(
+        spark.sparkContext.parallelize(Seq(envRow(1, "a"), envRow(2, "b"), envRow(3, "c"))),
+        recordSchema
+      )
+      .write.mode("overwrite").parquet(srcDir)
+
+    def runPipeline(): Unit = {
+      val q = Pipelines.startEnrichPipelineManifest(
+        "manifestTransform",
+        spark.readStream.schema(recordSchema).parquet(srcDir),
+        () => dim(1, 2), "dim_id", Seq("breed"),
+        okPath, dlqPath, ckpt
+      )
+      q.processAllAvailable(); q.stop()
+    }
+    runPipeline()
+    val ok1 = ManifestJsonl.read(spark, okPath)
+    assert(ok1.select("key_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    assert(ok1.columns.contains("breed"))
+    val dlq1 = ManifestJsonl.read(spark, dlqPath)
+    assert(dlq1.count() === 1L)
+    // the DLQ row carries the original envelope as JSON
+    assert(dlq1.select("envelope_json").head().getString(0).contains("\"id\":3"))
+
+    // FORCE the replay: delete batch 0's checkpoint commit marker — on
+    // restart the engine sees the offset log ahead of the commit log and
+    // re-executes the batch with the SAME batchId (the crash-between-
+    // sink-commit-and-checkpoint-commit window, for real)
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(Files.exists(commit0), "expected checkpoint commit marker for batch 0")
+    Files.delete(commit0)
+    // the local-fs checksum sidecar must go with it or the re-write trips
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    runPipeline()
+
+    // the replayed batch re-committed txnVersion 0 and was dropped by the
+    // manifest's high-water mark: counts unchanged, no duplicates
+    assert(ManifestJsonl.read(spark, okPath).count() === 2L)
+    assert(ManifestJsonl.read(spark, dlqPath).count() === 1L)
+    assert(
+      ManifestJsonl.readManifest(java.nio.file.Paths.get(okPath)).get
+        .txns === Map("manifestTransform-ok" -> 0L))
+  }
+
   test("manual export: plain and envelope-shaped JSON, unparseable rejected") {
     val okPath = tmp("manual")
     assert(Pipelines.manualExport(spark, """{"id": 7, "name": "Buddy"}""", payload, okPath) === 1L)

@@ -74,6 +74,19 @@ class TrendingSpec extends GraftSpecBase {
     assert(got("b").lastMs === 5000L)
   }
 
+  test("an out-of-order pair INSIDE one batch folds as if sorted") {
+    // Without the in-batch sort, [(3000),(0)] folds to 2.0 (the clamp
+    // skips decay and the t=3000 event is never decayed) while [(0),(3000)]
+    // folds to 1.125 — the score would depend on shuffle iterator order.
+    // With the sort, both orders equal the closed form over {0, 3000}.
+    val expected = closedForm(Seq(0L, 3000L))
+    val inOrder  = runStream(Seq(Seq(("o", 0L), ("o", 3000L))))
+    val reversed = runStream(Seq(Seq(("o", 3000L), ("o", 0L))))
+    assert(math.abs(inOrder("o").score - expected) < 1e-9)
+    assert(math.abs(reversed("o").score - expected) < 1e-9)
+    assert(reversed("o").lastMs === 3000L)
+  }
+
   test("independent topics do not interact") {
     val got = runStream(Seq(Seq(("x", 0L), ("y", 0L)), Seq(("x", 2000L))))
     assert(math.abs(got("x").score - (1.0 + math.pow(2.0, -2.0))) < 1e-9)
