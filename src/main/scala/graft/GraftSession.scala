@@ -30,7 +30,21 @@ object GraftSession {
       // exchange at 8×threads and let AQE coalesce down to the advisory
       // size — small inputs still collapse to a handful of partitions,
       // large ones keep per-partition state bounded.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", (cpus.toInt * 8).toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", (cpus.toInt * 8).toString))
+      // parallelismFirst=true (the Spark default) refuses to coalesce
+      // below defaultParallelism, so with the 8×threads initial count
+      // every small-query shuffle still schedules ~threads tiny tasks —
+      // the r9 "q16 tax" (10 small queries +1.2-1.8× for the sf10 win).
+      // Size-first coalescing reclaims it: tiny shuffles collapse to 1-2
+      // partitions, and the 16 MB advisory (vs the 64 MB default, tuned
+      // for multi-node clusters) keeps mid-size local shuffles parallel
+      // enough. Measured at sf0.1 (same 6-query subset, same host):
+      // q16 1.15→1.05 s, q1 0.95→0.90 s, graph_components 4.50→4.29 s,
+      // i.e. the small-query tax gone WITHOUT giving back the heavy-query
+      // win; 8 MB advisory was uniformly worse. Env knobs are dev
+      // overrides for scale probes, not a user contract.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("SPARK_GRAFT_PF", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", sys.env.getOrElse("SPARK_GRAFT_ADVISORY", (16L * 1024 * 1024).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -15,7 +15,10 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    // SPARK_GRAFT_SQL_ONLY=1 dumps just oracle_sql.json (no query
+    // execution) — feeds scripts/lint-oracles.sh's fast DuckDB type lint
+    val sqlOnly = sys.env.get("SPARK_GRAFT_SQL_ONLY").exists(_.nonEmpty)
+    SparkEntry.queries.filter(kv => !sqlOnly && keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -87,6 +87,32 @@ class StatefulSpec extends GraftSpecBase {
       !spark.conf.get("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
   }
 
+  test("latestWins on transformWithState: output parity with the fMGWS form") {
+    // B171's migration template applied to the highest-value fMGWS twin:
+    // the SAME batches through both paths under the RocksDB provider must
+    // emit the SAME records (version advances only, in-batch max first)
+    implicit val sqlCtx = spark.sqlContext
+    val batches = Seq(
+      Seq(CdcRec(1, 10, "a"), CdcRec(1, 5, "stale"), CdcRec(2, 7, "x")),
+      Seq(CdcRec(1, 20, "b"), CdcRec(2, 7, "dup"), CdcRec(1, 15, "late")),
+      Seq(CdcRec(3, 1, "new"), CdcRec(1, 19, "older"))
+    )
+    def drain(qname: String, mk: MemoryStream[CdcRec] => org.apache.spark.sql.Dataset[CdcRec]): Seq[CdcRec] = {
+      val input = MemoryStream[CdcRec]
+      val q = mk(input).writeStream.format("memory").queryName(qname).outputMode("append").start()
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(qname).as[CdcRec].collect().toSeq.sortBy(r => (r.user_id, r.version))
+    }
+    StateBackend.withRocksDB(spark) {
+      val tws   = drain("lw_tws", in => StatefulDedup.latestWinsTws[Long, CdcRec](in.toDS(), _.user_id, _.version))
+      val fmgws = drain("lw_fmgws", in => StatefulDedup.latestWins[Long, CdcRec](in.toDS(), _.user_id, _.version))
+      assert(tws === fmgws)
+      assert(tws === Seq(
+        CdcRec(1, 10, "a"), CdcRec(1, 20, "b"), CdcRec(2, 7, "x"), CdcRec(3, 1, "new")))
+    }
+  }
+
   test("decodeOrDlq splits well-formed and corrupt frames (A13)") {
     import org.apache.spark.sql.functions._
     import graft.sources.{ConfluentWire, KafkaCdc}
