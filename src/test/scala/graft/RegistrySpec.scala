@@ -51,7 +51,9 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt31" -> QueriesExt31.queries.keySet,
       "QueriesExt32" -> QueriesExt32.queries.keySet,
       "QueriesExt33" -> QueriesExt33.queries.keySet,
-      "QueriesExt34" -> QueriesExt34.queries.keySet
+      "QueriesExt34" -> QueriesExt34.queries.keySet,
+      "QueriesExt35" -> QueriesExt35.queries.keySet,
+      "QueriesExt36" -> QueriesExt36.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
