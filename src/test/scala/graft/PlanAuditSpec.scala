@@ -313,6 +313,41 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(globalWindows(d) === 0)
   }
 
+  test("embed_dim_stats: explode feeds ONE map-side-combined agg, no join, no window") {
+    // the per-dim profile's whole scale story is "posexplode → bounded
+    // (dim) hash-agg"; a join or window sneaking in would break it
+    val d = df("embed_dim_stats")
+    val p = d.queryExecution.executedPlan.toString
+    assert(shuffles(p) === 1, p)                    // partial agg map-side, one exchange on dim
+    assert("HashAggregate".r.findAllIn(p).length === 2, p)
+    assert(!p.contains("Join"), p)
+    assert(globalWindows(d) === 0)
+  }
+
+  test("corpus_source_entropy: two bounded hash-aggs, zero joins") {
+    val d = df("corpus_source_entropy")
+    val p = d.queryExecution.executedPlan.toString
+    assert(shuffles(p) <= 2, p)                     // (lang,source) then (lang)
+    assert(!p.contains("Join"), p)
+    assert(globalWindows(d) === 0)
+  }
+
+  test("dedup_rate_by_length: bit-length buckets, NO global sort or window") {
+    // the audit deliberately uses length(bin(n_chars)) instead of ntile —
+    // an ntile would be a Window with empty partitionSpec (one-partition
+    // global sort); pin its absence
+    val d = df("dedup_rate_by_length")
+    assert(globalWindows(d) === 0)
+    assert(!d.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning"),
+      d.queryExecution.executedPlan.toString.take(4000))
+  }
+
+  test("dedup_cross_modal_agree: embeddings equi-joined onto the pair list, never nested-loop") {
+    val p = plan("dedup_cross_modal_agree")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)         // pair list is small: both joins broadcast/hash
+  }
+
   test("negative control: an opaque predicate visibly loses its pushdown") {
     // Same shape as q2's scan, but the shipdate bound is wrapped in an
     // expression parquet can't evaluate — the PushedFilters assertion that
