@@ -24,6 +24,11 @@ object Topology {
     *        committed-vs-end lag probes and reset-to-latest via
     *        checkpoint seeding. Kafka sources instead honor resets
     *        through `startingOffsets` inside `source` itself.
+    * @param manifestSinks route both sinks through the transactional
+    *        `graft-manifest-jsonl` connector (txnVersion = batchId,
+    *        exactly-once across replay) instead of `batch=<id>` parquet
+    *        directory idempotence — the lakehouse-commit flavor of the
+    *        same topology, under the same control plane.
     */
   final case class PipelineDef(
       name: String,
@@ -36,7 +41,8 @@ object Topology {
       checkpointRoot: String,
       autoStart: Boolean = true,
       dlqReplay: Option[DlqReplayDef] = None,
-      sourceDir: Option[String] = None
+      sourceDir: Option[String] = None,
+      manifestSinks: Boolean = false
   )
 
   final case class DlqReplayDef(
@@ -62,7 +68,10 @@ object Topology {
           // listing into the fresh epoch's checkpoint (seek-to-end)
           if (spec == ResetSpec.Latest)
             p.sourceDir.foreach(d => FileSourceReset.seedLatest(spark, ckpt, d))
-          Pipelines.startEnrichPipeline(
+          val starter =
+            if (p.manifestSinks) Pipelines.startEnrichPipelineManifest _
+            else Pipelines.startEnrichPipeline _
+          starter(
             s"${p.name}-$epoch",
             p.source(),
             p.dimension,
@@ -70,7 +79,8 @@ object Topology {
             p.dimCols,
             p.successPath,
             p.dlqPath,
-            ckpt
+            ckpt,
+            org.apache.spark.sql.streaming.Trigger.AvailableNow()
           )
         },
         autoStart = p.autoStart,
