@@ -126,6 +126,74 @@ object Similarity {
     * ~100 cells and ran 15× slower the moment cell count scaled with the
     * corpus). No ML pipeline anywhere.
     */
+  /** Deterministic seed centroids as a broadcast table (cell id, centroid,
+    * ||centroid||²): nCells rows with the smallest (md5(id), id) — a
+    * TakeOrdered over the scan, cheap at any scale. Cell id = the seed
+    * row's id, so the index is self-describing; ||c||² is driver-computed
+    * once so the distance formula is exactly the replayable
+    * d = v·v − 2·v·c + Σc², same op order as the oracle SQL.
+    */
+  private def ivfCentroidTable(
+      seedSource: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int
+  ): DataFrame = {
+    val seeds: Array[(Long, Array[Double])] = seedSource
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .orderBy(col("h").asc, col("id").asc)
+      .limit(nCells)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    broadcast(
+      seedSource.sparkSession.createDataFrame(
+        seeds.toIndexedSeq.map { case (id, v) => (id, v.toSeq, v.map(x => x * x).sum) }
+      ).toDF("cell", "ce", "ce2")
+    )
+  }
+
+  /** Corpus → nearest cell against a centroid table: crossJoin the
+    * broadcast centroids, then a map-side-combining min over
+    * struct(d, cell) — lexicographic struct order == ORDER BY
+    * (distance, cell id), the deterministic tie-break. Returns
+    * (corpus_id, cv, cell).
+    */
+  private def ivfAssignWithCents(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: DataFrame
+  ): DataFrame = {
+    def d(vec: Column): Column =
+      dot(vec, vec) - lit(2.0) * dot(vec, col("ce")) + col("ce2")
+    spread(corpus)
+      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
+      .crossJoin(cents)
+      .groupBy(col("corpus_id"))
+      .agg(
+        min(struct(d(col("cv")).as("d"), col("cell").as("cell"))).as("m"),
+        // cv is functionally dependent on corpus_id (every crossJoin row
+        // carries the same vector), so first() is deterministic here
+        first(col("cv")).as("cv")
+      )
+      .select(col("corpus_id"), col("cv"), col("m.cell").as("cell"))
+  }
+
+  /** The IVF index's cell-assignment pass alone — (corpus_id, cv, cell)
+    * under the same frozen md5-seed geometry as ivfTopK, for audits that
+    * look at the index rather than query it (B197's balance report).
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      seedSource: Option[DataFrame] = None
+  ): DataFrame =
+    ivfAssignWithCents(corpus, idCol, vecCol,
+      ivfCentroidTable(seedSource.getOrElse(corpus), idCol, vecCol, nCells))
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -147,43 +215,10 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    // deterministic seed centroids: nCells corpus rows with the smallest
-    // (md5(id), id) — a TakeOrdered over the scan, cheap at any scale.
-    // Cell id = the seed row's id, so the index is self-describing.
-    val seeds: Array[(Long, Array[Double])] = seedSource.getOrElse(corpus)
-      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("h", md5(col("id").cast("string")))
-      .orderBy(col("h").asc, col("id").asc)
-      .limit(nCells)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-
-    // the centroid table: (cell id, centroid, ||centroid||²) — ||c||² is
-    // driver-computed once so the distance formula below is exactly the
-    // replayable d = v·v − 2·v·c + Σc², same op order as the oracle SQL
-    val spark = corpus.sparkSession
-    val cents = broadcast(
-      spark.createDataFrame(
-        seeds.toIndexedSeq.map { case (id, v) => (id, v.toSeq, v.map(x => x * x).sum) }
-      ).toDF("cell", "ce", "ce2")
-    )
+    val cents = ivfCentroidTable(seedSource.getOrElse(corpus), idCol, vecCol, nCells)
     def d(vec: Column): Column =
       dot(vec, vec) - lit(2.0) * dot(vec, col("ce")) + col("ce2")
-
-    // corpus → nearest cell: crossJoin the broadcast centroids, then a
-    // map-side-combining min over struct(d, cell) — lexicographic struct
-    // order == ORDER BY (distance, cell id), the deterministic tie-break
-    val c = spread(corpus)
-      .select(col(idCol).as("corpus_id"), asDouble(col(vecCol)).as("cv"))
-      .crossJoin(cents)
-      .groupBy(col("corpus_id"))
-      .agg(
-        min(struct(d(col("cv")).as("d"), col("cell").as("cell"))).as("m"),
-        // cv is functionally dependent on corpus_id (every crossJoin row
-        // carries the same vector), so first() is deterministic here
-        first(col("cv")).as("cv")
-      )
-      .select(col("corpus_id"), col("cv"), col("m.cell").as("cell"))
+    val c = ivfAssignWithCents(corpus, idCol, vecCol, cents)
 
     // per query: the nProbe nearest cells via the same distance, ranked
     // (distance, cell id); the window shuffles queries×nCells rows keyed

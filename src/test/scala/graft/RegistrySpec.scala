@@ -53,7 +53,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt33" -> QueriesExt33.queries.keySet,
       "QueriesExt34" -> QueriesExt34.queries.keySet,
       "QueriesExt35" -> QueriesExt35.queries.keySet,
-      "QueriesExt36" -> QueriesExt36.queries.keySet
+      "QueriesExt36" -> QueriesExt36.queries.keySet,
+      "QueriesExt37" -> QueriesExt37.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
