@@ -54,7 +54,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt34" -> QueriesExt34.queries.keySet,
       "QueriesExt35" -> QueriesExt35.queries.keySet,
       "QueriesExt36" -> QueriesExt36.queries.keySet,
-      "QueriesExt37" -> QueriesExt37.queries.keySet
+      "QueriesExt37" -> QueriesExt37.queries.keySet,
+      "QueriesExt38" -> QueriesExt38.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
