@@ -419,17 +419,17 @@ object QueriesExt16 {
     * AQE handles any hot-order skew the same way it does for B9's salted
     * join fixture.
     */
-  private def qCopurchasePairs(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("n_orders"))
+  private def qCopurchasePairs(s: SparkSession, dir: String): DataFrame =
+    // r10: the r9 array-form pair build (GraphOps.copurchasePairCounts —
+    // collect_set per order + row-side pair gen, two shuffles) replaces
+    // this query's original distinct + self-join + count form (three
+    // shuffles plus an every-pair join). Identical semantics: collect_set
+    // dedups (order, part), sorted-array pair gen yields u < v.
+    operators.GraphOps
+      .copurchasePairCounts(lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
+      .select(col("u").as("p1"), col("v").as("p2"), col("n_orders"))
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
       .limit(20)
-  }
 
   private val qCopurchasePairsSql =
     """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)

@@ -154,10 +154,11 @@ object QueriesExt18 {
       .distinct()
     val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
     val cA      = li.groupBy("pk").agg(count(lit(1)).as("c"))
-    val pairs = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("c_ab"))
+    // r10: pair support via the r9 array-form build (two shuffles,
+    // row-side pair gen) instead of the distinct + self-join form
+    val pairs = operators.GraphOps
+      .copurchasePairCounts(lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
+      .select(col("u").as("p1"), col("v").as("p2"), col("n_orders").as("c_ab"))
       .where(col("c_ab") >= 3)
     pairs
       .join(cA.select(col("pk").as("p1"), col("c").as("c_1")), "p1")

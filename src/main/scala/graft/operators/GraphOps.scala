@@ -35,7 +35,19 @@ object GraphOps {
     * constant — 32 or 256 — would re-create the spill at the next decade.
     * (Same sf10: 132 s → 28 s for the support stage.)
     */
-  def copurchaseEdges(lineitem: DataFrame, minSupport: Long): DataFrame = {
+  def copurchaseEdges(lineitem: DataFrame, minSupport: Long): DataFrame =
+    copurchasePairCounts(lineitem)
+      .where(col("n_orders") >= minSupport)
+      .select(col("u"), col("v"))
+
+  /** The same two-hash-agg pair build with the support count kept:
+    * (u, v, n_orders), u < v. Shared by the graph family (via
+    * `copurchaseEdges`) and the basket-analysis queries (B66 top pairs,
+    * B94 association rules), which previously carried their own
+    * distinct + self-join + count form — three shuffles and an
+    * every-pair join the array form does row-side.
+    */
+  def copurchasePairCounts(lineitem: DataFrame): DataFrame = {
     val scanBytes = lineitem.queryExecution.optimizedPlan.stats.sizeInBytes
     val cores     = lineitem.sparkSession.sparkContext.defaultParallelism
     val nPart = scanBytes
@@ -64,7 +76,5 @@ object GraphOps {
       .repartition(nPart, col("u"), col("v"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_orders"))
-      .where(col("n_orders") >= minSupport)
-      .select(col("u"), col("v"))
   }
 }
