@@ -149,15 +149,26 @@ object QueriesExt18 {
     * parts, nothing sorted but the 20-row result.
     */
   private def qAssocRules(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n_baskets"))
-    val cA      = li.groupBy("pk").agg(count(lit(1)).as("c"))
-    // r10: pair support via the r9 array-form build (two shuffles,
-    // row-side pair gen) instead of the distinct + self-join form
+    // r10: ONE basket aggregation feeds all three inputs — pair support
+    // (array-form row-side pair gen), per-part basket counts, and the
+    // basket total. The previous form aggregated the fact table twice
+    // (distinct + self-join pairs AND a distinct for counts); at sf10
+    // the second pass dominated the query (15.2× for 10× data; sharing
+    // cut it 76.6 s → 39.0 s). The persist is STATS-GATED: cache
+    // materialization costs more than recomputing the basket agg below
+    // ~0.5 GB of fact scan (measured +3 s at sf0.1), and saves half the
+    // query above it — cache when recompute is expensive, not always.
+    val raw       = lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val scanBytes = raw.queryExecution.optimizedPlan.stats.sizeInBytes
+    val baskets0  = operators.GraphOps.basketArrays(raw)
+    val baskets   = if (scanBytes >= BigInt(512L * 1024 * 1024)) baskets0.persist() else baskets0
+    val nOrders = baskets.agg(count(lit(1)).as("n_baskets"))
+    val cA = baskets
+      .select(explode(col("pks")).as("pk"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("c"))
     val pairs = operators.GraphOps
-      .copurchasePairCounts(lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
+      .pairCountsFromBaskets(baskets, statsSource = raw)
       .select(col("u").as("p1"), col("v").as("p2"), col("n_orders").as("c_ab"))
       .where(col("c_ab") >= 3)
     pairs

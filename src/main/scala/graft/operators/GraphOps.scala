@@ -47,17 +47,35 @@ object GraphOps {
     * distinct + self-join + count form — three shuffles and an
     * every-pair join the array form does row-side.
     */
-  def copurchasePairCounts(lineitem: DataFrame): DataFrame = {
-    val scanBytes = lineitem.queryExecution.optimizedPlan.stats.sizeInBytes
-    val cores     = lineitem.sparkSession.sparkContext.defaultParallelism
+  def copurchasePairCounts(lineitem: DataFrame): DataFrame =
+    pairCountsFromBaskets(basketArrays(lineitem), statsSource = lineitem)
+
+  /** One hash-agg: each order's distinct parts as a sorted array —
+    * collect_set dedups in the same pass, so consumers that also need
+    * per-part basket counts or the basket total (B94) derive them from
+    * THIS table instead of re-aggregating the fact table (at sf10 the
+    * extra distinct pass was the association-rule query's dominant
+    * cost).
+    */
+  def basketArrays(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+
+  /** Pair support counts from a (possibly persisted) basket table.
+    * `statsSource` supplies the size statistics for the explicit
+    * repartition width — pass the raw fact table when available (a
+    * persisted basket table's stats are estimates).
+    */
+  def pairCountsFromBaskets(baskets: DataFrame, statsSource: DataFrame): DataFrame = {
+    val scanBytes = statsSource.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cores     = baskets.sparkSession.sparkContext.defaultParallelism
     val nPart = scanBytes
       .max(BigInt(1))./(BigInt(16L * 1024 * 1024))
       .min(BigInt(4096))
       .max(BigInt(cores))
       .toInt
-    lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("pks"))
+    baskets
       .select(
         explode(
           flatten(
