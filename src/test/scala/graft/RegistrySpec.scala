@@ -55,7 +55,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt35" -> QueriesExt35.queries.keySet,
       "QueriesExt36" -> QueriesExt36.queries.keySet,
       "QueriesExt37" -> QueriesExt37.queries.keySet,
-      "QueriesExt38" -> QueriesExt38.queries.keySet
+      "QueriesExt38" -> QueriesExt38.queries.keySet,
+      "QueriesExt39" -> QueriesExt39.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
