@@ -51,10 +51,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `ManifestJsonl.read` consumes only manifest-listed files, so stray
   * files in the directory are invisible by construction. Append mode
   * unions the old manifest's files with the new ones; overwrite
-  * (SupportsTruncate) swaps the snapshot to exactly the new files and
-  * deletes the replaced ones AFTER the publish (readers holding the old
-  * manifest finish their scan first on a posix-delete store; on S3-like
-  * stores the delete is deferred garbage collection — same protocol).
+  * (SupportsTruncate) publishes a snapshot of exactly the new files.
+  * Replaced files stay ON DISK but invisible: every version file is a
+  * complete snapshot, so `ManifestJsonl.readAt(path, v)` time-travels
+  * to any retained version, and `ManifestJsonl.vacuum(dir, keep)` is
+  * where old versions and their unreferenced data files actually die —
+  * physical delete is a retention policy, never part of a commit
+  * (the Delta/Iceberg model).
   *
   * Local-filesystem `java.nio` file ops keep the sink testable in this
   * sandbox; the create-exclusive publish uses a hard link (atomic
@@ -319,15 +322,12 @@ object ManifestJsonl {
         txn.fold(priorTxns) { case (a, v) => priorTxns + (a -> v) }
       )
       if (tryPublish(dir, next)) {
-        if (truncate) {
-          // old files drop out of visibility at the publish above; the
-          // physical delete is cleanup, not the visibility boundary —
-          // delete only what the PRIOR snapshot held (a concurrent later
-          // append's files are not in it and stay untouched)
-          val keep = next.files.map(_.file).toSet
-          prior.toSeq.flatMap(_.files).map(_.file).filterNot(keep)
-            .foreach(f => Files.deleteIfExists(dir.resolve(f)))
-        }
+        // truncate drops the old files from VISIBILITY at the publish
+        // above but leaves them on disk: every prior version file is a
+        // complete snapshot, so `readAt` can time-travel to it until
+        // `vacuum` retires the version — the Delta/Iceberg retention
+        // model (physical delete is a retention policy, never part of
+        // the commit).
         return
       }
       attempts += 1
@@ -414,21 +414,70 @@ object ManifestJsonl {
     }
   }
 
-  def readManifest(dir: Path): Option[Manifest] = {
+  private def versionFiles(dir: Path): Seq[Path] = {
     val log = logDir(dir)
-    val latest: Option[Path] =
-      if (Files.isDirectory(log)) {
-        val vs = Files.list(log).iterator().asScala
-          .filter(p => p.getFileName.toString.matches("v\\d{20}\\.json")).toSeq
-        if (vs.isEmpty) scala.None else Some(vs.maxBy(_.getFileName.toString))
-      } else scala.None
-    latest match {
+    if (!Files.isDirectory(log)) Seq.empty
+    else Files.list(log).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d{20}\\.json")).toSeq
+      .sortBy(_.getFileName.toString)
+  }
+
+  def readManifest(dir: Path): Option[Manifest] =
+    versionFiles(dir).lastOption match {
       case Some(p) => Some(parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
       case scala.None =>
         val legacy = legacyManifestPath(dir)
         if (!Files.exists(legacy)) scala.None
         else Some(parseManifest(new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8)))
     }
+
+  /** Time travel: the snapshot as of a SPECIFIC committed version —
+    * every version file is a complete snapshot (not a delta), so this is
+    * one read, no log replay. Fails loudly on a version that never
+    * existed or was vacuumed.
+    */
+  def readManifestAt(dir: Path, version: Long): Manifest = {
+    val p = versionFile(dir, version)
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(
+        s"no manifest version $version at $dir — available: ${versions(dir).mkString(", ")} " +
+          "(never committed, or removed by vacuum)")
+    parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Committed versions still present in the log, ascending. */
+  def versions(dir: Path): Seq[Long] =
+    versionFiles(dir).map(_.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong)
+
+  /** Retention: keep the newest `keepVersions` snapshots, delete older
+    * version files AND any data file no surviving snapshot references
+    * (overwrite leaves old files on disk precisely so time travel works;
+    * vacuum is where they actually die). The CURRENT snapshot is always
+    * kept. Returns (versions removed, data files removed).
+    */
+  def vacuum(dir: Path, keepVersions: Int): (Long, Long) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val all = versionFiles(dir)
+    if (all.size <= keepVersions) return (0L, 0L)
+    val (drop, keep) = all.splitAt(all.size - keepVersions)
+    val keptFiles = keep.flatMap { p =>
+      parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).files.map(_.file)
+    }.toSet
+    val droppedFiles = drop.flatMap { p =>
+      parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).files.map(_.file)
+    }.toSet
+    val dead = droppedFiles -- keptFiles
+    // order matters: delete the version POINTERS first, so a concurrent
+    // time-travel read can never hold a manifest whose files are gone
+    drop.foreach(Files.deleteIfExists(_))
+    dead.foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    (drop.size.toLong, dead.size.toLong)
+  }
+
+  /** Snapshot read pinned to a version (time travel). */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val dir = Paths.get(path)
+    toDf(spark, dir, readManifestAt(dir, version))
   }
 
   private def parseManifest(body: String): Manifest = {
@@ -466,6 +515,10 @@ object ManifestJsonl {
     val m = readManifest(dir).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $path — nothing committed")
     )
+    toDf(spark, dir, m)
+  }
+
+  private def toDf(spark: SparkSession, dir: Path, m: Manifest): DataFrame = {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val files  = m.files.map(f => dir.resolve(f.file).toString)
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

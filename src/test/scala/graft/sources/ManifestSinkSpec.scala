@@ -62,13 +62,39 @@ class ManifestSinkSpec extends GraftSpecBase {
     val back = ManifestJsonl.read(spark, dir)
     assert(back.count() === 1L)
     assert(back.select("id").as[Long].head() === 42L)
-    // the replaced files were physically cleaned after the swap
-    val leftovers = Files.list(Paths.get(dir)).iterator()
-    var partFiles = 0
-    while (leftovers.hasNext) {
-      if (leftovers.next().getFileName.toString.startsWith("part-")) partFiles += 1
+    // replaced files stay on disk (time travel) until vacuum retires them
+    def partFiles() = {
+      val it = Files.list(Paths.get(dir)).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().getFileName.toString.startsWith("part-")) n += 1
+      n
     }
-    assert(partFiles === ManifestJsonl.readManifest(Paths.get(dir)).get.files.size)
+    assert(partFiles() > ManifestJsonl.readManifest(Paths.get(dir)).get.files.size)
+    val (vVers, vFiles) = ManifestJsonl.vacuum(Paths.get(dir), keepVersions = 1)
+    assert(vVers === 2L && vFiles > 0L)
+    assert(partFiles() === ManifestJsonl.readManifest(Paths.get(dir)).get.files.size)
+    // current snapshot unaffected by the vacuum
+    assert(ManifestJsonl.read(spark, dir).count() === 1L)
+  }
+
+  test("time travel: readAt pins any retained version; vacuum retires it loudly") {
+    val dir = freshDir("tt")
+    sample.write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()          // v1: 3 rows
+    Seq((10L, "x", 0.0, false)).toDF("id", "name", "score", "flag")
+      .write.format("graft-manifest-jsonl").option("path", dir).mode("append").save()              // v2: 4 rows
+    Seq((42L, "only", 9.0, true)).toDF("id", "name", "score", "flag")
+      .write.format("graft-manifest-jsonl").option("path", dir).mode("overwrite").save()           // v3: 1 row
+    assert(ManifestJsonl.versions(Paths.get(dir)) === Seq(1L, 2L, 3L))
+    assert(ManifestJsonl.readAt(spark, dir, 1L).count() === 3L)
+    assert(ManifestJsonl.readAt(spark, dir, 2L).count() === 4L)
+    assert(ManifestJsonl.readAt(spark, dir, 3L).count() === 1L)
+    // pre-overwrite data is readable THROUGH the overwrite (files retained)
+    assert(ManifestJsonl.readAt(spark, dir, 2L).where(col("id") === 10L).count() === 1L)
+    ManifestJsonl.vacuum(Paths.get(dir), keepVersions = 1)
+    assert(ManifestJsonl.versions(Paths.get(dir)) === Seq(3L))
+    val e = intercept[IllegalArgumentException](ManifestJsonl.readAt(spark, dir, 1L))
+    assert(e.getMessage.contains("vacuum"))
+    assert(ManifestJsonl.read(spark, dir).count() === 1L)
   }
 
   test("unsupported column types are rejected loudly at write build") {
