@@ -32,7 +32,7 @@ object HistQuantiles {
 
   private val NBuckets = 1024
 
-  private[streaming] def bucketOf(xMicro: Long): Int = {
+  private[graft] def bucketOf(xMicro: Long): Int = {
     val v = math.max(0L, xMicro)
     if (v < 16L) v.toInt
     else {
@@ -41,14 +41,14 @@ object HistQuantiles {
     }
   }
 
-  private[streaming] def lowerBound(b: Int): Long =
+  private[graft] def lowerBound(b: Int): Long =
     if (b < 16) b.toLong else (16L + (b % 16)) << ((b / 16) - 4)
 
   /** Quantile q as the lower bound of the bucket where the cumulative
     * count first reaches ceil(q·n) — written as integer arithmetic
     * (numQ·n + numQ) / denQ matching the batch oracle exactly.
     */
-  private[streaming] def quantile(counts: Array[Long], n: Long, numQ: Long, denQ: Long): Long = {
+  private[graft] def quantile(counts: Array[Long], n: Long, numQ: Long, denQ: Long): Long = {
     val target = (numQ * n + numQ) / denQ
     var cum = 0L
     var b = 0

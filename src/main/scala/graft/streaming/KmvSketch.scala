@@ -27,7 +27,7 @@ object KmvSketch {
   /** 52-bit hash prefix: first 13 hex digits of md5(id) — bit-identical
     * to the batch query's `conv(substring(md5(id), 1, 13), 16, 10)`.
     */
-  private[streaming] def hash52(id: String): Long = {
+  private[graft] def hash52(id: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(id.getBytes("UTF-8"))
     // first 13 hex digits = first 6.5 bytes, big-endian
     var v = 0L
@@ -36,7 +36,7 @@ object KmvSketch {
     (v << 4) | ((md(6) & 0xf0L) >>> 4)
   }
 
-  private[streaming] def estimate(k: Int, sorted: Array[Long], nSeen: Long): (Long, Long) =
+  private[graft] def estimate(k: Int, sorted: Array[Long], nSeen: Long): (Long, Long) =
     if (sorted.length < k) (sorted.length.toLong, if (sorted.isEmpty) 0L else sorted.last)
     else ((k - 1).toLong * TwoPow52 / sorted(k - 1), sorted(k - 1))
 

@@ -348,6 +348,24 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("SortMergeJoin"), p)         // pair list is small: both joins broadcast/hash
   }
 
+  test("events_latency_digest: bounded-key aggs, partitioned window only, no join") {
+    // the digest's scale story is "nothing grows with event count":
+    // (type, bucket) agg → per-type window over ≤1024 rows → type agg
+    val d = df("events_latency_digest")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(globalWindows(d) === 0)
+    assert(shuffles(p) <= 3, p)
+  }
+
+  test("events_kmv_distinct: bounded-heap sketch agg, no join, no global window") {
+    val d = df("events_kmv_distinct")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(globalWindows(d) === 0)
+    assert(p.contains("graft_topk_by"), p.take(3000))
+  }
+
   test("negative control: an opaque predicate visibly loses its pushdown") {
     // Same shape as q2's scan, but the shipdate bound is wrapped in an
     // expression parquet can't evaluate — the PushedFilters assertion that
