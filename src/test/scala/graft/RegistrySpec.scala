@@ -57,7 +57,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt37" -> QueriesExt37.queries.keySet,
       "QueriesExt38" -> QueriesExt38.queries.keySet,
       "QueriesExt39" -> QueriesExt39.queries.keySet,
-      "QueriesExt40" -> QueriesExt40.queries.keySet
+      "QueriesExt40" -> QueriesExt40.queries.keySet,
+      "QueriesExt41" -> QueriesExt41.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
