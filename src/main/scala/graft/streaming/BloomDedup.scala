@@ -105,6 +105,6 @@ object BloomDedup {
     implicit val outEnc: Encoder[(String, String)] = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     implicit val keyEnc: Encoder[String]           = Encoders.STRING
     ds.groupByKey(_._1)
-      .transformWithState(new Processor(mBits, k, ttl), TimeMode.None(), OutputMode.Append())
+      .transformWithState(new Processor(mBits, k, ttl), TwsSupport.timeModeFor(ttl), OutputMode.Append())
   }
 }

@@ -99,6 +99,6 @@ object HistQuantiles {
     implicit val outEnc: Encoder[KeyDigest] = Encoders.product[KeyDigest]
     implicit val keyEnc: Encoder[String]    = Encoders.STRING
     ds.groupByKey(_._1)
-      .transformWithState(new Processor(ttl), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new Processor(ttl), TwsSupport.timeModeFor(ttl), OutputMode.Update())
   }
 }

@@ -82,6 +82,6 @@ object KmvSketch {
     implicit val outEnc: Encoder[KeyEstimate] = Encoders.product[KeyEstimate]
     implicit val keyEnc: Encoder[String]      = Encoders.STRING
     ds.groupByKey(_._1)
-      .transformWithState(new Processor(k, ttl), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new Processor(k, ttl), TwsSupport.timeModeFor(ttl), OutputMode.Update())
   }
 }

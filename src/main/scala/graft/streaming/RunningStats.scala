@@ -55,6 +55,6 @@ object RunningStats {
     implicit val outEnc: Encoder[KeyStats] = Encoders.product[KeyStats]
     implicit val keyEnc: Encoder[String]   = Encoders.STRING
     ds.groupByKey(_._1)
-      .transformWithState(new Processor(ttl), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new Processor(ttl), TwsSupport.timeModeFor(ttl), OutputMode.Update())
   }
 }

@@ -85,6 +85,6 @@ object Trending {
     implicit val outEnc: Encoder[TopicScore] = Encoders.product[TopicScore]
     implicit val keyEnc: Encoder[String]     = Encoders.STRING
     ds.groupByKey(_._1)
-      .transformWithState(new Processor(halfLifeMs, ttl), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new Processor(halfLifeMs, ttl), TwsSupport.timeModeFor(ttl), OutputMode.Update())
   }
 }
