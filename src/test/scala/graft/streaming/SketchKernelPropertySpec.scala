@@ -61,6 +61,42 @@ class SketchKernelPropertySpec extends GraftSpecBase {
     })
   }
 
+  test("CMS bucket: always inside the grid row for any id and hash row") {
+    check(forAll(Gen.chooseNum(0, 7), Gen.alphaNumStr) { (r, id) =>
+      val b = CmsHeavyHitters.bucket(r, id, 512)
+      b >= 0 && b < 512
+    })
+  }
+
+  test("CMS grid: min-of-counters never undercounts any id's true frequency") {
+    val d = 4; val w = 64 // small w to force collisions — the bound must still hold
+    val idsGen = Gen.listOf(Gen.chooseNum(0, 30).map(i => s"id-$i"))
+    check(forAll(idsGen) { ids =>
+      val grid = new Array[Long](d * w)
+      ids.foreach { id =>
+        (0 until d).foreach(r => grid(r * w + CmsHeavyHitters.bucket(r, id, w)) += 1L)
+      }
+      val truth = ids.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.forall { case (id, n) =>
+        (0 until d).map(r => grid(r * w + CmsHeavyHitters.bucket(r, id, w))).min >= n
+      }
+    })
+  }
+
+  test("CMS grid: cell-wise sum of two folds equals the fold of the concatenation (mergeable)") {
+    val d = 4; val w = 64
+    def fold(ids: Seq[String]): Array[Long] = {
+      val g = new Array[Long](d * w)
+      ids.foreach(id => (0 until d).foreach(r => g(r * w + CmsHeavyHitters.bucket(r, id, w)) += 1L))
+      g
+    }
+    val idsGen = Gen.listOf(Gen.chooseNum(0, 30).map(i => s"id-$i"))
+    check(forAll(idsGen, idsGen) { (a, b) =>
+      val merged = fold(a).zip(fold(b)).map { case (x, y) => x + y }
+      merged.sameElements(fold(a ++ b))
+    })
+  }
+
   test("quantile is monotone in q and bounded by the histogram's support") {
     val countsGen = Gen.listOfN(40, Gen.chooseNum(0L, 5L)).map { cs =>
       val arr = new Array[Long](1024)
