@@ -366,6 +366,38 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(p.contains("graft_topk_by"), p.take(3000))
   }
 
+  test("events_cms_topk: sketch agg bounded, top-20 via TakeOrdered, counter join broadcast") {
+    val d = df("events_cms_topk")
+    val p = d.queryExecution.executedPlan.toString
+    // the global top-20 must be the map-side-partial TakeOrderedAndProject,
+    // never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Sort ["), p)
+    // the 2048-row counter grid attaches by broadcast, not shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(globalWindows(d) === 0)
+  }
+
+  test("events_kmv_overlap: bounded heaps + broadcast pair algebra; only the certification join is corpus-sized") {
+    val d = df("events_kmv_overlap")
+    val p = d.queryExecution.executedPlan.toString
+    // per-type sketches through the bounded-heap aggregate
+    assert(p.contains("graft_topk_by"), p.take(3000))
+    // pair fan-out over the types-sized sketch table: inequality join →
+    // nested-loop is sanctioned ONLY because both sides are ≤types rows
+    assert(globalWindows(d) === 0)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_kmv_merge_daily: two bounded-heap levels, no window, no sort-merge join") {
+    val d = df("events_kmv_merge_daily")
+    val p = d.queryExecution.executedPlan.toString
+    assert("graft_topk_by".r.findAllIn(p).size >= 2, p.take(3000)) // per-day heap + merge heap
+    assert(globalWindows(d) === 0)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("negative control: an opaque predicate visibly loses its pushdown") {
     // Same shape as q2's scan, but the shipdate bound is wrapped in an
     // expression parquet can't evaluate — the PushedFilters assertion that

@@ -58,7 +58,9 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt38" -> QueriesExt38.queries.keySet,
       "QueriesExt39" -> QueriesExt39.queries.keySet,
       "QueriesExt40" -> QueriesExt40.queries.keySet,
-      "QueriesExt41" -> QueriesExt41.queries.keySet
+      "QueriesExt41" -> QueriesExt41.queries.keySet,
+      "QueriesExt42" -> QueriesExt42.queries.keySet,
+      "QueriesExt43" -> QueriesExt43.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
