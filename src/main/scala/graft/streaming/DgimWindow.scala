@@ -38,27 +38,32 @@ object DgimWindow {
     * stored flattened [ts0, size0, ts1, size1, ...] for a stable encoder.
     */
   private[graft] def insert(buckets: Vector[(Long, Long)], ts: Long, r: Int): Vector[(Long, Long)] = {
-    // place the new singleton at its ts-sorted position — a late event
-    // must not break the "head is oldest" invariant estimate() relies on
+    // place the new singleton at its ts position (a late event must not
+    // break the "head is oldest" invariant estimate() relies on; ties go
+    // after existing equal-ts buckets)
     var bs = {
       val at = buckets.indexWhere(_._1 > ts)
       if (at < 0) buckets :+ ((ts, 1L)) else (buckets.take(at) :+ ((ts, 1L))) ++ buckets.drop(at)
     }
-    // cascade: while more than r buckets of size s, merge the two oldest
+    // cascade: while more than r buckets of size s, merge the two oldest.
+    // The merged bucket stays AT THE OLDER SLOT (position i1), not at its
+    // raw-ts sort position: buckets partition the event sequence by
+    // CONTENT order, and only position-preserving merges keep that
+    // contiguity — a ts-sorted re-placement can float a merged bucket
+    // past same-ts singletons to the newest end, where it escapes the
+    // oldest-bucket half-size correction and breaks the error bound
+    // (caught by the kernel property test).
     var size = 1L
     var done = false
     while (!done) {
-      val idxs = bs.zipWithIndex.filter(_._1._2 == size)
+      val idxs = bs.zipWithIndex.filter(_._1._2 == size).map(_._2)
       if (idxs.length > r) {
-        val (b1, i1) = idxs(0) // oldest
-        val (b2, i2) = idxs(1)
-        val merged   = (math.max(b1._1, b2._1), size * 2)
-        bs = bs.zipWithIndex.collect {
-          case (b, i) if i != i1 && i != i2 => b
+        val i1 = idxs(0) // oldest
+        val i2 = idxs(1)
+        val merged = (math.max(bs(i1)._1, bs(i2)._1), size * 2)
+        bs = bs.updated(i1, merged).zipWithIndex.collect {
+          case (b, i) if i != i2 => b
         }
-        // keep ts order: merged bucket belongs where the newer of the two sat
-        val at = bs.indexWhere(_._1 > merged._1)
-        bs = if (at < 0) bs :+ merged else (bs.take(at) :+ merged) ++ bs.drop(at)
         size *= 2
       } else done = true
     }

@@ -60,7 +60,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt40" -> QueriesExt40.queries.keySet,
       "QueriesExt41" -> QueriesExt41.queries.keySet,
       "QueriesExt42" -> QueriesExt42.queries.keySet,
-      "QueriesExt43" -> QueriesExt43.queries.keySet
+      "QueriesExt43" -> QueriesExt43.queries.keySet,
+      "QueriesExt44" -> QueriesExt44.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex

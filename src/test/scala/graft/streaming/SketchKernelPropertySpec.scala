@@ -97,6 +97,31 @@ class SketchKernelPropertySpec extends GraftSpecBase {
     })
   }
 
+  test("DGIM kernel: estimate within 1/(2(r-1)) of the exact in-window count, any ts multiset") {
+    val r = 3; val W = 1000L
+    val tsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 5000L))
+    check(forAll(tsGen) { tss =>
+      val sorted = tss.sorted
+      val bs = sorted.foldLeft(Vector.empty[(Long, Long)])((b, t) => DgimWindow.insert(b, t, r))
+      val asOf  = sorted.last
+      val kept  = DgimWindow.expire(bs, asOf, W)
+      val est   = DgimWindow.estimate(kept)
+      val exact = sorted.count(_ > asOf - W).toLong
+      exact == 0L || math.abs(est - exact).toDouble / exact <= 1.0 / (2 * (r - 1))
+    })
+  }
+
+  test("DGIM kernel: bucket list stays ts-sorted with at most r+1 buckets per size") {
+    val r = 2
+    val tsGen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 5000L))
+    check(forAll(tsGen) { tss =>
+      val bs = tss.sorted.foldLeft(Vector.empty[(Long, Long)])((b, t) => DgimWindow.insert(b, t, r))
+      val tsSorted  = bs.map(_._1) == bs.map(_._1).sorted
+      val perSizeOk = bs.groupBy(_._2).values.forall(_.size <= r + 1)
+      tsSorted && perSizeOk
+    })
+  }
+
   test("quantile is monotone in q and bounded by the histogram's support") {
     val countsGen = Gen.listOfN(40, Gen.chooseNum(0L, 5L)).map { cs =>
       val arr = new Array[Long](1024)
