@@ -34,7 +34,21 @@ object PlanAudit {
       // brute-force scored base with broadcast queries (B4's documented trade)
       "sim_rrf_fusion", "sim_negative_sample",
       // 1-row bounds/totals/level broadcasts (B27 pattern)
-      "events_gap_fill", "q_fair_share", "events_ab_test", "events_srm_check", "q_assoc_rules", "q_source_drift", "q_partition_skew", "q_reco_fallback", "q_fk_audit", "q_join_estimate", "events_user_holdout", "q_benford_audit", "q_rfm_segments", "q_chi2_contingency", "q_consistent_hash", "q_apportionment", "events_power_users"
+      "events_gap_fill", "q_fair_share", "events_ab_test", "events_srm_check", "q_assoc_rules", "q_source_drift", "q_partition_skew", "q_reco_fallback", "q_fk_audit", "q_join_estimate", "events_user_holdout", "q_benford_audit", "q_rfm_segments", "q_chi2_contingency", "q_consistent_hash", "q_apportionment", "events_power_users",
+      // rounds 9-10, reviewed: 1-row totals/bounds broadcasts (the same
+      // scalar-subquery pattern — a single aggregate row crossed over a
+      // bounded per-group table; shapes pinned per-query in PlanAuditSpec)
+      "q_histogram", "events_heatmap", "events_cuped", "events_late_profile",
+      "graph_degree_stats", "cdc_vacuum_plan", "corpus_rebalance_plan",
+      "corpus_temperature_mix", "dedup_mixture_impact", "events_mg_frequent",
+      // rounds 9-10, reviewed: broadcast of a CONSTANT-size model or probe
+      // set (centroid tables of √n rows, ≤128-row codebooks, ≤50 query
+      // vectors, ≤types² sketch arrays) against a streaming corpus scan —
+      // the documented B4 brute-force/IVF trade; the corpus side never
+      // self-joins
+      "sim_ivf_topk", "sim_ivf_balance", "sim_ivf_incremental",
+      "sim_filtered_topk", "sim_ann_recall", "sim_pq_recall",
+      "sim_recall_vs_probes", "sim_truncation_recall", "events_kmv_overlap"
     )
 
   def main(args: Array[String]): Unit = {
