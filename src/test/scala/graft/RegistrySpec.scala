@@ -61,7 +61,10 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt41" -> QueriesExt41.queries.keySet,
       "QueriesExt42" -> QueriesExt42.queries.keySet,
       "QueriesExt43" -> QueriesExt43.queries.keySet,
-      "QueriesExt44" -> QueriesExt44.queries.keySet
+      "QueriesExt44" -> QueriesExt44.queries.keySet,
+      "QueriesExt45" -> QueriesExt45.queries.keySet,
+      "QueriesExt46" -> QueriesExt46.queries.keySet,
+      "QueriesExt47" -> QueriesExt47.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
