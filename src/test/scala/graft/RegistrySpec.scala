@@ -64,7 +64,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt44" -> QueriesExt44.queries.keySet,
       "QueriesExt45" -> QueriesExt45.queries.keySet,
       "QueriesExt46" -> QueriesExt46.queries.keySet,
-      "QueriesExt47" -> QueriesExt47.queries.keySet
+      "QueriesExt47" -> QueriesExt47.queries.keySet,
+      "QueriesExt48" -> QueriesExt48.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
