@@ -410,4 +410,30 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("GreaterThanOrEqual(l_shipdate"), p)
     assert(p.contains("LessThan(l_quantity,5.0)"), p) // the pushable half still pushes
   }
+
+  // ------- round 10: the new batch's most expensive members get named gates
+
+  test("text_cdc_chunk_dedup: scan prunes to 3 columns, no nested-loop stage in the linear class") {
+    val d = df("text_cdc_chunk_dedup")
+    val p = d.queryExecution.executedPlan.toString
+    // the gram explode is the honest linear cost — it must read ONLY
+    // (doc_id, source, text); a scan that also reads lang/n_chars means
+    // pruning broke through the explode
+    assert(!p.contains("lang"), p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(globalWindows(d) === 0) // spans window partitions by doc_id
+  }
+
+  test("graph_kcore_peel: no nested loop; per-round degree aggs are map-side combined") {
+    val d = df("graph_kcore_peel")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("events_ks_drift: windows stay partitioned by type over the bounded bucket grid") {
+    val d = df("events_ks_drift")
+    assert(globalWindows(d) === 0)
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
