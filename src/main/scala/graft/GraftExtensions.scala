@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotProduct, Hashing, MinHashSig, TopKByLong, WordKGrams}
+import graft.functions.{DotProduct, Hashing, MinHashSig, MisraGriesLong, TopKByLong, WordKGrams}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so the SQL front door has the same surface as the DataFrame
@@ -66,6 +66,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // a bare AggregateFunction: the analyzer wraps it in the
         // AggregateExpression for the enclosing Aggregate
         TopKByLong(args(0), args(1), k)
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_mg_sketch"),
+      new ExpressionInfo(classOf[MisraGriesLong].getName, "graft_mg_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_mg_sketch(item, k)")
+        val k = args(1).eval() match {
+          case i: Int  => i
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
+        }
+        MisraGriesLong(args.head, k)
       }
     ))
     // Spark's internal runtime-filter pair (what InjectRuntimeFilter plans

@@ -86,6 +86,18 @@ class MisraGriesSpec extends GraftSpecBase {
     assert(mg.keySet == Set(7L))
   }
 
+  test("SQL front door: graft_mg_sketch registered via GraftExtensions") {
+    Seq(1L, 1L, 1L, 2L).toDF("x").createOrReplaceTempView("mg_in")
+    val out = spark
+      .sql("SELECT graft_mg_sketch(x, 2) AS mg FROM mg_in")
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.id"), col("e.est"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("group-level summaries stay independent") {
     val df = (Seq.fill(50)(("a", 1L)) ++ Seq.fill(5)(("b", 2L)) ++ Seq((("b"), 9L)))
       .toDF("g", "x")
