@@ -65,7 +65,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt45" -> QueriesExt45.queries.keySet,
       "QueriesExt46" -> QueriesExt46.queries.keySet,
       "QueriesExt47" -> QueriesExt47.queries.keySet,
-      "QueriesExt48" -> QueriesExt48.queries.keySet
+      "QueriesExt48" -> QueriesExt48.queries.keySet,
+      "QueriesExt49" -> QueriesExt49.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
