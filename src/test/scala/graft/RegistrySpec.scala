@@ -66,7 +66,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt46" -> QueriesExt46.queries.keySet,
       "QueriesExt47" -> QueriesExt47.queries.keySet,
       "QueriesExt48" -> QueriesExt48.queries.keySet,
-      "QueriesExt49" -> QueriesExt49.queries.keySet
+      "QueriesExt49" -> QueriesExt49.queries.keySet,
+      "QueriesExt50" -> QueriesExt50.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
