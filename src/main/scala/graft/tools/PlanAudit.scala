@@ -41,6 +41,12 @@ object PlanAudit {
       "q_histogram", "events_heatmap", "events_cuped", "events_late_profile",
       "graph_degree_stats", "cdc_vacuum_plan", "corpus_rebalance_plan",
       "corpus_temperature_mix", "dedup_mixture_impact", "events_mg_frequent",
+      "q_salt_plan",
+      // bounded-grid zero-fill: the types × ≤1024-bucket crossJoin the
+      // KS/PSI drift lenses need (a type missing a bucket still moves the
+      // complement's CDF) — grid size is value-domain-bounded, never data-
+      // bounded
+      "events_ks_drift", "events_psi_drift",
       // rounds 9-10, reviewed: broadcast of a CONSTANT-size model or probe
       // set (centroid tables of √n rows, ≤128-row codebooks, ≤50 query
       // vectors, ≤types² sketch arrays) against a streaming corpus scan —
@@ -48,7 +54,8 @@ object PlanAudit {
       // self-joins
       "sim_ivf_topk", "sim_ivf_balance", "sim_ivf_incremental",
       "sim_filtered_topk", "sim_ann_recall", "sim_pq_recall",
-      "sim_recall_vs_probes", "sim_truncation_recall", "events_kmv_overlap"
+      "sim_recall_vs_probes", "sim_truncation_recall", "events_kmv_overlap",
+      "embed_binarize_recall"
     )
 
   def main(args: Array[String]): Unit = {
