@@ -24,12 +24,15 @@ object QueriesExt50 {
     * the 0-union guard (two degree-1 endpoints → 0).
     *
     * Scale shape: common-neighbor counts come from the wedge join
-    * (adjacency self-joined on the center node) — the SAME Σ deg²
-    * shape as B97's triangle count, keyed on the wedge center so hub
-    * skew is bounded by max degree, then filtered to actual edges
-    * (link-prediction over non-edges would keep the full wedge set).
-    * Degrees are one hash-agg; everything is keyed shuffles, no
-    * nested loop.
+    * (adjacency self-joined on the center node, map-side-combined
+    * hash-agg on the pair) — the SAME Σ deg² shape as B97's triangle
+    * count, keyed on the wedge center so hub skew is bounded by max
+    * degree. An edge-anchored alternative (expand edges by the u-side
+    * adjacency + left-semi on (v, w)) was measured SLOWER at both
+    * sf0.1 (4.2 vs 3.1 s) and sf1 (23.6 vs 21.3 s): the extra big-side
+    * (v, w) shuffle costs more than the non-edge wedge pairs the
+    * immediate map-side pair aggregation absorbs. Degrees are one
+    * hash-agg; everything is keyed shuffles, no nested loop.
     */
   private def graphJaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
     val edges = graft.operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2L)
