@@ -144,8 +144,9 @@ object QueriesExt45 {
   // --------------------------- content-defined chunk dedup (B216)
 
   /** Cross-document duplicated-BLOCK profile per source via
-    * content-defined chunking: an 8-gram rolling fingerprint cuts each
-    * document where the gram's 52-bit md5 prefix ≡ 0 (mod 64) — expected
+    * content-defined chunking: an 8-gram Rabin–Karp rolling fingerprint
+    * (base-131 polynomial mod 2³¹−1, `functions/ChunkCuts.scala`) cuts
+    * each document where the gram hash ≡ 0 (mod 64) — expected
     * chunk ~64 chars, and crucially the SAME text cuts at the SAME
     * byte offsets regardless of what precedes it (insert a sentence at
     * the top of a page and the chunks after it are unchanged — the
@@ -165,10 +166,12 @@ object QueriesExt45 {
     val docs = documents(s, dir)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), col("source"), col("text"))
+    // boundary detection is the codegen rolling-hash expression — one
+    // fused pass per document, no per-position explode, no per-gram md5
+    // (the md5 form was the query's dominant cost: full md5 + hex conv
+    // per position; see functions/ChunkCuts.scala for the A/B numbers)
     val bounds = docs
-      .select(col("doc_id"), col("text"), explode(sequence(lit(1L), (length(col("text")) - 7).cast("long"))).as("p"))
-      .filter(expr("CAST(conv(substring(md5(substring(text, p, 8)), 1, 13), 16, 10) AS BIGINT) % 64 = 0"))
-      .select(col("doc_id"), (col("p") + 8).as("cut"))
+      .select(col("doc_id"), explode(graft.functions.ChunkCuts.chunkCuts(col("text"), 8, 64)).as("cut"))
     val cuts = bounds
       .union(docs.select(col("doc_id"), lit(1L).as("cut")))
       .union(docs.select(col("doc_id"), (length(col("text")) + 1).cast("long").as("cut")))
@@ -206,7 +209,10 @@ object QueriesExt45 {
       |  SELECT doc_id, text, unnest(range(1, CAST(len(text) AS BIGINT) - 6)) AS p FROM docs),
       |bnd AS (
       |  SELECT doc_id, p + 8 AS cut FROM pos
-      |  WHERE CAST(concat('0x', substr(md5(text[p:p+7]), 1, 13)) AS BIGINT) % 64 = 0),
+      |  WHERE (ord(text[p:p])::BIGINT * 2003465299 + ord(text[p+1:p+1])::BIGINT * 884122890
+      |       + ord(text[p+2:p+2])::BIGINT * 2072267652 + ord(text[p+3:p+3])::BIGINT * 294499921
+      |       + ord(text[p+4:p+4])::BIGINT * 2248091 + ord(text[p+5:p+5])::BIGINT * 17161
+      |       + ord(text[p+6:p+6])::BIGINT * 131 + ord(text[p+7:p+7])::BIGINT) % 2147483647 % 64 = 0),
       |cuts AS (
       |  SELECT doc_id, cut FROM bnd
       |  UNION SELECT doc_id, 1 FROM docs
