@@ -113,3 +113,82 @@ object ChunkCuts {
   def chunkCuts(text: Column, g: Int, modulus: Int): Column =
     ColumnBridge.column(ChunkCuts(ColumnBridge.expression(text), g, modulus))
 }
+
+/** Every g-gram's rolling hash (the same base-131/mod-2³¹−1 polynomial
+  * as ChunkCuts), as one array per string — for consumers that need the
+  * full per-position hash SEQUENCE (winnowing's window-min selection)
+  * rather than just the boundary positions. One O(len) fused pass;
+  * the SQL-expression alternative (8 × substring+ascii per position)
+  * re-seeks the UTF8String from the start on every call — O(len²) per
+  * document, measured as the dominant cost of `text_winnowing_overlap`
+  * before this expression existed.
+  */
+case class GramHashes(child: Expression, g: Int) extends UnaryExpression {
+
+  require(g >= 2 && g <= 64, s"gram size must be in [2, 64] (got $g)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  private val P: Long   = 2147483647L
+  private val B: Long   = 131L
+  private val BG1: Long = {
+    var acc = 1L
+    var i   = 0
+    while (i < g - 1) { acc = acc * B % P; i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n   = cps.length
+    if (n < g) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - g + 1)
+    var h   = 0L
+    var i   = 0
+    while (i < g) { h = (h * B + cps(i)) % P; i += 1 }
+    out(0) = h
+    var p = 1
+    while (p + g <= n) {
+      h = ((h + P - cps(p - 1) * BG1 % P) % P * B + cps(p + g - 1)) % P
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cps = ctx.freshName("cps")
+      val n   = ctx.freshName("n")
+      val h   = ctx.freshName("h")
+      val i   = ctx.freshName("i")
+      val p   = ctx.freshName("p")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $cps = $c.toString().codePoints().toArray();
+         |int $n = $cps.length;
+         |long[] $out = new long[$n >= $g ? $n - $g + 1 : 0];
+         |if ($n >= $g) {
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $g; $i++) { $h = ($h * ${B}L + $cps[$i]) % ${P}L; }
+         |  $out[0] = $h;
+         |  for (int $p = 1; $p + $g <= $n; $p++) {
+         |    $h = (($h + ${P}L - $cps[$p - 1] * ${BG1}L % ${P}L) % ${P}L * ${B}L + $cps[$p + $g - 1]) % ${P}L;
+         |    $out[$p] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes =
+    copy(child = newChild)
+}
+
+object GramHashes {
+
+  /** array<long>: the rolling hash of every g-gram, index i = 1-based position i+1. */
+  def gramHashes(text: Column, g: Int): Column =
+    ColumnBridge.column(GramHashes(ColumnBridge.expression(text), g))
+}

@@ -74,6 +74,23 @@ class ChunkCutsSpec extends GraftSpecBase {
     }
   }
 
+  test("GramHashes: rolling sequence matches per-window recomputation, incl. edge cases") {
+    val texts = graft.Tables.documents(spark, sf())
+      .select(col("text")).as[String].take(20).toSeq ++ Seq("", "short", "exactly8")
+    val got = texts.toDF("t")
+      .select(GramHashes.gramHashes(col("t"), 8).as("hs"))
+      .as[Seq[Long]].collect().toSeq
+    texts.zip(got).foreach { case (t, hs) =>
+      val cps = t.codePoints().toArray
+      val ref = (0 to cps.length - 8).map { p =>
+        var h = 0L; var i = 0
+        while (i < 8) { h = (h * B + cps(p + i)) % P; i += 1 }
+        h
+      }
+      assert(hs === ref, s"gram hash mismatch for '${t.take(20)}...'")
+    }
+  }
+
   test("edge cases: short and empty strings cut nowhere; null propagates") {
     assert(viaExpr(Seq("", "short"), 8, 64) === Seq(Seq.empty, Seq.empty))
     val n = Seq[Option[String]](None).toDF("t")
