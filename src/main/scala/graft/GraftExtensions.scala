@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{DotProduct, Hashing, MinHashSig, MisraGriesLong, TopKByLong, WordKGrams}
+import graft.functions.{ChunkCuts, DotProduct, GramHashes, Hashing, MinHashSig, MisraGriesLong, TopKByLong, WordKGrams}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so the SQL front door has the same surface as the DataFrame
@@ -79,6 +79,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other   => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
         }
         MisraGriesLong(args.head, k)
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_chunk_cuts"),
+      new ExpressionInfo(classOf[ChunkCuts].getName, "graft_chunk_cuts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_chunk_cuts(text, g, modulus)")
+        def lit(i: Int) = args(i).eval() match {
+          case x: Int  => x
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(s"expected integer literal, got $other")
+        }
+        ChunkCuts(args.head, lit(1), lit(2))
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_gram_hashes(text, g)")
+        val g = args(1).eval() match {
+          case x: Int  => x
+          case l: Long => l.toInt
+          case other   => throw new IllegalArgumentException(s"g must be an integer literal, got $other")
+        }
+        GramHashes(args.head, g)
       }
     ))
     // Spark's internal runtime-filter pair (what InjectRuntimeFilter plans

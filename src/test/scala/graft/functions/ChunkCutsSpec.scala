@@ -91,6 +91,15 @@ class ChunkCutsSpec extends GraftSpecBase {
     }
   }
 
+  test("SQL front door: graft_chunk_cuts and graft_gram_hashes registered") {
+    Seq("the quick brown fox jumps over the lazy dog").toDF("t").createOrReplaceTempView("cc_in")
+    val cuts = spark.sql("SELECT graft_chunk_cuts(t, 8, 4) AS c FROM cc_in")
+      .as[Seq[Long]].head()
+    assert(cuts === refCuts("the quick brown fox jumps over the lazy dog", 8, 4))
+    val nHashes = spark.sql("SELECT size(graft_gram_hashes(t, 8)) FROM cc_in").as[Int].head()
+    assert(nHashes === "the quick brown fox jumps over the lazy dog".length - 7)
+  }
+
   test("edge cases: short and empty strings cut nowhere; null propagates") {
     assert(viaExpr(Seq("", "short"), 8, 64) === Seq(Seq.empty, Seq.empty))
     val n = Seq[Option[String]](None).toDF("t")
