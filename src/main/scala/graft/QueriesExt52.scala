@@ -100,7 +100,7 @@ object QueriesExt52 {
       )
   }
 
-  private val textWinnowingOverlapSql =
+  private[graft] val textWinnowingOverlapSql =
     """WITH docs AS (
       |  SELECT doc_id, text FROM documents WHERE len(text) >= 8),
       |pos AS (
