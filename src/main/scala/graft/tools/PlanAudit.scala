@@ -41,7 +41,11 @@ object PlanAudit {
       "q_histogram", "events_heatmap", "events_cuped", "events_late_profile",
       "graph_degree_stats", "cdc_vacuum_plan", "corpus_rebalance_plan",
       "corpus_temperature_mix", "dedup_mixture_impact", "events_mg_frequent",
-      "q_salt_plan",
+      "q_salt_plan", "events_lift_table",
+      // bounds/predicate-grid broadcasts: a 1-row bounds aggregate crossed
+      // over the scan plus a 16-row predicate grid crossed over ≤64 file
+      // boxes — both sides constant-bounded
+      "q_zorder_pruning_gain",
       // bounded-grid zero-fill: the types × ≤1024-bucket crossJoin the
       // KS/PSI drift lenses need (a type missing a bucket still moves the
       // complement's CDF) — grid size is value-domain-bounded, never data-
