@@ -70,7 +70,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt50" -> QueriesExt50.queries.keySet,
       "QueriesExt51" -> QueriesExt51.queries.keySet,
       "QueriesExt52" -> QueriesExt52.queries.keySet,
-      "QueriesExt53" -> QueriesExt53.queries.keySet
+      "QueriesExt53" -> QueriesExt53.queries.keySet,
+      "QueriesExt54" -> QueriesExt54.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
