@@ -59,7 +59,11 @@ object PlanAudit {
       "sim_ivf_topk", "sim_ivf_balance", "sim_ivf_incremental",
       "sim_filtered_topk", "sim_ann_recall", "sim_pq_recall",
       "sim_recall_vs_probes", "sim_truncation_recall", "events_kmv_overlap",
-      "embed_binarize_recall"
+      "embed_binarize_recall",
+      // power-iteration scalars: 1-row n / L∞-norm / sign / eigenvalue
+      // aggregates crossed over the 4096-row covariance and 64-row
+      // iterate — every loop side is dimension-bounded, never data-bounded
+      "embed_pca_top_component"
     )
 
   def main(args: Array[String]): Unit = {

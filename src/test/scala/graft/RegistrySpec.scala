@@ -71,7 +71,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt51" -> QueriesExt51.queries.keySet,
       "QueriesExt52" -> QueriesExt52.queries.keySet,
       "QueriesExt53" -> QueriesExt53.queries.keySet,
-      "QueriesExt54" -> QueriesExt54.queries.keySet
+      "QueriesExt54" -> QueriesExt54.queries.keySet,
+      "QueriesExt55" -> QueriesExt55.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
