@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
-import graft.functions.{ChunkCuts, DotProduct, GramHashes, Hashing, MinHashSig, MisraGriesLong, TopKByLong, WordKGrams}
+import graft.functions.{ChunkCuts, DotProduct, GramHashes, GramMatrixAgg, Hashing, MinHashSig, MisraGriesLong, TopKByLong, WordKGrams}
 
 /** Session extension registering graft's custom expressions as SQL
   * functions, so the SQL front door has the same surface as the DataFrame
@@ -119,6 +119,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1 || args.length == 2, "graft_bloom_agg(xxhash64Col[, estimatedItems])")
         if (args.length == 1) new BloomFilterAggregate(args.head)
         else new BloomFilterAggregate(args(0), args(1))
+      }
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("graft_gram_matrix"),
+      new ExpressionInfo(classOf[GramMatrixAgg].getName, "graft_gram_matrix"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_gram_matrix(array<bigint>)")
+        GramMatrixAgg(args.head)
       }
     ))
     e.injectFunction((

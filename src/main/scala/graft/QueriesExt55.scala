@@ -42,21 +42,30 @@ object QueriesExt55 {
     //   Σ (xᵢ−μᵢ)(xⱼ−μⱼ) = Sxyᵢⱼ − μᵢ·Sxⱼ − μⱼ·Sxᵢ + n·μᵢ·μⱼ
     // for ANY integer constants μ (here the truncated means), so the raw
     // Gram table + per-dim sums give the same BIGINTs the per-row
-    // centered form would — with two scan-local map-side aggs (2080-key
-    // upper triangle, 64-key sums) instead of a 64·n-row self-join
-    // shuffle keyed by vec_id (the previous form; A/B-measured 2.6×
-    // slower at sf1 and shuffle-bound at 100 TB).
-    val pairsU = kilo
-      .select(explode(expr(
-        """flatten(transform(xs, (xi, i) ->
-          |  transform(slice(xs, i + 1, size(xs) - i), (xj, dj) ->
-          |    named_struct('i', i, 'j', i + dj, 'p', xi * xj))))""".stripMargin)).as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("sxy"))
-    val sx = kilo
-      .select(posexplode(col("xs")).as(Seq("i", "x")))
-      .groupBy(col("i")).agg(sum(col("x")).as("sx"))
-    val nRows = emb.agg(count(lit(1)).as("n"))
+    // centered form would. Count, sums, and the upper-triangle Gram all
+    // come from ONE corpus pass through the GramMatrixAgg custom
+    // aggregate (tight long[] loop, one 17 KB partial per partition) —
+    // A/B-measured at sf1 against a 64·n-row vec_id self-join (24.3 s,
+    // shuffle-bound at 100 TB) and a transform/flatten outer-product
+    // explode (27.5 s, CodegenFallback per element).
+    val g = kilo
+      .agg(graft.functions.GramAgg.gramMatrix(col("xs")).as("g"))
+      .localCheckpoint(true) // 1 row: [d, n, sx(d), upper-tri gram]
+    val sx = g.select(
+      posexplode(expr("slice(g, 3, CAST(element_at(g, 1) AS INT))")).as(Seq("i", "sx")))
+    val nRows = g.select(expr("element_at(g, 2)").as("n"))
+    val dims  = g.select(expr("element_at(g, 1)").as("d"))
+    // upper-triangle (i,j) → 1-based position in g: rows above i hold
+    // Σ_{r<i}(d−r) = i·d − i(i−1)/2 cells, so pos = 3+d + that + (j−i)
+    val idx = sx.select(col("i"))
+      .crossJoin(broadcast(sx.select(col("i").as("j"))))
+      .filter(col("j") >= col("i"))
+      .crossJoin(broadcast(dims))
+      .select(col("i"), col("j"),
+        expr("CAST(3 + d + i * d - (i * (i - 1)) div 2 + (j - i) AS INT)").as("pos"))
+    val pairsU = idx
+      .crossJoin(broadcast(g))
+      .select(col("i"), col("j"), expr("element_at(g, pos)").as("sxy"))
     // normalize the scatter by n: covariance entries stay ≤ (2·kilo)²
     // regardless of row count, so every downstream product (w = C·v,
     // vᵀCv) fits a BIGINT at ANY corpus size — the scatter form would
