@@ -59,11 +59,20 @@ object PlanAudit {
       "sim_ivf_topk", "sim_ivf_balance", "sim_ivf_incremental",
       "sim_filtered_topk", "sim_ann_recall", "sim_pq_recall",
       "sim_recall_vs_probes", "sim_truncation_recall", "events_kmv_overlap",
-      "embed_binarize_recall",
+      "embed_binarize_recall", "sim_ivf_pq_compound",
       // power-iteration scalars: 1-row n / L∞-norm / sign / eigenvalue
       // aggregates crossed over the 4096-row covariance and 64-row
       // iterate — every loop side is dimension-bounded, never data-bounded
-      "embed_pca_top_component"
+      "embed_pca_top_component",
+      // round-10 B238-B240, reviewed: 1-row scalar broadcasts only — the
+      // bootstrap's point/CI-bound rows (64-row replicate table), the
+      // modularity totals m/Q (each a 1-row aggregate crossed over ≤|brands|
+      // rows), and the chain's state count / TV scalar (≤|types| rows)
+      "events_bootstrap_ci", "graph_brand_modularity", "events_markov_stationary",
+      // round-10 B241, reviewed: a 1-row max-id broadcast over the scan plus
+      // the 16-probe broadcast range-checked against ≤64 file boxes — both
+      // loop sides constant-bounded (B234's predicate-grid pattern)
+      "q_bloom_skipping_gain"
     )
 
   def main(args: Array[String]): Unit = {

@@ -72,7 +72,10 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt52" -> QueriesExt52.queries.keySet,
       "QueriesExt53" -> QueriesExt53.queries.keySet,
       "QueriesExt54" -> QueriesExt54.queries.keySet,
-      "QueriesExt55" -> QueriesExt55.queries.keySet
+      "QueriesExt55" -> QueriesExt55.queries.keySet,
+      "QueriesExt56" -> QueriesExt56.queries.keySet,
+      "QueriesExt57" -> QueriesExt57.queries.keySet,
+      "QueriesExt58" -> QueriesExt58.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
