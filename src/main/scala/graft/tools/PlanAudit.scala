@@ -72,7 +72,11 @@ object PlanAudit {
       // round-10 B241, reviewed: a 1-row max-id broadcast over the scan plus
       // the 16-probe broadcast range-checked against ≤64 file boxes — both
       // loop sides constant-bounded (B234's predicate-grid pattern)
-      "q_bloom_skipping_gain"
+      "q_bloom_skipping_gain",
+      // round-10 B243, reviewed: each merge round crosses the 1-row winning
+      // pair over the vocabulary table — the scalar-subquery pattern; the
+      // vocab side is word-type-bounded (Heaps), never corpus-sized
+      "text_bpe_train"
     )
 
   def main(args: Array[String]): Unit = {
