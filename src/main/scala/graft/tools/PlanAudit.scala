@@ -60,6 +60,10 @@ object PlanAudit {
       "sim_filtered_topk", "sim_ann_recall", "sim_pq_recall",
       "sim_recall_vs_probes", "sim_truncation_recall", "events_kmv_overlap",
       "embed_binarize_recall", "sim_ivf_pq_compound",
+      // round-10 B244, reviewed: 1-row entry-vertex broadcast over the
+      // 10-query frontier plus the bruteForceTopK certification pass
+      // (broadcast bounded probes) — the documented B4 trade
+      "sim_nsw_greedy",
       // power-iteration scalars: 1-row n / L∞-norm / sign / eigenvalue
       // aggregates crossed over the 4096-row covariance and 64-row
       // iterate — every loop side is dimension-bounded, never data-bounded

@@ -76,7 +76,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt56" -> QueriesExt56.queries.keySet,
       "QueriesExt57" -> QueriesExt57.queries.keySet,
       "QueriesExt58" -> QueriesExt58.queries.keySet,
-      "QueriesExt59" -> QueriesExt59.queries.keySet
+      "QueriesExt59" -> QueriesExt59.queries.keySet,
+      "QueriesExt60" -> QueriesExt60.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
