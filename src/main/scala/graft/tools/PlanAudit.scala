@@ -80,7 +80,11 @@ object PlanAudit {
       // round-10 B243, reviewed: each merge round crosses the 1-row winning
       // pair over the vocabulary table — the scalar-subquery pattern; the
       // vocab side is word-type-bounded (Heaps), never corpus-sized
-      "text_bpe_train"
+      "text_bpe_train",
+      // round-10 B246-B247, reviewed: 1-row stat/bounds broadcasts — the
+      // power table crosses a 4-row literal with one aggregate row; the DiD
+      // midpoint and the four 1-row cells cross over each other
+      "events_ab_power", "events_did"
     )
 
   def main(args: Array[String]): Unit = {

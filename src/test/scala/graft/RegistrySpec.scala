@@ -77,7 +77,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt57" -> QueriesExt57.queries.keySet,
       "QueriesExt58" -> QueriesExt58.queries.keySet,
       "QueriesExt59" -> QueriesExt59.queries.keySet,
-      "QueriesExt60" -> QueriesExt60.queries.keySet
+      "QueriesExt60" -> QueriesExt60.queries.keySet,
+      "QueriesExt61" -> QueriesExt61.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
