@@ -20,11 +20,11 @@ import graft.operators.{Dedup, EventAnalytics, Similarity, TextAnalysis}
 object QueriesExt {
 
   // SQL fragments shared by the oracles
-  private val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
-  private def h32Sql(x: String)  = s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
+  private[graft] val normSql = "regexp_replace(lower(trim(text)),'\\s+',' ','g')"
+  private[graft] def h32Sql(x: String)  = s"CAST('0x' || substr(md5($x),1,8) AS BIGINT)"
   private def h60Sql(x: String)  = s"CAST('0x' || substr(md5($x),1,15) AS BIGINT)"
-  private val (permsA, permsB)   = Hashing.PermsAsSqlLists
-  private val shinglesSql =
+  private[graft] val (permsA, permsB)   = Hashing.PermsAsSqlLists
+  private[graft] val shinglesSql =
     "CASE WHEN len(toks)>=3 THEN [array_to_string(toks[i:i+2],' ') for i in range(1,len(toks)-1)] ELSE [norm] END"
 
   // ------------------------------------------------------------- text (B5)
