@@ -84,7 +84,10 @@ object PlanAudit {
       // round-10 B246-B247, reviewed: 1-row stat/bounds broadcasts — the
       // power table crosses a 4-row literal with one aggregate row; the DiD
       // midpoint and the four 1-row cells cross over each other
-      "events_ab_power", "events_did"
+      "events_ab_power", "events_did",
+      // round-10 B249, reviewed: 1-row midpoint-bounds and majority-class
+      // broadcasts crossed over the transition stream / ≤types rows
+      "events_markov_holdout_acc"
     )
 
   def main(args: Array[String]): Unit = {

@@ -79,7 +79,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt59" -> QueriesExt59.queries.keySet,
       "QueriesExt60" -> QueriesExt60.queries.keySet,
       "QueriesExt61" -> QueriesExt61.queries.keySet,
-      "QueriesExt62" -> QueriesExt62.queries.keySet
+      "QueriesExt62" -> QueriesExt62.queries.keySet,
+      "QueriesExt63" -> QueriesExt63.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex

@@ -77,4 +77,42 @@ class Wave49InvariantSpec extends GraftSpecBase {
       .count()
     assert(bad === 0L)
   }
+
+  test("dedup_planted_recall: found bounded by planted, recall in [0, 1e6]") {
+    val out = run("dedup_planted_recall")
+    assert(out.count() === 3L)
+    val bad = out.where(
+      col("n_found") > col("n_planted") ||
+        col("recall_ppm") < 0 || col("recall_ppm") > 1000000L).count()
+    assert(bad === 0L)
+  }
+
+  test("events_markov_holdout_acc: hits bounded by support, test split conserved") {
+    val out = run("events_markov_holdout_acc")
+    val bad = out.where(col("n_correct") > col("n_test")).count()
+    assert(bad === 0L)
+    // every test transition lands in exactly one (prev, predicted) row
+    val ev = Tables.events(spark, sf())
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bounds = ev.agg(
+      expr("date_add(min(to_date(ts)), CAST(datediff(max(to_date(ts)), min(to_date(ts))) div 2 AS INT))")
+        .as("dmid"))
+    val nTest = ev
+      .select(col("ts"), lag(col("event_type"), 1).over(w).as("prev_type"))
+      .where(col("prev_type").isNotNull)
+      .crossJoin(bounds)
+      .where(to_date(col("ts")) > col("dmid"))
+      .count()
+    val total = out.agg(sum("n_test")).as[Long].head()
+    assert(total === nTest)
+  }
+
+  test("events_ab_power: MDE shrinks as 1/sqrt(n) across the multiplier rows") {
+    val rows = run("events_ab_power").orderBy(col("n_mult").asc).collect()
+    val mde = rows.map(_.getAs[Double]("mde_abs"))
+    assert(mde.sliding(2).forall { case Array(a, b) => b < a }, mde.mkString(","))
+    // 4x traffic halves the MDE (exactly, up to the round-6 snap)
+    assert(math.abs(mde(2) - mde(0) / 2.0) < 2e-6, s"${mde(0)} vs ${mde(2)}")
+  }
 }
