@@ -87,7 +87,11 @@ object PlanAudit {
       "events_ab_power", "events_did",
       // round-10 B249, reviewed: 1-row midpoint-bounds and majority-class
       // broadcasts crossed over the transition stream / ≤types rows
-      "events_markov_holdout_acc"
+      "events_markov_holdout_acc",
+      // round-10 B251, reviewed: the 5-literal nested-level fan-out over the
+      // token stream (constant ×5), the ≤sources-row rank broadcast, and
+      // 1-row beta/anchor broadcasts — every loop side constant-bounded
+      "text_heaps_law"
     )
 
   def main(args: Array[String]): Unit = {
