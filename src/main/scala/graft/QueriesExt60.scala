@@ -56,13 +56,18 @@ object QueriesExt60 {
       .select(col("vec_id").as("query_id"), col("e").as("qe"))
     var f = probes.crossJoin(broadcast(entry)).localCheckpoint(true)
     for (_ <- 1 to 6) {
-      val cands = f
-        .join(g3, col("cur") === col("src"))
+      // the frontier (and everything derived from it) is ≤ queries rows;
+      // Spark's post-join size estimate after the g3 join is corpus-scaled,
+      // so WITHOUT the explicit broadcast the per-hop vector join planned
+      // sort-merge and re-sorted the 200 k-row vector table EVERY hop
+      // (sf10: walk ≈ 85 s; broadcast frontier: one streamed scan per hop)
+      val cands = g3
+        .join(broadcast(f), col("cur") === col("src"))
         .select(col("query_id"), col("qe"), col("nbr_id").as("id"))
         .unionByName(f.select(col("query_id"), col("qe"), col("cur").as("id")))
         .where(col("id") =!= col("query_id"))
-      f = cands
-        .join(v.select(col("vec_id").as("id"), col("e").as("ce")), Seq("id"))
+      f = v.select(col("vec_id").as("id"), col("e").as("ce"))
+        .join(broadcast(cands), Seq("id"))
         .withColumn("sc", round(Similarity.cosine(col("qe"), col("ce")), 6))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("sc").desc, col("id").asc)))
@@ -70,8 +75,8 @@ object QueriesExt60 {
         .select(col("query_id"), col("qe"), col("id").as("cur"))
         .localCheckpoint(true)
     }
-    val walk = f
-      .join(v.select(col("vec_id").as("cur"), col("e").as("ce")), Seq("cur"))
+    val walk = v.select(col("vec_id").as("cur"), col("e").as("ce"))
+      .join(broadcast(f), Seq("cur"))
       .select(col("query_id"), col("cur").as("walk_id"),
         round(Similarity.cosine(col("qe"), col("ce")), 6).as("walk_cosine"))
     val truth = Similarity
