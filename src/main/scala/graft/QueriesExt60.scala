@@ -83,7 +83,7 @@ object QueriesExt60 {
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 1)
       .select(col("query_id"), col("corpus_id").as("nn_id"), col("cosine").as("nn_cosine"))
     truth
-      .join(walk, Seq("query_id"), "left")
+      .join(broadcast(walk), Seq("query_id"), "left")
       .select(
         col("query_id"), col("walk_id"), col("walk_cosine"),
         col("nn_id"), col("nn_cosine"),

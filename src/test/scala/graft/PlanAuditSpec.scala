@@ -436,4 +436,16 @@ class PlanAuditSpec extends GraftSpecBase {
     val p = d.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("sim_nsw_greedy: the walk never sort-merges — frontier broadcast through every hop") {
+    // the sf10 probe caught the hop join re-sorting the corpus-sized vector
+    // table every round once the frontier's size estimate inflated through
+    // the edge-table join (SCALING.md round-10 probe 3); the fix pins every
+    // walk join to a broadcast of the bounded frontier. The whole query plans
+    // without a single SortMergeJoin: the graph build is hash-agg + window
+    // over banded candidates, and certification joins broadcast the probes.
+    val p = df("sim_nsw_greedy").queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "walk joins should be broadcast-hash")
+  }
 }
