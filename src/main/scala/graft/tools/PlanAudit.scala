@@ -91,7 +91,10 @@ object PlanAudit {
       // round-10 B251, reviewed: the 5-literal nested-level fan-out over the
       // token stream (constant ×5), the ≤sources-row rank broadcast, and
       // 1-row beta/anchor broadcasts — every loop side constant-bounded
-      "text_heaps_law"
+      "text_heaps_law",
+      // round-10 B252, reviewed: 1-row layer-total broadcasts (span agg,
+      // dropped-member agg, corpus total) crossed over 1-row readouts
+      "dedup_yield_by_granularity"
     )
 
   def main(args: Array[String]): Unit = {

@@ -82,7 +82,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt62" -> QueriesExt62.queries.keySet,
       "QueriesExt63" -> QueriesExt63.queries.keySet,
       "QueriesExt64" -> QueriesExt64.queries.keySet,
-      "QueriesExt65" -> QueriesExt65.queries.keySet
+      "QueriesExt65" -> QueriesExt65.queries.keySet,
+      "QueriesExt66" -> QueriesExt66.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
