@@ -83,7 +83,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt63" -> QueriesExt63.queries.keySet,
       "QueriesExt64" -> QueriesExt64.queries.keySet,
       "QueriesExt65" -> QueriesExt65.queries.keySet,
-      "QueriesExt66" -> QueriesExt66.queries.keySet
+      "QueriesExt66" -> QueriesExt66.queries.keySet,
+      "QueriesExt67" -> QueriesExt67.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
