@@ -88,7 +88,7 @@ object QueriesExt59 {
   }
 
   private val textBpeTrainSql = {
-    def round(prev: String, r: Int): String =
+    def round(r: Int): String =
       s"""pc$r AS MATERIALIZED (
          |  SELECT pair, CAST(sum(c) AS BIGINT) AS n_pair FROM (
          |    SELECT c, unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS pair
@@ -110,10 +110,10 @@ object QueriesExt59 {
        |v0 AS MATERIALIZED (
        |  SELECT count(*) AS c, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq
        |  FROM w GROUP BY word),
-       |${round("v0", 1)},
-       |${round("v1", 2)},
-       |${round("v2", 3)},
-       |${round("v3", 4)}
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |${round(4)}
        |SELECT CAST(1 AS BIGINT) AS round, pair, merged, n_pair,
        |  (SELECT total_tokens_after FROM tok1) AS total_tokens_after FROM top1
        |UNION ALL
