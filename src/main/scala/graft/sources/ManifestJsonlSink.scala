@@ -531,13 +531,26 @@ object ManifestJsonl {
     }
 
   /** Remove a now-empty staging parent; concurrent writers may still own
-    * sibling query dirs, so only an empty directory is removed.
+    * sibling query dirs, so only an empty directory is removed — and the
+    * removal itself is best-effort: between the emptiness check and the
+    * delete a concurrent writer may legitimately CREATE its own
+    * `_tmp/<queryId>` child, making the parent non-empty again. That is
+    * the normal overlap of two healthy commits, not an error, so the
+    * resulting DirectoryNotEmpty/NoSuchFile must not fail a commit whose
+    * data and manifest already published (it did, flakily, in the
+    * 4-writer race spec).
     */
   def deleteIfEmptyDir(p: Path): Unit =
     if (Files.isDirectory(p)) {
       val children = Files.list(p)
       val empty    = !children.iterator().hasNext
       children.close()
-      if (empty) Files.deleteIfExists(p)
+      if (empty) {
+        try Files.deleteIfExists(p)
+        catch {
+          case _: java.nio.file.DirectoryNotEmptyException => () // new sibling won the race
+          case _: java.nio.file.NoSuchFileException        => () // another cleaner won it
+        }
+      }
     }
 }
