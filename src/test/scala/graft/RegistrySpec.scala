@@ -84,7 +84,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt64" -> QueriesExt64.queries.keySet,
       "QueriesExt65" -> QueriesExt65.queries.keySet,
       "QueriesExt66" -> QueriesExt66.queries.keySet,
-      "QueriesExt67" -> QueriesExt67.queries.keySet
+      "QueriesExt67" -> QueriesExt67.queries.keySet,
+      "QueriesExt68" -> QueriesExt68.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
