@@ -94,7 +94,10 @@ object PlanAudit {
       "text_heaps_law",
       // round-10 B252, reviewed: 1-row layer-total broadcasts (span agg,
       // dropped-member agg, corpus total) crossed over 1-row readouts
-      "dedup_yield_by_granularity"
+      "dedup_yield_by_granularity",
+      // round-10 B257, reviewed: the 3-literal tau explode crossed over the
+      // already-bounded near-dup pair list (B180's one-pass-sweep pattern)
+      "mm_phash_threshold_sweep"
     )
 
   def main(args: Array[String]): Unit = {

@@ -85,7 +85,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt65" -> QueriesExt65.queries.keySet,
       "QueriesExt66" -> QueriesExt66.queries.keySet,
       "QueriesExt67" -> QueriesExt67.queries.keySet,
-      "QueriesExt68" -> QueriesExt68.queries.keySet
+      "QueriesExt68" -> QueriesExt68.queries.keySet,
+      "QueriesExt69" -> QueriesExt69.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
