@@ -50,12 +50,21 @@ object Bench {
       // heap+page-cache pressure. Now: blocking unpersist, and when this
       // query actually left persistent blocks behind, force a GC plus a
       // short settle so the cleaner drains before the next timed trial.
+      // r10 postmortem: ONE gc+settle still shipped two spread violators
+      // and a poisoned median (graph_jaccard_neighbors med 18.7 s vs min
+      // 4.8 s) — all three contaminated queries sit downstream of the
+      // persist-heavy dedup/graph families. Weak/phantom-reference
+      // cleanup (ContextCleaner's queue, DirectByteBuffer frees) often
+      // needs a SECOND collection cycle after the first one discovers
+      // the refs, so the settle is now gc → drain → gc → drain.
       val leaked = spark.sparkContext.getPersistentRDDs
       if (leaked.nonEmpty) {
         leaked.valuesIterator.foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
-        Thread.sleep(150)
+        Thread.sleep(120)
+        System.gc()
+        Thread.sleep(120)
       } else spark.catalog.clearCache()
       sec
     }
@@ -286,25 +295,39 @@ object Bench {
       ratio = rr._1; headRatio = rr._2
       reruns += 1
     }
-    // Per-query spread gate: max/med > 3 on a non-trivial median means the
-    // committed number is measurement (GC/page-cache interference, host
-    // stall), not plan — r9 shipped dedup_jaccard_ppjoin med 7.4 s against
-    // min 1.7 s IN THE SAME RUN and the round-over-round compare read it as
-    // a regression. Re-run just the flagged queries (fresh warmup + trials,
-    // after the GC settle fix above) keeping the smaller-median pass; after
-    // the cap, survivors ship flagged in the JSON so bimodality fails
-    // loudly instead of silently muddying the history.
-    def spreadBad(s: QStat): Boolean = s.med > 0.3 && s.max > s.med * 3.0
+    // Per-query spread gate, two conditions on a non-trivial median:
+    //  - max/med > 3: one trial was contaminated (GC/page-cache
+    //    interference, host stall) — r9 shipped dedup_jaccard_ppjoin med
+    //    7.4 s against min 1.7 s IN THE SAME RUN.
+    //  - med/min > 2: the MEDIAN itself is poisoned — r10 shipped
+    //    graph_jaccard_neighbors med 18.7 s vs min 4.8 s, which PASSED
+    //    the max/med-only gate because two of three trials were
+    //    contaminated and the max moved with the median. min is the
+    //    honest figure (stalls only ever inflate), so a median 2× above
+    //    it means most trials were dirty, not that the plan regressed.
+    // Flagged queries are re-run to STABLE: each rerun is a fresh
+    // warmup + full trial set that REPLACES the contaminated one when
+    // it's cleaner (clean beats dirty; among equals, smaller median) —
+    // r10's rerun-twice-and-ship policy left two violators in the final
+    // driver snapshot. After the cap, survivors ship flagged in the JSON
+    // so bimodality fails loudly instead of silently muddying history.
+    def spreadBad(s: QStat): Boolean =
+      s.med > 0.3 && (s.max > s.med * 3.0 || (s.min > 0 && s.med > s.min * 2.0))
     var spreadReruns = 0
-    while (spreadReruns < 2 && stats.exists(kv => spreadBad(kv._2))) {
+    while (spreadReruns < 5 && stats.exists(kv => spreadBad(kv._2))) {
       val flagged = stats.collect { case (n, s) if spreadBad(s) => n }
       System.err.println(
-        s"[bench] spread gate (max/med>3): rerunning ${flagged.mkString(", ")}")
+        s"[bench] spread gate (max/med>3 or med/min>2): rerunning ${flagged.mkString(", ")}")
       stats = stats.map { case (n, s) =>
         if (!spreadBad(s)) n -> s
         else {
           val second = run(n)
-          n -> (if (second.med >= 0 && second.med < s.med) second else s)
+          val pick =
+            if (second.med < 0) s
+            else if (spreadBad(second) != spreadBad(s)) { if (spreadBad(s)) second else s }
+            else if (second.med < s.med) second
+            else s
+          n -> pick
         }
       }
       spreadReruns += 1

@@ -23,31 +23,72 @@ object QueriesExt50 {
     * (same community), one with none is a bridge. Emitted in ppm with
     * the 0-union guard (two degree-1 endpoints → 0).
     *
-    * Scale shape: common-neighbor counts come from the wedge join
-    * (adjacency self-joined on the center node, map-side-combined
-    * hash-agg on the pair) — the SAME Σ deg² shape as B97's triangle
-    * count, keyed on the wedge center so hub skew is bounded by max
-    * degree. An edge-anchored alternative (expand edges by the u-side
-    * adjacency + left-semi on (v, w)) was measured SLOWER at both
-    * sf0.1 (4.2 vs 3.1 s) and sf1 (23.6 vs 21.3 s): the extra big-side
-    * (v, w) shuffle costs more than the non-edge wedge pairs the
-    * immediate map-side pair aggregation absorbs. Degrees are one
-    * hash-agg; everything is keyed shuffles, no nested loop.
+    * Scale shape: for a SUPPORT-EDGE (u,v), a common neighbor w closes a
+    * triangle {u,v,w} — so common-neighbor counts ARE per-edge triangle
+    * supports, and the degree-ordered triangle enumeration applies.
+    * Every edge is oriented from its lower-(degree, id) endpoint to the
+    * higher; wedges are generated only at each triangle's LOWEST-degree
+    * corner (pairs of out-neighbors), closed with one equi-join against
+    * the oriented edge set, and each closed triangle credits its three
+    * edges via a bounded explode + hash-agg. Work drops from Σ deg²
+    * (hubs pay their full fan-out: measured 7.6×/decade with
+    * densification, 161.8 s at sf10) to Σ outdeg² ≤ O(m^1.5) — a hub's
+    * wedges are generated at its LOW-degree neighbors instead. This is
+    * the refinement B97's Scaladoc cites as the web-scale standard;
+    * the center-keyed form it replaces is r10 VERDICT "What's wrong" #3.
+    * The earlier edge-anchored A/B (expand edges by the u-side adjacency
+    * + left-semi) stays rejected: it shuffles the big (v, w) side without
+    * bounding hub fan-out. Degrees are one hash-agg; everything here is
+    * keyed shuffles, no nested loop.
     */
   private def graphJaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
+    // The support-pruned edge list feeds the degree agg, the orientation,
+    // and the final projection — localCheckpoint materializes the
+    // two-hash-agg pair build once instead of once per consumer (the
+    // modularity query's pattern; the list is support-≥2-pruned, far
+    // smaller than the pair stream that produces it).
     val edges = graft.operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2L)
+      .localCheckpoint(true)
     val adj = edges
       .select(col("u").as("node"), col("v").as("nb"))
       .union(edges.select(col("v").as("node"), col("u").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("dg"))
-    val wedges = adj
-      .select(col("node").as("w"), col("nb").as("a"))
-      .join(adj.select(col("node").as("w"), col("nb").as("b")), Seq("w"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
+    // Orient each edge toward the higher-(degree, id) endpoint. The head
+    // keeps its (degree, id) rank as a struct so wedge generation can
+    // order the two out-neighbors without a second degree join; struct
+    // comparison is lexicographic, id breaks degree ties totally.
+    val ranked = edges
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        col("u"), col("v"),
+        struct(col("du").as("d"), col("u").as("n")).as("ru"),
+        struct(col("dv").as("d"), col("v").as("n")).as("rv"))
+    val oriented = ranked.select(
+      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("tail"),
+      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("head"))
+    // Wedges at the lowest corner: pairs of out-neighbors (lo < hi in the
+    // (degree, id) order), closed iff the oriented edge lo.n → hi exists.
+    val tris = oriented
+      .select(col("tail").as("x"), col("head").as("lo"))
+      .join(oriented.select(col("tail").as("x"), col("head").as("hi")), Seq("x"))
+      .filter(col("lo") < col("hi"))
+      .join(
+        oriented.select(col("tail").as("t2"), col("head").as("h2")),
+        col("lo.n") === col("t2") && col("hi") === col("h2"),
+        "left_semi")
+      .select(col("x"), col("lo.n").as("y"), col("hi.n").as("z"))
+    // Credit each triangle to its three edges, normalized u < v by id to
+    // match the edge list's canonical form.
+    val common = tris
+      .select(explode(array(
+        struct(least(col("x"), col("y")).as("eu"), greatest(col("x"), col("y")).as("ev")),
+        struct(least(col("x"), col("z")).as("eu"), greatest(col("x"), col("z")).as("ev")),
+        struct(least(col("y"), col("z")).as("eu"), greatest(col("y"), col("z")).as("ev")))).as("e"))
+      .groupBy(col("e.eu").as("a"), col("e.ev").as("b"))
       .agg(count(lit(1)).as("common"))
     edges
-      .join(wedges, col("u") === col("a") && col("v") === col("b"), "left")
+      .join(common, col("u") === col("a") && col("v") === col("b"), "left")
       .select(col("u"), col("v"), coalesce(col("common"), lit(0L)).as("common"))
       .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))

@@ -142,8 +142,10 @@ object QueriesExt56 {
     * graph (`graph_brand_modularity`): does the catalog's own taxonomy
     * explain which parts sell together, or are co-purchases
     * brand-agnostic? Q = Σ_c [e_c/m − (d_c/2m)²], computed as the exact
-    * integer Σ_c (4·m·e_c − d_c²) · 10⁶ div (4·m²) — engine-identical,
-    * BIGINT-safe to ~10⁹ edges (the numerator is bounded by 4m²). Emits
+    * integer Σ_c (4·m·e_c − d_c²) · 10⁶ div (4·m²) — engine-identical.
+    * The numerator is bounded by 4m² and carries a ×10⁶ scale, so it is
+    * evaluated in DECIMAL(38,0) (HUGEINT in the oracle): exact past 10⁹
+    * edges, where a BIGINT intermediate would wrap from ~1.5e6 edges. Emits
     * the per-brand contribution table (within-edges, degree mass, nodes)
     * with the global Q beside it — the baseline any learned community
     * assignment (B148's components, a future Louvain) must beat.
@@ -178,12 +180,21 @@ object QueriesExt56 {
       .crossJoin(broadcast(m))
       .select(
         col("brand"), col("n_nodes"), col("e_within"), col("d_sum"),
-        expr("(4 * m * e_within - d_sum * d_sum) * 1000000 div (4 * m * m)")
+        // numerator is bounded by 4m² and gets a further ×10⁶ before the
+        // divide — at m ~ 1.5e6 edges that wraps int64 silently in Spark
+        // (non-ANSI) while DuckDB raises, a cross-engine divergence. The
+        // whole expression runs in DECIMAL(38,0) (HUGEINT on the oracle
+        // side): exact to 4m²·10⁶ < 10³⁸, i.e. past 10⁹ edges; `div` on
+        // decimals yields BIGINT, so the output schema is unchanged.
+        expr(
+          "(4 * CAST(m AS DECIMAL(38,0)) * e_within - CAST(d_sum AS DECIMAL(38,0)) * d_sum)" +
+            " * 1000000 div (4 * CAST(m AS DECIMAL(38,0)) * m)")
           .as("contrib_ppm"),
-        expr("4 * m * e_within - d_sum * d_sum").as("num"))
+        expr("4 * CAST(m AS DECIMAL(38,0)) * e_within - CAST(d_sum AS DECIMAL(38,0)) * d_sum")
+          .as("num"))
     val q = perBrand
       .crossJoin(broadcast(m))
-      .agg(expr("sum(num) * 1000000 div (4 * max(m) * max(m))").as("q_ppm"))
+      .agg(expr("sum(num) * 1000000 div (4 * CAST(max(m) AS DECIMAL(38,0)) * max(m))").as("q_ppm"))
     perBrand
       .crossJoin(broadcast(q))
       .select(col("brand"), col("n_nodes"), col("e_within"), col("d_sum"),
@@ -213,11 +224,11 @@ object QueriesExt56 {
       |  FROM inc GROUP BY 1),
       |per_brand AS (
       |  SELECT d.brand, d.n_nodes, coalesce(w.e_within, 0) AS e_within, d.d_sum,
-      |    (4 * m.m * coalesce(w.e_within, 0) - d.d_sum * d.d_sum) * 1000000
-      |      // (4 * m.m * m.m) AS contrib_ppm,
-      |    4 * m.m * coalesce(w.e_within, 0) - d.d_sum * d.d_sum AS num
+      |    CAST((4 * CAST(m.m AS HUGEINT) * coalesce(w.e_within, 0) - CAST(d.d_sum AS HUGEINT) * d.d_sum) * 1000000
+      |      // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT) AS contrib_ppm,
+      |    4 * CAST(m.m AS HUGEINT) * coalesce(w.e_within, 0) - CAST(d.d_sum AS HUGEINT) * d.d_sum AS num
       |  FROM deg d LEFT JOIN w ON w.brand = d.brand, m),
-      |q AS (SELECT CAST(sum(num) AS BIGINT) * 1000000 // (4 * max(m.m) * max(m.m)) AS q_ppm
+      |q AS (SELECT CAST(sum(num) * 1000000 // (4 * CAST(max(m.m) AS HUGEINT) * max(m.m)) AS BIGINT) AS q_ppm
       |  FROM per_brand, m)
       |SELECT brand, n_nodes, e_within, d_sum, contrib_ppm, q_ppm
       |FROM per_brand, q""".stripMargin

@@ -54,11 +54,16 @@ class Wave49InvariantSpec extends GraftSpecBase {
     val pis  = out.map(_.getAs[Long]("stationary_ppm"))
     assert(pis.forall(_ >= 0L))
     val total = pis.sum
-    // each of the 16 iterations can floor away < k ppm (k states), plus
-    // the uniform start's 1e6 mod k remainder
+    // provable worst case, not the optimistic one: each of the 16 power
+    // iterations can floor away up to ~(2k-1) ppm — k-1 row-normalization
+    // floors inside p_ppm contribute to each state PLUS the per-state
+    // iteration floor — and the uniform start loses the 1e6 mod k
+    // remainder (< k). The earlier 17·k allowance was tighter than the
+    // arithmetic guarantees and could fail on a fixture where flooring
+    // bites harder even though the query is correct.
     val k = out.length.toLong
     assert(total <= 1000000L, s"mass created: $total")
-    assert(total >= 1000000L - 17L * k, s"too much floor loss: $total")
+    assert(total >= 1000000L - 16L * (2L * k - 1L) - k, s"too much floor loss: $total")
   }
 
   test("q_bloom_skipping_gain: no pruner false-negatives") {
