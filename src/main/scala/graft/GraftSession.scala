@@ -32,23 +32,36 @@ object GraftSession {
       // large ones keep per-partition state bounded.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", (cpus.toInt * 8).toString))
       // parallelismFirst=true (the Spark default) refuses to coalesce
-      // below defaultParallelism, so with the 8×threads initial count
-      // every small-query shuffle still schedules ~threads tiny tasks —
-      // the r9 "q16 tax" (10 small queries +1.2-1.8× for the sf10 win).
-      // Size-first coalescing reclaims it: tiny shuffles collapse to 1-2
-      // partitions, and the 16 MB advisory (vs the 64 MB default, tuned
-      // for multi-node clusters) keeps mid-size local shuffles parallel
-      // enough. Measured at sf0.1 (same 6-query subset, same host):
-      // q16 1.15→1.05 s, q1 0.95→0.90 s, graph_components 4.50→4.29 s,
-      // i.e. the small-query tax gone WITHOUT giving back the heavy-query
-      // win; 8 MB advisory was uniformly worse. Env knobs are dev
-      // overrides for scale probes, not a user contract.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("SPARK_GRAFT_PF", "false"))
+      // below defaultParallelism. Round 10 traded it for size-first
+      // coalescing on a 6-query subset measurement; the round-11 re-audit
+      // with wider subsets reversed that call: size-first collapses
+      // MID-SIZE shuffles (e.g. q16's ~400 k distinct-triple exchange,
+      // ~12 MB — under the 16 MB advisory it runs the final distinct agg
+      // on ONE task) and the loss is general, not a q16 quirk. Measured
+      // pf=true vs pf=false, 3-trial medians, same host back-to-back:
+      // 14-query sf0.1 subset 20.4 vs 28.2 s (q_assoc_rules 1.51 vs
+      // 3.10 s, graph_components 4.49 vs 7.42 s, dedup_idf_jaccard 2.81
+      // vs 4.24 s — the r10 "regressions" were this knob); 5 heavy
+      // queries at sf1 24.2 vs 32.5 s; sf10 graph family a wash (71.0 vs
+      // 73.2 s single-trial). Keeping parallelism beats packing bytes on
+      // a 32-thread executor, and on a real cluster the advisory below
+      // still bounds partition bloat. Env knobs are dev overrides for
+      // scale probes, not a user contract.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("SPARK_GRAFT_PF", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", sys.env.getOrElse("SPARK_GRAFT_ADVISORY", (16L * 1024 * 1024).toString))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // FileOutputCommitter v2 moves task output into place at task
+      // commit instead of double-renaming at job commit — on the
+      // streaming micro-batch path (2 sinks × 32 task commits per batch)
+      // the v1 job-commit rename fan-out is pure fixed cost per batch.
+      // v2's known caveat (partial output visible if the JOB fails
+      // mid-commit) is covered here by the idempotent batch=<id>
+      // directory overwrite and by the manifest sink's own commit
+      // protocol — readers of either sink never trust bare files.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's reader
       // rejects; read as raw nanos and convert in the loader (Tables.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

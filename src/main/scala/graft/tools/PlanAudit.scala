@@ -100,21 +100,30 @@ object PlanAudit {
       "mm_phash_threshold_sweep"
     )
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = graft.GraftSession.builder("graft-plan-audit").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    var flagged = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  /** The sweep itself, callable from the CLI main AND from the test
+    * suite (round-11 brief #6: the standalone gate went stale mid-round
+    * twice in r10 — inside `sbt test` the allowlist can't drift from the
+    * registry unnoticed). Returns `name -> issues` for every flagged
+    * query; empty = clean.
+    */
+  def sweep(spark: org.apache.spark.sql.SparkSession, sfDir: String): Seq[(String, Seq[String])] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       val issues = Seq(
         "BroadcastNestedLoopJoin" -> (plan.contains("BroadcastNestedLoopJoin") && !intendedNestedLoop(name)),
         "CartesianProduct"        -> plan.contains("CartesianProduct")
       ).collect { case (tag, true) => tag }
-      if (issues.nonEmpty) { flagged += 1; println(s"FLAG $name: ${issues.mkString(", ")}") }
+      if (issues.isEmpty) Nil else Seq(name -> issues)
     }
-    println(s"audit done: $flagged flagged of ${graft.SparkEntry.queries.size}")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.GraftSession.builder("graft-plan-audit").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val flagged = sweep(spark, sfDir)
+    flagged.foreach { case (name, issues) => println(s"FLAG $name: ${issues.mkString(", ")}") }
+    println(s"audit done: ${flagged.size} flagged of ${graft.SparkEntry.queries.size}")
     spark.stop()
-    if (flagged > 0) sys.exit(1)
+    if (flagged.nonEmpty) sys.exit(1)
   }
 }
