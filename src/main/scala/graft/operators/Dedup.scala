@@ -226,6 +226,71 @@ object Dedup {
     out
   }
 
+  /** B265 — b-bit MinHash (b = 1) calibration against the full 32-bit
+    * signatures AND exact Jaccard, on the SAME banded candidate pairs as
+    * `minhashCalibration`. Li & König's estimator: a 1-bit minhash (the
+    * value's parity) matches with probability (1+J)/2, so Ĵ₁ =
+    * max(2·m̂ − 1, 0) — 32× less signature storage for roughly 2× the
+    * variance at high J. Output per full-signature agreement level
+    * (n_match ∈ 0..16): pair count, the full estimator n_match/16, the
+    * mean 1-bit estimate, and the mean exact Jaccard — the table that
+    * says what the 32× compression costs on THIS corpus.
+    *
+    * Scale shape: identical to `minhashCalibration` (banded candidates,
+    * never all-pairs; per-pair work is 16-element array arithmetic);
+    * output is 17-row bounded.
+    */
+  def bBitCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int
+  ): DataFrame = {
+    val sigs   = signatureTable(docs, idCol, textCol, shingleWords).persist()
+    val banded = bandRows(sigs)
+    val candidates = banded.as("x")
+      .join(banded.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sigOnly = sigs.select(col("doc_id"), col("sig"))
+    val est = candidates
+      .join(sigOnly.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigOnly.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS BIGINT)")
+          .as("n_match"),
+        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x % 2 = y % 2), b -> b)) AS BIGINT)")
+          .as("n_match_1bit"))
+    val sets  = sigs.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
+    val sizes = sigs.select(col("doc_id"), col("set_size"))
+    val inter = candidates
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = est
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("za")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("zb")), "id_b")
+      .select(
+        col("n_match"),
+        expr("greatest(2 * n_match_1bit - 16, 0L) * 1000000 div 16").as("est_1bit_ppm"),
+        expr("CAST(coalesce(n_inter, 0) * 1000000 div (za + zb - coalesce(n_inter, 0)) AS BIGINT)")
+          .as("jac_ppm"))
+      .groupBy(col("n_match"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(est_1bit_ppm) div count(1) AS BIGINT)").as("avg_est_1bit_ppm"),
+        expr("CAST(sum(jac_ppm) div count(1) AS BIGINT)").as("avg_jaccard_ppm"))
+      .withColumn("est_full_ppm", expr("n_match * 1000000 div 16"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
+  }
+
   def minhashPairs(
       docs: DataFrame,
       idCol: String,

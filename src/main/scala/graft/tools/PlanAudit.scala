@@ -97,7 +97,18 @@ object PlanAudit {
       "dedup_yield_by_granularity",
       // round-10 B257, reviewed: the 3-literal tau explode crossed over the
       // already-bounded near-dup pair list (B180's one-pass-sweep pattern)
-      "mm_phash_threshold_sweep"
+      "mm_phash_threshold_sweep",
+      // round 11, reviewed: 1-row aggregate broadcasts (m / Q / n_moved /
+      // type-total) crossed over bounded per-community or per-source
+      // tables (graph_louvain_pass, text_kn_continuation), and the 3-row
+      // shortlist-size grid non-equi-joined over the bounded Hamming
+      // shortlist (sim_hamming_rerank) — every non-equi side is
+      // constant-bounded, the corpus side never self-joins
+      "graph_louvain_pass", "text_kn_continuation", "sim_hamming_rerank",
+      // round 11 batch 46, reviewed: 1-row aggregate broadcasts (the
+      // 64-row dim-sum square total; the user-count total over the
+      // bounded count-histogram) crossed over 1-row/bounded sides
+      "embed_isotropy_score", "events_gini_concentration"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test

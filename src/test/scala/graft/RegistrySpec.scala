@@ -86,7 +86,10 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt66" -> QueriesExt66.queries.keySet,
       "QueriesExt67" -> QueriesExt67.queries.keySet,
       "QueriesExt68" -> QueriesExt68.queries.keySet,
-      "QueriesExt69" -> QueriesExt69.queries.keySet
+      "QueriesExt69" -> QueriesExt69.queries.keySet,
+      "QueriesExt70" -> QueriesExt70.queries.keySet,
+      "QueriesExt71" -> QueriesExt71.queries.keySet,
+      "QueriesExt72" -> QueriesExt72.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
