@@ -89,7 +89,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt69" -> QueriesExt69.queries.keySet,
       "QueriesExt70" -> QueriesExt70.queries.keySet,
       "QueriesExt71" -> QueriesExt71.queries.keySet,
-      "QueriesExt72" -> QueriesExt72.queries.keySet
+      "QueriesExt72" -> QueriesExt72.queries.keySet,
+      "QueriesExt73" -> QueriesExt73.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
