@@ -390,28 +390,38 @@ object QueriesExt70 {
     * 2m·max_deg² — BIGINT-safe to ~10¹⁸; the sums are emitted beside r
     * so any wider-scale reader can recompute in its own precision.
     *
-    * Scale shape: degrees are one hash-agg; the sums are one map-side
-    * combinable aggregate over the degree-joined edge list; output is
-    * one row.
+    * Scale shape: degrees are one hash-agg; Σ1/Σx/Σx² reduce over the
+    * degree table alone (per-node identities); Σxy is one adjacency ⋈
+    * degree join aggregated to node level before the final 1-row
+    * combine. Output is one row.
     */
   private def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
     val edges = graft.operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2L)
+      .localCheckpoint(true)
     val adj = edges
       .select(col("u").as("node"), col("v").as("nb"))
       .union(edges.select(col("v").as("node"), col("u").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("k"))
-    // symmetrized directed pairs: each undirected edge contributes (ku,kv)
-    // and (kv,ku), which is what makes Sx = Sy and the formula symmetric
-    val pairs = adj
-      .join(deg, Seq("node"))
+    // Per-node identities over the symmetrized pair multiset (node u's
+    // degree appears k_u times as x): Σ1 = Σk, Σx = Σk², Σx² = Σk³ come
+    // from the degree table ALONE; only Σxy needs the neighbor join,
+    // and it collapses to node level first (t_u = Σ_{v∈N(u)} k_v, then
+    // Σxy = Σ k_u·t_u) — the r11 sf10 probe measured the naive 2m-row
+    // double-join form at 60.9 s / 13× per decade; this keeps one
+    // adjacency join and moves the second to n node rows.
+    val nbSum = adj
       .join(deg.select(col("node").as("nb"), col("k").as("k2")), Seq("nb"))
-      .select(col("k").as("x"), col("k2").as("y"))
-    pairs
+      .groupBy(col("node"))
+      .agg(sum(col("k2")).as("t"))
+    val sxyRow = nbSum
+      .join(deg, Seq("node"))
+      .agg(sum(expr("k * t")).as("sxy"))
+    deg
       .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(col("x")).as("sx"),
-        sum(expr("x * y")).as("sxy"),
-        sum(expr("x * x")).as("sxx"))
+        sum(col("k")).as("n_pairs"),
+        sum(expr("k * k")).as("sx"),
+        sum(expr("k * k * k")).as("sxx"))
+      .crossJoin(broadcast(sxyRow))
       .select(
         col("n_pairs"), col("sx"), col("sxy"), col("sxx"),
         expr(

@@ -108,7 +108,9 @@ object PlanAudit {
       // round 11 batch 46, reviewed: 1-row aggregate broadcasts (the
       // 64-row dim-sum square total; the user-count total over the
       // bounded count-histogram) crossed over 1-row/bounded sides
-      "embed_isotropy_score", "events_gini_concentration"
+      "embed_isotropy_score", "events_gini_concentration",
+      // 1-row Σxy aggregate broadcast crossed onto the 1-row degree sums
+      "graph_assortativity"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test
