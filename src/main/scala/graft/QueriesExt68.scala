@@ -41,21 +41,27 @@ object QueriesExt68 {
         operators.TextAnalysis.normalize(col("text")).as("nrm"),
         (graft.functions.Hashing.h32(concat(lit("cv:"), col("doc_id").cast("string"))) % 10)
           .as("fold"))
-    val bg = base
+    // Two FILTERED explode scans, not one checkpointed bigram table:
+    // materializing the full bigram stream before either branch reads
+    // it is the shape the r11 sf10 probe caught on B262's twin (205 s,
+    // 41×/decade — localCheckpoint spills ~2.3 B rows at 5 M docs);
+    // the fold filter pushes to the scan and the codegen explode
+    // re-runs per branch for free.
+    def bg(foldCond: org.apache.spark.sql.Column): DataFrame = base
+      .where(foldCond)
       .select(col("doc_id"), col("source"), col("fold"),
         explode(sequence(lit(1), greatest(length(col("nrm")) - 1, lit(1)))).as("i"),
         col("nrm"))
       .select(col("doc_id"), col("source"), col("fold"),
         expr("substring(nrm, i, 2)").as("b"))
-      .localCheckpoint()
-    val m2 = bg.where(col("fold") <= 7).groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val m2 = bg(col("fold") <= 7).groupBy(col("b")).agg(count(lit(1)).as("c2"))
     val wc = Window.partitionBy(substring(col("b"), 1, 1))
     val model = m2
       .withColumn("c1", sum(col("c2")).over(wc))
       .select(col("b"),
         round(round(log(col("c2").cast("double")) - log(col("c1").cast("double")), 6) * 1000000L, 0)
           .cast("long").as("logp_micro"))
-    bg.where(col("fold") >= 8)
+    bg(col("fold") >= 8)
       .join(broadcast(model), Seq("b"), "left")
       .groupBy(col("source"))
       .agg(

@@ -45,14 +45,20 @@ object QueriesExt71 {
         operators.TextAnalysis.normalize(col("text")).as("nrm"),
         (graft.functions.Hashing.h32(concat(lit("cv:"), col("doc_id").cast("string"))) % 10)
           .as("fold"))
-    val bg = base
+    // Two FILTERED explode scans instead of one checkpointed bigram
+    // table: the r11 sf10 probe measured the materialize-then-reuse form
+    // at 205 s (41×/decade — localCheckpoint writes the ~2.3 B-row
+    // bigram stream to disk before either side reads it); the fold
+    // filter pushes to the scan and the codegen explode re-runs in each
+    // branch for free. Recompute beats materialize for scan-fused work.
+    def bg(foldCond: org.apache.spark.sql.Column): DataFrame = base
+      .where(foldCond)
       .select(col("doc_id"), col("source"), col("fold"),
         explode(sequence(lit(1), greatest(length(col("nrm")) - 1, lit(1)))).as("i"),
         col("nrm"))
       .select(col("doc_id"), col("source"), col("fold"),
         expr("substring(nrm, i, 2)").as("b"))
-      .localCheckpoint()
-    val m2 = bg.where(col("fold") <= 7).groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val m2 = bg(col("fold") <= 7).groupBy(col("b")).agg(count(lit(1)).as("c2"))
       .localCheckpoint(true)
     // context table: total count and distinct-successor count per w1;
     // every b in m2 is a distinct type, so N1+ is a plain count
@@ -62,7 +68,7 @@ object QueriesExt71 {
     // global type total as a 1-row broadcast
     val cont   = m2.groupBy(substring(col("b"), 2, 1).as("w2")).agg(count(lit(1)).as("nc"))
     val ntypes = m2.agg(count(lit(1)).as("nt"))
-    val scored = bg.where(col("fold") >= 8)
+    val scored = bg(col("fold") >= 8)
       .join(broadcast(m2), Seq("b"), "left")
       .join(broadcast(ctx), substring(col("b"), 1, 1) === col("w1"), "left")
       .join(broadcast(cont), substring(col("b"), 2, 1) === col("w2"), "left")
