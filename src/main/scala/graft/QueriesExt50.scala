@@ -53,31 +53,9 @@ object QueriesExt50 {
       .select(col("u").as("node"), col("v").as("nb"))
       .union(edges.select(col("v").as("node"), col("u").as("nb")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("dg"))
-    // Orient each edge toward the higher-(degree, id) endpoint. The head
-    // keeps its (degree, id) rank as a struct so wedge generation can
-    // order the two out-neighbors without a second degree join; struct
-    // comparison is lexicographic, id breaks degree ties totally.
-    val ranked = edges
-      .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
-      .select(
-        col("u"), col("v"),
-        struct(col("du").as("d"), col("u").as("n")).as("ru"),
-        struct(col("dv").as("d"), col("v").as("n")).as("rv"))
-    val oriented = ranked.select(
-      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("tail"),
-      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("head"))
-    // Wedges at the lowest corner: pairs of out-neighbors (lo < hi in the
-    // (degree, id) order), closed iff the oriented edge lo.n → hi exists.
-    val tris = oriented
-      .select(col("tail").as("x"), col("head").as("lo"))
-      .join(oriented.select(col("tail").as("x"), col("head").as("hi")), Seq("x"))
-      .filter(col("lo") < col("hi"))
-      .join(
-        oriented.select(col("tail").as("t2"), col("head").as("h2")),
-        col("lo.n") === col("t2") && col("hi") === col("h2"),
-        "left_semi")
-      .select(col("x"), col("lo.n").as("y"), col("hi.n").as("z"))
+    // Degree-ordered triangle enumeration, shared operator (also feeds
+    // B273's clustering coefficient): each triangle exactly once.
+    val tris = graft.operators.GraphOps.orientedTriangles(edges)
     // Credit each triangle to its three edges, normalized u < v by id to
     // match the edge list's canonical form.
     val common = tris

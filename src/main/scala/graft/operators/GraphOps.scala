@@ -95,4 +95,43 @@ object GraphOps {
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_orders"))
   }
+
+  /** Every triangle of an undirected (u < v) edge list, enumerated
+    * EXACTLY ONCE via the degree-ordered orientation — the web-scale
+    * standard (and the r10→r11 fix that took neighbor-Jaccard from
+    * Σ deg² to Σ outdeg² ≤ O(m^1.5): a hub's wedges are generated at
+    * its LOW-degree neighbors). Each edge is oriented toward its
+    * higher-(degree, id) endpoint; wedges form at each triangle's
+    * lowest corner as ordered out-neighbor pairs; one equi-join against
+    * the oriented edges closes them. Returns (x, y, z) with x the
+    * lowest-(degree, id) corner and y before z in that order. Shared by
+    * the neighbor-Jaccard (B229) and clustering-coefficient (B273)
+    * queries; callers should pass a materialized (checkpointed) edge
+    * list — this plan consumes it three times.
+    */
+  def orientedTriangles(edges: DataFrame): DataFrame = {
+    val adj = edges
+      .select(col("u").as("node"), col("v").as("nb"))
+      .union(edges.select(col("v").as("node"), col("u").as("nb")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val ranked = edges
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        col("u"), col("v"),
+        struct(col("du").as("d"), col("u").as("n")).as("ru"),
+        struct(col("dv").as("d"), col("v").as("n")).as("rv"))
+    val oriented = ranked.select(
+      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("tail"),
+      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("head"))
+    oriented
+      .select(col("tail").as("x"), col("head").as("lo"))
+      .join(oriented.select(col("tail").as("x"), col("head").as("hi")), Seq("x"))
+      .filter(col("lo") < col("hi"))
+      .join(
+        oriented.select(col("tail").as("t2"), col("head").as("h2")),
+        col("lo.n") === col("t2") && col("hi") === col("h2"),
+        "left_semi")
+      .select(col("x"), col("lo.n").as("y"), col("hi.n").as("z"))
+  }
 }

@@ -110,7 +110,11 @@ object PlanAudit {
       // bounded count-histogram) crossed over 1-row/bounded sides
       "embed_isotropy_score", "events_gini_concentration",
       // 1-row Σxy aggregate broadcast crossed onto the 1-row degree sums
-      "graph_assortativity"
+      "graph_assortativity",
+      // round 11 batch 49, reviewed: 1-row sample-size/orphan-count and
+      // quantile-threshold broadcasts; the clustering coefficient's
+      // global-transitivity 1-row cross over the ≤64-bucket rollup
+      "q_coordinated_sample", "q_weighted_quantiles", "graph_clustering_coeff"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test

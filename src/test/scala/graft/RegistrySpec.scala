@@ -91,7 +91,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt71" -> QueriesExt71.queries.keySet,
       "QueriesExt72" -> QueriesExt72.queries.keySet,
       "QueriesExt73" -> QueriesExt73.queries.keySet,
-      "QueriesExt74" -> QueriesExt74.queries.keySet
+      "QueriesExt74" -> QueriesExt74.queries.keySet,
+      "QueriesExt75" -> QueriesExt75.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
