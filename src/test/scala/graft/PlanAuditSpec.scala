@@ -448,4 +448,43 @@ class PlanAuditSpec extends GraftSpecBase {
     assert(!p.contains("SortMergeJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
     assert(p.contains("BroadcastHashJoin"), "walk joins should be broadcast-hash")
   }
+
+  test("graph_jaccard_neighbors: degree-ordered triangles, no cartesian/nested-loop anywhere") {
+    // r11 rewrite (VERDICT r10 #3): wedges generate at each triangle's
+    // lowest-(degree, id) corner — Σ outdeg² work. The enumeration is
+    // keyed joins only; a cartesian or nested loop here means the
+    // orientation structs stopped driving the equi-join keys.
+    val p = plan("graph_jaccard_neighbors")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("text_kn_continuation: all three model joins broadcast; no checkpointed bigram stream") {
+    // The charset²-bounded bigram/context/continuation models must sit
+    // UNDER the validation scan as broadcasts (plus the 1-row type
+    // total) — a SortMergeJoin here means a model side lost its size
+    // estimate and the linear scoring pass started shuffling bigrams.
+    // The r11 sf10 probe separately caught the shared explode being
+    // localCheckpointed (205 s) — the plan now contains no scan-side
+    // checkpoint (LogicalRDD) feeding the scoring join.
+    val d = df("text_kn_continuation")
+    val p = d.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(broadcastJoins(p) >= 3, s"expected >=3 broadcast model joins\n$p")
+  }
+
+  test("sim_hamming_rerank: rerank joins broadcast the bounded sides; Hamming window stays per-query") {
+    val d = df("sim_hamming_rerank")
+    assert(globalWindows(d) === 0, "rank windows must stay partitioned")
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "query codes/vectors should broadcast")
+  }
+
+  test("q_session_cap_split: windows partitioned by user, never global") {
+    assert(globalWindows(df("q_session_cap_split")) === 0)
+  }
+
+  test("events_topk_merge_daily: exact side is TakeOrdered, not a global sort") {
+    val p = plan("events_topk_merge_daily")
+    assert(p.contains("TakeOrderedAndProject"), "exact top-20 must plan per-partition heaps\n" + p)
+  }
 }
