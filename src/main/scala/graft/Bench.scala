@@ -280,8 +280,23 @@ object Bench {
       (historyRatio(m), historyRatio(m.filter(kv => headline(kv._1))))
     var (ratio, headRatio) = ratios(firstMap)
     var reruns         = 0
+    // The two drift directions need different policies (r11 lesson: the
+    // pf=true restore made the whole suite ~19% FASTER than committed
+    // history, and the symmetric loop burned all 3 rerun passes —
+    // min-merge keeps per-query minima, so a genuinely-faster binary's
+    // ratio can only RATCHET DOWN and the lower band can never clear):
+    //  - slower than history: rerun-to-stable (stalls inflate; the merge
+    //    converges toward the honest figure).
+    //  - faster than history: ONE confirmation pass — if the speedup
+    //    survives an independent pass it's real (or the host is in a
+    //    fast window, which min-merge records either way); looping
+    //    cannot change the verdict, only waste wall-clock.
+    def slowDrift(full: Option[Double], head: Option[Double]) =
+      full.exists(_ > 1.25) || head.exists(_ > 1.15)
+    def fastDrift(full: Option[Double], head: Option[Double]) =
+      full.exists(_ < 0.75) || head.exists(_ < 0.87)
     def drifted(full: Option[Double], head: Option[Double]) =
-      full.exists(r => r > 1.25 || r < 0.75) || head.exists(r => r > 1.15 || r < 0.87)
+      slowDrift(full, head) || (reruns == 0 && fastDrift(full, head))
     while (only.isEmpty && reruns < maxReruns && drifted(ratio, headRatio)) {
       System.err.println(
         s"[bench] drift vs history median (full=${ratio.getOrElse(-1.0)}, headline=${headRatio.getOrElse(-1.0)}) — rerun ${reruns + 1}/$maxReruns")

@@ -100,11 +100,15 @@ object QueriesExt75 {
     * scan; the quantile windows run over the ≤50-row histogram.
     */
   private def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    // the ≤50-row histogram feeds seven consumers (3 quantiles × 2
+    // rules + totals) — materialize the expensive-scan/tiny-result
+    // table once instead of re-scanning lineitem per consumer
     val hist = lineitem(s, dir)
       .groupBy(col("l_quantity").cast("long").as("qty"))
       .agg(
         sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("w"),
         count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val wAsc = Window.orderBy(col("qty").asc)
     val cum = hist
       .withColumn("cw", sum(col("w")).over(wAsc))

@@ -114,7 +114,11 @@ object PlanAudit {
       // round 11 batch 49, reviewed: 1-row sample-size/orphan-count and
       // quantile-threshold broadcasts; the clustering coefficient's
       // global-transitivity 1-row cross over the ≤64-bucket rollup
-      "q_coordinated_sample", "q_weighted_quantiles", "graph_clustering_coeff"
+      "q_coordinated_sample", "q_weighted_quantiles", "graph_clustering_coeff",
+      // round 11 batch 50, reviewed: the bounded classes × 5-priority
+      // zero-fill grid + 1-row t-max broadcast (B98's pattern), and the
+      // |types| × calendar-days grid with 1-row stat broadcasts
+      "q_t_closeness", "events_type_correlation"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test
