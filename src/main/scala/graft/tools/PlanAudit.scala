@@ -118,7 +118,12 @@ object PlanAudit {
       // round 11 batch 50, reviewed: the bounded classes × 5-priority
       // zero-fill grid + 1-row t-max broadcast (B98's pattern), and the
       // |types| × calendar-days grid with 1-row stat broadcasts
-      "q_t_closeness", "events_type_correlation"
+      "q_t_closeness", "events_type_correlation",
+      // round 11 batch 51, reviewed: the sources × bounded-charset
+      // zero-fill grid (B98 pattern) and the 4-literal rich-club
+      // threshold grid against the degree-joined edge list (B180's
+      // one-pass sweep) — every cross side constant/charset-bounded
+      "text_jsd_sources", "graph_rich_club"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test

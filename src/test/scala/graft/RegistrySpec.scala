@@ -93,7 +93,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt73" -> QueriesExt73.queries.keySet,
       "QueriesExt74" -> QueriesExt74.queries.keySet,
       "QueriesExt75" -> QueriesExt75.queries.keySet,
-      "QueriesExt76" -> QueriesExt76.queries.keySet
+      "QueriesExt76" -> QueriesExt76.queries.keySet,
+      "QueriesExt77" -> QueriesExt77.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
