@@ -107,6 +107,10 @@ class RegistrySpec extends GraftSpecBase {
       s"concatenated size ${SparkEntry.queries.size} != ext $extTotal + 22 — a key shadowed a SparkEntry entry")
   }
 
+  test("flagship entry returns rows on sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).limit(1).count() === 1L)
+  }
+
   test("every oracle is non-empty SQL") {
     val empty = SparkEntry.oracleSql.filter(_._2.trim.isEmpty).keys.toSeq.sorted
     assert(empty.isEmpty, s"empty oracles: $empty")
