@@ -185,7 +185,34 @@ object Bench {
           System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
           (0L, -1.0, 0, 0, Seq.empty)
       }
-    val firstPass = names.map(n => n -> run(n))
+    // Run-level canary (r11 What's-wrong #1): a fixed fast query re-timed
+    // every `canaryEvery` suite queries detects WHOLE-RUN host
+    // contamination that per-query trial spreads cannot (when every trial
+    // in a window is slow, med/min stays tight). Canary timings are
+    // untimed w.r.t. the suite total and recorded in the full snapshot;
+    // a sample >2× the run's best sample marks the surrounding span as
+    // contaminated on stderr — the per-query drift gate below is what
+    // actually re-runs affected queries.
+    val canaryName  = "q2_filter_project" // scan+filter+project, sub-second at every sf
+    val canaryEvery = 25
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def canaryTick(idx: Int): Unit = if (only.isEmpty && SparkEntry.queries.contains(canaryName)) {
+      val t = runOnce(canaryName)
+      if (t >= 0) {
+        canarySamples += ((idx, t))
+        val best = canarySamples.map(_._2).min
+        if (t > 2.0 * best && t - best > 0.3) {
+          System.err.println(
+            f"[bench] canary drift at query $idx: $canaryName $t%.2fs vs best $best%.2fs — host contamination window; settling")
+          System.gc(); Thread.sleep(500)
+        }
+      }
+    }
+    canaryTick(0)
+    val firstPass = names.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % canaryEvery == 0) canaryTick(i)
+      n -> run(n)
+    }
 
     /** Outlier guard against the committed run history. Same-binary full-suite
       * totals have swung 1.6× on this shared host (round 6: 115.2 s in the
@@ -199,45 +226,50 @@ object Bench {
       * converges on the machine's honest figure. The ratio and the rerun
       * decision are recorded in the output JSON so the spread is auditable.
       */
-    def historyRatio(current: Map[String, Double]): Option[Double] = {
+    // Parse and sf-filter EVERY snapshot first, THEN take the last 8:
+    // takeRight on raw names silently dropped all comparable history
+    // once probe/scaling snapshots (scaling_*, sf10probe_*) sorted after
+    // bench_full_* — the r9 full run emitted no hist_ratio at all.
+    // Order by the timestamp EMBEDDED IN THE FILENAME (every snapshot
+    // carries a yyyyMMdd-HHmmss stamp), not mtime: a fresh clone or
+    // checkout sets every file to the same mtime, making "last 8" an
+    // arbitrary subset per machine. mtime is only the tiebreak/fallback
+    // for hand-dropped files without a stamp.
+    lazy val historyRuns: Seq[Map[String, Double]] = {
       val dir = java.nio.file.Paths.get("bench_history")
-      if (!java.nio.file.Files.isDirectory(dir)) return scala.None
-      import scala.jdk.CollectionConverters._
-      import org.json4s._
-      // Parse and sf-filter EVERY snapshot first, THEN take the last 8:
-      // takeRight on raw names silently dropped all comparable history
-      // once probe/scaling snapshots (scaling_*, sf10probe_*) sorted after
-      // bench_full_* — the r9 full run emitted no hist_ratio at all.
-      // Order by the timestamp EMBEDDED IN THE FILENAME (every snapshot
-      // carries a yyyyMMdd-HHmmss stamp), not mtime: a fresh clone or
-      // checkout sets every file to the same mtime, making "last 8" an
-      // arbitrary subset per machine. mtime is only the tiebreak/fallback
-      // for hand-dropped files without a stamp.
-      val stampRe = java.util.regex.Pattern.compile("(\\d{8}-\\d{6})")
-      def fileStamp(p: java.nio.file.Path): String = {
-        val m = stampRe.matcher(p.getFileName.toString)
-        if (m.find()) m.group(1) else ""
-      }
-      val runs = java.nio.file.Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".json")).toSeq
-        .sortBy(p => (fileStamp(p), java.nio.file.Files.getLastModifiedTime(p).toMillis))
-        .flatMap { p =>
-          scala.util.Try {
-            val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
-            val sfOk = (j \ "sf") match { case JString(s) => s == sfDir; case _ => false }
-            val qs = (j \ "queries") match {
-              case JObject(fields) => fields.collect {
-                case (k, JObject(o)) => o.collectFirst { case ("med", JDouble(d)) => k -> d }
-                case (k, JDouble(d)) => Some(k -> d)
-                case (k, JDecimal(d)) => Some(k -> d.toDouble)
-              }.flatten.toMap
-              case _ => Map.empty[String, Double]
-            }
-            if (sfOk && qs.nonEmpty) Some(qs) else scala.None
-          }.toOption.flatten
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        import org.json4s._
+        val stampRe = java.util.regex.Pattern.compile("(\\d{8}-\\d{6})")
+        def fileStamp(p: java.nio.file.Path): String = {
+          val m = stampRe.matcher(p.getFileName.toString)
+          if (m.find()) m.group(1) else ""
         }
-        .takeRight(8)
-      val ratios = runs.flatMap { hist =>
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".json")).toSeq
+          .sortBy(p => (fileStamp(p), java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          .flatMap { p =>
+            scala.util.Try {
+              val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
+              val sfOk = (j \ "sf") match { case JString(s) => s == sfDir; case _ => false }
+              val qs = (j \ "queries") match {
+                case JObject(fields) => fields.collect {
+                  case (k, JObject(o)) => o.collectFirst { case ("med", JDouble(d)) => k -> d }
+                  case (k, JDouble(d)) => Some(k -> d)
+                  case (k, JDecimal(d)) => Some(k -> d.toDouble)
+                }.flatten.toMap
+                case _ => Map.empty[String, Double]
+              }
+              if (sfOk && qs.nonEmpty) Some(qs) else scala.None
+            }.toOption.flatten
+          }
+          .takeRight(8)
+      }
+    }
+
+    def historyRatio(current: Map[String, Double]): Option[Double] = {
+      val ratios = historyRuns.flatMap { hist =>
         val common = current.keySet.intersect(hist.keySet)
           .filter(k => current(k) > 0 && hist(k) > 0)
         // need most of the suite in common for the ratio to mean anything
@@ -247,6 +279,24 @@ object Bench {
         else Some(common.toSeq.map(current).sum / common.toSeq.map(hist).sum)
       }.sorted
       if (ratios.isEmpty) scala.None else Some(ratios(ratios.size / 2))
+    }
+
+    // Per-query committed-history median: the third measurement-trust
+    // layer (r11 postmortem). The shipped r11 run carried a contaminated
+    // CLUSTER (text_boilerplate med 5.88 s vs 0.82–1.51 s across five
+    // history runs; text_bitmap_index 9.9×) that BOTH existing gates are
+    // structurally blind to: every trial was slow, so the spread gate saw
+    // med/min 1.08, and a handful of poisoned queries moves the aggregate
+    // hist_ratio by ~2% — under its 1.25 threshold. Only a PER-QUERY
+    // compare against committed history can see it.
+    lazy val histMed: Map[String, Double] = {
+      val byQuery = historyRuns.flatten.groupBy(_._1)
+      byQuery.flatMap { case (q, kvs) =>
+        val vs = kvs.map(_._2).filter(_ > 0).sorted
+        if (vs.size < 2) scala.None // a single observation is not history
+        else Some(q -> (if (vs.size % 2 == 1) vs(vs.size / 2)
+                        else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0))
+      }
     }
 
     // Headline queries are the driver-parsed regression surface, so they
@@ -348,6 +398,46 @@ object Bench {
       spreadReruns += 1
     }
     val spreadViolations = stats.collect { case (n, s) if spreadBad(s) => n }.toSeq.sorted
+
+    // Per-query drift gate vs committed history (layer 3). A query whose
+    // med exceeds 2× its history median (with an absolute 0.5 s slack so
+    // sub-second noise can't flag) is re-run SOLO after the suite — a
+    // contamination window that slowed a whole span leaves these as the
+    // residue, and solo reruns outside the window recover the honest
+    // figure (min-merge: stalls only ever inflate). Queries still >2×
+    // after the cap ship in perquery_drift_violations — a genuine
+    // regression (code made it slower) can't clear the gate by rerunning
+    // and fails loudly, demanding a PLANS.md note with the explanation.
+    def driftBad(n: String, s: QStat): Boolean =
+      s.med > 0 && histMed.get(n).exists(h => s.med > 2.0 * h && s.med - h > 0.5)
+    var driftReruns = 0
+    while (only.isEmpty && driftReruns < 3 && stats.exists(kv => driftBad(kv._1, kv._2))) {
+      val flagged = stats.collect { case (n, s) if driftBad(n, s) => n }
+      System.err.println(
+        s"[bench] per-query drift gate (med > 2x history med): rerunning solo ${flagged.mkString(", ")}")
+      stats = stats.map { case (n, s) =>
+        if (!driftBad(n, s)) n -> s
+        else {
+          val second = run(n)
+          n -> (if (second.med >= 0 && second.med < s.med) second else s)
+        }
+      }
+      driftReruns += 1
+    }
+    // violations only meaningful on full runs — a dev subset at a
+    // different CPU count / trial count produces junk ratios vs history
+    val driftViolations =
+      if (only.nonEmpty) Seq.empty
+      else stats.collect { case (n, s) if driftBad(n, s) => n }.toSeq.sorted
+    if (driftReruns > 0) { // reruns only lower meds — refresh the recorded ratios
+      val rr = ratios(stats.toMap.map { case (n, s) => n -> s.med })
+      ratio = rr._1; headRatio = rr._2
+    }
+    if (driftViolations.nonEmpty)
+      System.err.println(
+        s"[bench] perquery_drift_violations (med still >2x history after $driftReruns solo reruns): " +
+          driftViolations.map(n => f"$n (${stats.toMap.apply(n).med}%.2fs vs hist ${histMed(n)}%.2fs)").mkString(", "))
+
     val results = stats.map { case (n, s) => n -> s.med }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
 
@@ -391,8 +481,18 @@ object Bench {
       s""","spread_reruns":$spreadReruns""" +
       (if (spreadViolations.nonEmpty)
          spreadViolations.map("\"" + _ + "\"").mkString(""","spread_violations":[""", ",", "]")
+       else "") +
+      s""","perquery_drift_reruns":$driftReruns""" +
+      (if (driftViolations.nonEmpty)
+         driftViolations.map("\"" + _ + "\"").mkString(""","perquery_drift_violations":[""", ",", "]")
        else "")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"trials":$trials$histField,"queries":$all$streamField,"sf":"$sfDir"}"""
+    // canary audit trail goes to the FULL snapshot only (stdout line must
+    // stay under the driver's ~2000-char tail buffer)
+    val canaryField =
+      if (canarySamples.isEmpty) ""
+      else canarySamples.map { case (i, t) => s"[$i,${fmt(t)}]" }
+             .mkString(s""","canary":{"query":"$canaryName","samples":[""", ",", "]}")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"trials":$trials$histField$canaryField,"queries":$all$streamField,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -142,15 +142,17 @@ object QueriesExt72 {
        |bd AS (SELECT doc_id, b AS band,
        |  ${h32Sql("concat_ws(':', sig[4*b+1], sig[4*b+2], sig[4*b+3], sig[4*b+4])")} AS band_hash
        |  FROM sg, range(0,4) t(b)),
-       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bd x JOIN bd y ON x.band=y.band AND x.band_hash=y.band_hash AND x.doc_id<y.doc_id),
+       |samp AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT id_a, id_b FROM cand ORDER BY md5(concat(id_a, ':', id_b)), id_a, id_b LIMIT 50000)),
        |est AS (SELECT c.id_a, c.id_b,
        |    CAST(len([i for i in range(1, 17) if a.sig[i] = b.sig[i]]) AS BIGINT) AS n_match,
        |    CAST(len([i for i in range(1, 17) if a.sig[i] % 2 = b.sig[i] % 2]) AS BIGINT) AS n_match_1bit
-       |  FROM cand c JOIN sg a ON c.id_a = a.doc_id JOIN sg b ON c.id_b = b.doc_id),
+       |  FROM samp c JOIN sg a ON c.id_a = a.doc_id JOIN sg b ON c.id_b = b.doc_id),
        |sets AS (SELECT doc_id, unnest(sset) AS shingle FROM hs),
        |sz AS (SELECT doc_id, CAST(len(sset) AS BIGINT) AS set_size FROM hs),
-       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM samp c
        |  JOIN sets sa ON sa.doc_id = c.id_a
        |  JOIN sets sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
        |  GROUP BY 1, 2),

@@ -121,6 +121,7 @@ private class ManifestWriteBuilder(
     txnAppId: Option[String]
 ) extends WriteBuilder with SupportsTruncate {
   ManifestJsonl.validateSchema(schema)
+  ManifestJsonl.localPath(path) // fail unsupported schemes at plan time, not mid-write
 
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, txn, txnAppId)
@@ -148,7 +149,7 @@ private class ManifestBatchWrite(
     new ManifestWriterFactory(path, schema, queryId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(path)
+    val dir = ManifestJsonl.localPath(path)
     val tmp = dir.resolve("_tmp").resolve(queryId)
     val committed = messages.toSeq.collect { case f: FileCommit => f }
     try ManifestJsonl.commitFiles(dir, tmp, committed, schema, truncate, txn)
@@ -159,8 +160,8 @@ private class ManifestBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    ManifestJsonl.deleteRecursively(Paths.get(path).resolve("_tmp").resolve(queryId))
-    ManifestJsonl.deleteIfEmptyDir(Paths.get(path).resolve("_tmp"))
+    ManifestJsonl.deleteRecursively(ManifestJsonl.localPath(path).resolve("_tmp").resolve(queryId))
+    ManifestJsonl.deleteIfEmptyDir(ManifestJsonl.localPath(path).resolve("_tmp"))
   }
 }
 
@@ -173,13 +174,13 @@ private class ManifestStreamingWrite(
 ) extends StreamingWrite {
 
   private def tmpFor(epochId: Long): Path =
-    Paths.get(path).resolve("_tmp").resolve(s"$queryId-e$epochId")
+    ManifestJsonl.localPath(path).resolve("_tmp").resolve(s"$queryId-e$epochId")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(path, schema, queryId)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val dir = Paths.get(path)
+    val dir = ManifestJsonl.localPath(path)
     val tmp = tmpFor(epochId)
     val committed = messages.toSeq.collect { case f: FileCommit => f }
     // txnVersion = epochId: a replayed micro-batch (crash between sink
@@ -194,21 +195,21 @@ private class ManifestStreamingWrite(
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     ManifestJsonl.deleteRecursively(tmpFor(epochId))
-    ManifestJsonl.deleteIfEmptyDir(Paths.get(path).resolve("_tmp"))
+    ManifestJsonl.deleteIfEmptyDir(ManifestJsonl.localPath(path).resolve("_tmp"))
   }
 }
 
 private class ManifestWriterFactory(path: String, schema: StructType, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(Paths.get(path).resolve("_tmp").resolve(queryId), schema, partitionId, taskId)
+    new ManifestDataWriter(ManifestJsonl.localPath(path).resolve("_tmp").resolve(queryId), schema, partitionId, taskId)
 }
 
 private class ManifestStreamingWriterFactory(path: String, schema: StructType, queryId: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(
-      Paths.get(path).resolve("_tmp").resolve(s"$queryId-e$epochId"),
+      ManifestJsonl.localPath(path).resolve("_tmp").resolve(s"$queryId-e$epochId"),
       schema, partitionId, taskId)
 }
 
@@ -258,6 +259,31 @@ object ManifestJsonl {
       txns: Map[String, Long]
   )
   final case class FileCommitInfo(file: String, rows: Long, bytes: Long)
+
+  /** Resolve the sink's `path` option to a local java.nio Path.
+    *
+    * Callers hand this sink Hadoop-qualified URIs (`file:/tmp/...`,
+    * `file:///tmp/...` — e.g. anything derived from a qualified
+    * FileSystem path), and raw `Paths.get` on such a string silently
+    * creates a CWD-relative `file:` DIRECTORY instead of writing to the
+    * target — and for a non-file scheme it would scatter executor-local
+    * relative dirs, which for an exactly-once sink is data loss. So:
+    * scheme-qualified strings are parsed as URIs, and any scheme this
+    * java.nio-backed sink cannot honor is rejected loudly instead of
+    * mis-resolved.
+    */
+  def localPath(path: String): Path = {
+    val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:".r
+    if (schemeRe.findFirstIn(path).isDefined) {
+      val uri = java.net.URI.create(path)
+      require(
+        uri.getScheme == "file",
+        s"graft-manifest-jsonl is java.nio-backed and supports only local file paths; " +
+          s"got scheme '${uri.getScheme}' in '$path'"
+      )
+      Paths.get(uri)
+    } else Paths.get(path)
+  }
 
   def validateSchema(schema: StructType): Unit = {
     val bad = schema.fields.filterNot(f => f.dataType match {
@@ -476,7 +502,7 @@ object ManifestJsonl {
 
   /** Snapshot read pinned to a version (time travel). */
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val dir = Paths.get(path)
+    val dir = ManifestJsonl.localPath(path)
     toDf(spark, dir, readManifestAt(dir, version))
   }
 
@@ -511,7 +537,7 @@ object ManifestJsonl {
     * in the directory (crashed writers, concurrent attempts) are not.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val dir = Paths.get(path)
+    val dir = ManifestJsonl.localPath(path)
     val m = readManifest(dir).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $path — nothing committed")
     )

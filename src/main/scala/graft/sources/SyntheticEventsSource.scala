@@ -143,12 +143,44 @@ private class SyntheticScan(
     * write-ahead log.
     */
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new streaming.MicroBatchStream {
+    new streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
       import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
       private var cur: Long = lo
+      // Trigger.AvailableNow support: WITHOUT this interface the engine
+      // "falls back to single batch execution" (one giant batch covering
+      // the whole id range — the r12 SoakSpec caught it), which defeats
+      // both the rowsPerBatch soak contract and the bounded-memory point
+      // of micro-batching. The engine calls prepareForTriggerAvailableNow
+      // once at start; we pin the drain target to the full remaining
+      // range, and latestOffset keeps advancing by rowsPerBatch until it
+      // reaches it — so AvailableNow drains EVERYTHING available at
+      // start, in bounded chunks, then terminates (the Kafka source's
+      // exact semantics).
+      private var availableNowEnd: Option[Long] = None
+      override def prepareForTriggerAvailableNow(): Unit = availableNowEnd = Some(hi)
+      override def reportLatestOffset(): SOffset = SyntheticOffset(availableNowEnd.getOrElse(hi))
       override def initialOffset(): SOffset = SyntheticOffset(lo)
+      // SupportsTriggerAvailableNow extends SupportsAdmissionControl, so
+      // the engine calls the 2-arg form; rowsPerBatch is the default read
+      // limit (the generator's admission-control contract)
+      override def getDefaultReadLimit
+          : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.maxRows(math.max(1L, perBatch))
+      override def latestOffset(
+          start: SOffset,
+          limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): SOffset = {
+        val target = availableNowEnd.getOrElse(hi)
+        val step = limit match {
+          case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+          case _                                                            => math.max(1L, perBatch)
+        }
+        cur = math.min(target, start.asInstanceOf[SyntheticOffset].pos + step)
+        SyntheticOffset(cur)
+      }
       override def latestOffset(): SOffset = {
-        cur = math.min(hi, cur + math.max(1L, perBatch))
+        val target = availableNowEnd.getOrElse(hi)
+        cur = math.min(target, cur + math.max(1L, perBatch))
         SyntheticOffset(cur)
       }
       override def deserializeOffset(json: String): SOffset = {

@@ -106,7 +106,12 @@ object Pipelines {
           val obs = org.apache.spark.sql.Observation()
           failed.observe(obs, count(lit(1)).as("n"))
             .write.mode("overwrite").parquet(s"$dlqPath/batch=$batchId")
-          val nFailed = obs.get("n").asInstanceOf[Long]
+          // defensive lookup: if the write action ever completes without
+          // firing the observation (e.g. an empty-source no-op plan), a
+          // missing metric degrades to 0 instead of killing the stream
+          val nFailed =
+            org.apache.spark.sql.graft.PlanBridge.observedOrEmpty(obs)
+              .get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
           if (nFailed > 0) {
             // side-effect log, pass-through unchanged (reference
             // AnimalTransformerStream.java:58)

@@ -17,4 +17,12 @@ object PlanBridge {
 
   /** The analyzed logical plan of a DataFrame (attribute refs resolved). */
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** `Observation.getOrEmpty` is `private[sql]`: the non-blocking metrics
+    * read a foreachBatch sink needs — if the write action ever completes
+    * without firing the observation, the blocking `get` would hang the
+    * stream, and `get.apply(key)` would throw on a missing metric.
+    */
+  def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
 }

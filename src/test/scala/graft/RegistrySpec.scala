@@ -116,6 +116,22 @@ class RegistrySpec extends GraftSpecBase {
     assert(empty.isEmpty, s"empty oracles: $empty")
   }
 
+  test("README query counts match the registry (r11 verdict: 353/351 drift)") {
+    // Every "<N> queries" / "<N> pass" figure on the repo's front page must
+    // equal SparkEntry.queries.size — counts drifted twice (r11 shipped a
+    // README saying 353 AND 351 against a 355-query registry). Grep-pinned
+    // here so a wave that grows the registry fails the suite until the
+    // README is refreshed.
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")), "UTF-8")
+    val n = SparkEntry.queries.size
+    val counted = ("""(\d+) queries""".r.findAllMatchIn(readme) ++
+      """(\d+) pass""".r.findAllMatchIn(readme)).map(_.group(1).toInt).toSeq
+    assert(counted.nonEmpty, "README no longer states the query count — keep it stated and pinned")
+    val stale = counted.filter(_ != n)
+    assert(stale.isEmpty, s"README query counts $stale != registry size $n — refresh README.md")
+  }
+
   test("every query output schema is scalar-only (driver-harness contract)") {
     // The driver's oracle gate canonicalizes results via pandas sort_values
     // + a dtype-sensitive row hash; an array/map/struct toplevel column

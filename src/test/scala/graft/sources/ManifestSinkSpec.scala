@@ -196,6 +196,34 @@ class ManifestSinkSpec extends GraftSpecBase {
     assert(m.txns.get("stream-spec").exists(_ >= 1L))
   }
 
+  test("Hadoop-qualified file: URIs resolve to the target dir, not a CWD-relative 'file:' dir") {
+    val dir = freshDir("uri")
+    val qualified = s"file:$dir" // WorkDirs.fresh-style qualified form
+    sample.write.format("graft-manifest-jsonl").option("path", qualified).mode("append").save()
+    // data and manifest landed at the real target...
+    assert(ManifestJsonl.readManifest(Paths.get(dir)).exists(_.files.map(_.rows).sum == 3L))
+    assert(ManifestJsonl.read(spark, qualified).count() === 3L)
+    // ...and no stray CWD-relative 'file:' directory was created
+    assert(!Files.exists(Paths.get("file:")))
+    // file:/// triple-slash form resolves identically
+    assert(ManifestJsonl.localPath(s"file://$dir") === Paths.get(dir))
+  }
+
+  test("non-file schemes are rejected loudly instead of mis-resolved") {
+    val ex = intercept[IllegalArgumentException] {
+      ManifestJsonl.localPath("s3a://bucket/prefix")
+    }
+    assert(ex.getMessage.contains("s3a"))
+    // and the write path trips the same gate eagerly at plan time
+    val ex2 = intercept[Exception] {
+      sample.write.format("graft-manifest-jsonl")
+        .option("path", "hdfs://nn/warehouse/t").mode("append").save()
+    }
+    val chain = Iterator.iterate(ex2: Throwable)(_.getCause).takeWhile(_ != null).take(6)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(chain.contains("hdfs"))
+  }
+
   test("null cells and special doubles serialize as JSON nulls") {
     val dir = freshDir("nulls")
     Seq((1L, Option.empty[String], Double.NaN), (2L, Some("ok"), 1.0))
