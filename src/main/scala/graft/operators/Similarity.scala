@@ -344,6 +344,65 @@ object Similarity {
       .filter(col("cosine") >= tau)
   }
 
+  /** B287 — sign-LSH index-quality calibration, the vector-space twin of
+    * Dedup.minhashCalibration: for every band-colliding candidate pair,
+    * the number of AGREEING sign bits across all `2·bitsPerBand` planes
+    * (popcount of the XNOR'd packed band masks) against the exact cosine,
+    * averaged per agreement level. Charikar's theorem says
+    * P[signs agree] = 1 − θ/π, so the per-level mean cosine should track
+    * cos(π·(1 − m/2b)) — this measures whether it DOES on this cloud,
+    * before anyone trusts the banding's recall.
+    *
+    * Scale shape: identical to randomHyperplanePairs (bands rows per
+    * vector shuffle, candidates only from bucket collisions, never
+    * all-pairs); masks travel with the banding rows so no corpus
+    * join-back; per-pair work is two popcounts + one cosine; output is
+    * ≤ 2·bitsPerBand+1 rows. Cosines are round-6 snapped then scaled to
+    * exact integer micros so the per-level mean is summation-order-free.
+    */
+  def rpLshCalibration(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bitsPerBand: Int
+  ): DataFrame = {
+    require(bitsPerBand <= MaxBitsPerBand, s"bitsPerBand $bitsPerBand > $MaxBitsPerBand")
+    val planes = signPlanes(2 * MaxBitsPerBand, 64)
+    val base = spread(embeddings).select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val bandCols = (0 until 2).map { bd =>
+      (0 until bitsPerBand).map { b =>
+        val plane = planes(bd * MaxBitsPerBand + b)
+        when(dot(col("v"), array(plane.map(lit).toIndexedSeq: _*)) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$bd")
+    }
+    val packed = base.select(col("vec_id"), col("v"), bandCols(0), bandCols(1))
+    val banded = packed.select(
+      col("vec_id"), col("v"), col("b0"), col("b1"),
+      posexplode(array(col("b0"), col("b1"))).as(Seq("band", "bucket")))
+    val candidates = banded.as("x")
+      .join(
+        banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        col("x.v").as("va"), col("y.v").as("vb"),
+        col("x.b0").as("a0"), col("x.b1").as("a1"),
+        col("y.b0").as("z0"), col("y.b1").as("z1"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .select(
+        (lit(2L * bitsPerBand) -
+          expr("CAST(bit_count(a0 ^ z0) AS BIGINT) + CAST(bit_count(a1 ^ z1) AS BIGINT)"))
+          .as("n_match"),
+        round(round(cosine(col("va"), col("vb")), 6) * lit(1000000), 0)
+          .cast("long").as("cos_micro"))
+      .groupBy(col("n_match"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(cos_micro) div count(1) AS BIGINT)").as("avg_cosine_micro"))
+  }
+
   /** Approximate k-NN graph over an embedding column: RP-LSH banded
     * candidate pairs (randomHyperplanePairs) symmetrized in a single pass
     * (explode to both edge directions — no self-union, so candidate

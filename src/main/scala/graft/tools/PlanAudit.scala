@@ -123,7 +123,14 @@ object PlanAudit {
       // zero-fill grid (B98 pattern) and the 4-literal rich-club
       // threshold grid against the degree-joined edge list (B180's
       // one-pass sweep) — every cross side constant/charset-bounded
-      "text_jsd_sources", "graph_rich_club"
+      "text_jsd_sources", "graph_rich_club",
+      // round 12 batch 53, reviewed: sim_dot_vs_cosine_rank is the
+      // documented bruteForceTopK trade (10 broadcast probes non-equi-
+      // joined over one streaming corpus scan, both rankings from the
+      // same scan); graph_partition_cut crosses a 1-row max-key
+      // aggregate and a 3-literal P grid over the edge list (B180's
+      // one-pass sweep + the scalar-subquery pattern)
+      "sim_dot_vs_cosine_rank", "graph_partition_cut"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test

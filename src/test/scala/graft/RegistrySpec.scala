@@ -94,7 +94,9 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt74" -> QueriesExt74.queries.keySet,
       "QueriesExt75" -> QueriesExt75.queries.keySet,
       "QueriesExt76" -> QueriesExt76.queries.keySet,
-      "QueriesExt77" -> QueriesExt77.queries.keySet
+      "QueriesExt77" -> QueriesExt77.queries.keySet,
+      "QueriesExt78" -> QueriesExt78.queries.keySet,
+      "QueriesExt79" -> QueriesExt79.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
