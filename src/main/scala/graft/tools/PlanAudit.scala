@@ -130,7 +130,13 @@ object PlanAudit {
       // same scan); graph_partition_cut crosses a 1-row max-key
       // aggregate and a 3-literal P grid over the edge list (B180's
       // one-pass sweep + the scalar-subquery pattern)
-      "sim_dot_vs_cosine_rank", "graph_partition_cut"
+      "sim_dot_vs_cosine_rank", "graph_partition_cut",
+      // round 12 batch 54, reviewed: the 8-literal K grid non-equi-joined
+      // over the word-type-bounded vocabulary (B180 sweep), a 1-row
+      // max-id broadcast for the planted-copy staging, and the 4-literal
+      // canary grid crossed over the scan — every loop side constant- or
+      // vocab-bounded, the corpus never self-joins
+      "text_ngram_coverage_curve", "embed_exact_dup", "text_canary_contamination"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test
