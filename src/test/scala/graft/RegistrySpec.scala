@@ -97,7 +97,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt77" -> QueriesExt77.queries.keySet,
       "QueriesExt78" -> QueriesExt78.queries.keySet,
       "QueriesExt79" -> QueriesExt79.queries.keySet,
-      "QueriesExt80" -> QueriesExt80.queries.keySet
+      "QueriesExt80" -> QueriesExt80.queries.keySet,
+      "QueriesExt81" -> QueriesExt81.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
