@@ -196,23 +196,52 @@ object Bench {
     val canaryName  = "q2_filter_project" // scan+filter+project, sub-second at every sf
     val canaryEvery = 25
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    def canaryTick(idx: Int): Unit = if (only.isEmpty && SparkEntry.queries.contains(canaryName)) {
+    // returns true when THIS sample marks a contamination window (>2× the
+    // best sample so far) — the caller re-times the window's queries (r12
+    // postmortem: the shipped run RECORDED a live 0.557 s-vs-0.203 window
+    // at query 325 but only settled; dedup_simhash's 1.5× inflation inside
+    // it then sailed under the old 2× per-query drift trigger)
+    def canaryTick(idx: Int): Boolean = {
+      if (!(only.isEmpty && SparkEntry.queries.contains(canaryName))) return false
       val t = runOnce(canaryName)
-      if (t >= 0) {
-        canarySamples += ((idx, t))
-        val best = canarySamples.map(_._2).min
-        if (t > 2.0 * best && t - best > 0.3) {
-          System.err.println(
-            f"[bench] canary drift at query $idx: $canaryName $t%.2fs vs best $best%.2fs — host contamination window; settling")
-          System.gc(); Thread.sleep(500)
-        }
+      if (t < 0) return false
+      canarySamples += ((idx, t))
+      val best = canarySamples.map(_._2).min
+      val dirty = t > 2.0 * best && t - best > 0.3
+      if (dirty) {
+        System.err.println(
+          f"[bench] canary drift at query $idx: $canaryName $t%.2fs vs best $best%.2fs — host contamination window; settling")
+        System.gc(); Thread.sleep(500)
       }
+      dirty
     }
     canaryTick(0)
-    val firstPass = names.zipWithIndex.map { case (n, i) =>
-      if (i > 0 && i % canaryEvery == 0) canaryTick(i)
-      n -> run(n)
+    // A dirty canary sample re-times every query measured since the last
+    // clean tick (min-merged — stalls only ever inflate). Capped: a host
+    // that is THIS noisy should ship its numbers flagged, not loop.
+    val maxCanaryRetimes = 3
+    var canaryRetimes    = 0
+    val firstPassBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QStat)]
+    var windowStart  = 0
+    names.zipWithIndex.foreach { case (n, i) =>
+      if (i > 0 && i % canaryEvery == 0) {
+        val dirty = canaryTick(i)
+        if (dirty && canaryRetimes < maxCanaryRetimes) {
+          canaryRetimes += 1
+          System.err.println(
+            s"[bench] canary-triggered re-time of suite queries $windowStart..${i - 1} (window ${canaryRetimes}/$maxCanaryRetimes)")
+          (windowStart until i).foreach { j =>
+            val (nm, first) = firstPassBuf(j)
+            val second      = run(nm)
+            if (second.med >= 0 && (first.med < 0 || second.med < first.med))
+              firstPassBuf(j) = nm -> second
+          }
+        }
+        windowStart = i
+      }
+      firstPassBuf += (n -> run(n))
     }
+    val firstPass = firstPassBuf.toSeq
 
     /** Outlier guard against the committed run history. Same-binary full-suite
       * totals have swung 1.6× on this shared host (round 6: 115.2 s in the
@@ -253,6 +282,14 @@ object Bench {
             scala.util.Try {
               val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
               val sfOk = (j \ "sf") match { case JString(s) => s == sfDir; case _ => false }
+              // history is only comparable within one execution topology:
+              // a local-cluster[2,2,2048] run at 4 cores/2 JVMs must not
+              // poison the local[32] drift medians (and vice versa).
+              // Snapshots predating the field are all local[N].
+              val masterOk = (j \ "master") match {
+                case JString(m) => m == spark.sparkContext.master
+                case _          => spark.sparkContext.master.startsWith("local[")
+              }
               val qs = (j \ "queries") match {
                 case JObject(fields) => fields.collect {
                   case (k, JObject(o)) => o.collectFirst { case ("med", JDouble(d)) => k -> d }
@@ -261,7 +298,7 @@ object Bench {
                 }.flatten.toMap
                 case _ => Map.empty[String, Double]
               }
-              if (sfOk && qs.nonEmpty) Some(qs) else scala.None
+              if (sfOk && masterOk && qs.nonEmpty) Some(qs) else scala.None
             }.toOption.flatten
           }
           .takeRight(8)
@@ -408,8 +445,17 @@ object Bench {
     // after the cap ship in perquery_drift_violations — a genuine
     // regression (code made it slower) can't clear the gate by rerunning
     // and fails loudly, demanding a PLANS.md note with the explanation.
+    // Two tiers (r12 postmortem: dedup_simhash at 1.62 s vs a 0.88-1.14 s
+    // history band sailed under a flat 2× trigger): queries whose history
+    // median exceeds 1 s trigger at 1.5× — a solo rerun is cheap at that
+    // size and 50% of >1 s is a real regression, not noise; sub-second
+    // queries keep the 2× + 0.5 s-absolute slack so scheduling jitter
+    // can't flag them.
     def driftBad(n: String, s: QStat): Boolean =
-      s.med > 0 && histMed.get(n).exists(h => s.med > 2.0 * h && s.med - h > 0.5)
+      s.med > 0 && histMed.get(n).exists { h =>
+        if (h > 1.0) s.med > 1.5 * h
+        else s.med > 2.0 * h && s.med - h > 0.5
+      }
     var driftReruns = 0
     while (only.isEmpty && driftReruns < 3 && stats.exists(kv => driftBad(kv._1, kv._2))) {
       val flagged = stats.collect { case (n, s) if driftBad(n, s) => n }
@@ -488,11 +534,23 @@ object Bench {
        else "")
     // canary audit trail goes to the FULL snapshot only (stdout line must
     // stay under the driver's ~2000-char tail buffer)
+    // `flagged` is recomputed RETROACTIVELY against the whole-run best:
+    // the live check compares each sample to the min-so-far, so
+    // contamination present from the start of the run (inflated first
+    // sample = 'best') only becomes visible once a later clean sample
+    // lowers the baseline — the end-of-run sweep names those spans too.
     val canaryField =
       if (canarySamples.isEmpty) ""
-      else canarySamples.map { case (i, t) => s"[$i,${fmt(t)}]" }
-             .mkString(s""","canary":{"query":"$canaryName","samples":[""", ",", "]}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"trials":$trials$histField$canaryField,"queries":$all$streamField,"sf":"$sfDir"}"""
+      else {
+        val best = canarySamples.map(_._2).min
+        val flagged = canarySamples.collect {
+          case (i, t) if t > 2.0 * best && t - best > 0.3 => i
+        }
+        canarySamples.map { case (i, t) => s"[$i,${fmt(t)}]" }
+          .mkString(s""","canary":{"query":"$canaryName","samples":[""", ",",
+            s"""],"retimed_windows":$canaryRetimes,"flagged":[${flagged.mkString(",")}]}""")
+      }
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"trials":$trials$histField$canaryField,"queries":$all$streamField,"sf":"$sfDir","master":"${spark.sparkContext.master}"}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

@@ -14,12 +14,46 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
-  def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession
+  /** Master override for the multi-JVM execution leg: every gate to date ran
+    * in ONE JVM (local[N]), where closure serialization, broadcast shipping,
+    * task-result transport and the custom TypedImperativeAggregates'
+    * serialize/merge paths are structurally unexercised.
+    * `SPARK_GRAFT_MASTER=local-cluster[2,2,2048]` runs an in-process
+    * master + 2 workers that spawn REAL separate executor JVMs (requires
+    * SPARK_HOME so the workers can build the executor classpath — see
+    * scripts/localcluster-run.sh).
+    */
+  def master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
+  /** JDK17 add-opens mirrored from build.sbt/run-main.sh — separate executor
+    * JVMs need them too (Platform.allocateDirectBuffer, calendar reflection).
+    */
+  private val AddOpens: String = {
+    val pkgs = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java.net",
+      "java.nio", "java.util", "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
+    pkgs.map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" ")
+  }
+
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
+      .master(master)
+    if (master.startsWith("local-cluster")) {
+      // Executors are separate processes: ship the library classes and the
+      // JDK17 opens; size spark.executor.memory to the worker slot from the
+      // master string (default 1g would strand the rest of the slot).
+      val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      val memMb = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)".r
+        .findFirstMatchIn(master).map(_.group(1)).getOrElse("1024")
+      b.config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.extraJavaOptions", s"$AddOpens -Duser.timezone=UTC")
+        .config("spark.executor.memory", s"${memMb}m")
+    }
+    b
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -78,6 +112,7 @@ object GraftSession {
       // every time function (unix_millis, window, watermark) stays usable
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+  }
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

@@ -209,7 +209,17 @@ object Dedup {
       .distinct()
       // pair-list-sized; materialized once because three consumers
       // (member pruning + est join + exact-Jaccard joins) would each
-      // replay the band self-join + global top-k otherwise
+      // replay the band self-join + global top-k otherwise.
+      // NOTE: localCheckpoint(true) is EAGER — merely constructing a
+      // calibration DataFrame runs the band self-join + global top-k at
+      // build time, and the truncated lineage is backed by
+      // non-replicated executor-local blocks (unrecoverable on executor
+      // loss). That is the deliberate trade for this diagnostic family:
+      // the sample is consumed immediately by its only caller, and a
+      // lost executor in a real cluster re-runs the whole (cheap,
+      // deterministic) query rather than paying replicated persist on
+      // every build. Library callers wanting lazy construction should
+      // persist()+count() instead.
       .localCheckpoint(true)
 
   /** Semi-join-prune a signature table to the docs a (bounded) candidate
@@ -225,7 +235,24 @@ object Dedup {
     sigs.join(broadcast(members), Seq("doc_id"), "left_semi")
   }
 
-  def minhashCalibration(
+  /** Shared candidate/verify stage for the B103/B265 calibration family
+    * (r12 verdict: the two queries were plan-identical within 2% and
+    * differed only in emitted columns — two full banding+verify passes
+    * for one diagnostic family). ONE signature scan, ONE band self-join,
+    * ONE md5-ranked sample, ONE verify join pass producing every per-pair
+    * statistic either table needs: full-signature agreement, 1-bit
+    * (parity) agreement, and exact Jaccard in integer ppm.
+    *
+    * The verify pass is also single-stage now: the sample is ≤
+    * CalibrationSampleK pairs by construction, so exact Jaccard is
+    * `array_intersect` on the two (already-distinct) shingle sets carried
+    * by the SAME two joins that carry the signatures — the previous
+    * explode→equi-join→groupBy intersection (correct for the UNBOUNDED
+    * action pipeline, where per-pair arrays would skew) cost four extra
+    * joins and a shuffle here. Output is pair-sized, checkpointed once;
+    * both public tables are ≤17-row group-bys over it.
+    */
+  private def calibrationPairStats(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -238,42 +265,45 @@ object Dedup {
         .join(banded.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
-    val pruned  = pruneToMembers(sigs, candidates)
-    val sigOnly = pruned.select(col("doc_id"), col("sig"))
-    val est = candidates
-      .join(sigOnly.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigOnly.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val pruned = pruneToMembers(sigs, candidates)
+      .select(col("doc_id"), col("sig"), col("shingle_set"), col("set_size"))
+    val perPair = candidates
+      .join(
+        pruned.select(
+          col("doc_id").as("id_a"), col("sig").as("sig_a"),
+          col("shingle_set").as("set_a"), col("set_size").as("za")), "id_a")
+      .join(
+        pruned.select(
+          col("doc_id").as("id_b"), col("sig").as("sig_b"),
+          col("shingle_set").as("set_b"), col("set_size").as("zb")), "id_b")
       .select(
-        col("id_a"),
-        col("id_b"),
         expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS BIGINT)")
-          .as("n_match")
-      )
-    val sets  = pruned.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
-    val sizes = pruned.select(col("doc_id"), col("set_size"))
-    val inter = candidates
-      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val out = est
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("za")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("zb")), "id_b")
+          .as("n_match"),
+        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x % 2 = y % 2), b -> b)) AS BIGINT)")
+          .as("n_match_1bit"),
+        expr("CAST(size(array_intersect(set_a, set_b)) AS BIGINT)").as("n_inter"),
+        col("za"), col("zb"))
       .select(
         col("n_match"),
-        expr("CAST(coalesce(n_inter, 0) * 1000000 div (za + zb - coalesce(n_inter, 0)) AS BIGINT)")
-          .as("jac_ppm")
-      )
+        col("n_match_1bit"),
+        expr("CAST(n_inter * 1000000 div (za + zb - n_inter) AS BIGINT)").as("jac_ppm"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    perPair
+  }
+
+  def minhashCalibration(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleWords: Int
+  ): DataFrame =
+    calibrationPairStats(docs, idCol, textCol, shingleWords)
       .groupBy("n_match")
       .agg(
         count(lit(1)).as("n_pairs"),
         expr("CAST(sum(jac_ppm) div count(1) AS BIGINT)").as("avg_jaccard_ppm")
       )
-      .localCheckpoint(true)
-    sigs.unpersist()
-    out
-  }
 
   /** B265 — b-bit MinHash (b = 1) calibration against the full 32-bit
     * signatures AND exact Jaccard, on the SAME banded candidate pairs as
@@ -294,52 +324,18 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleWords: Int
-  ): DataFrame = {
-    val sigs   = signatureTable(docs, idCol, textCol, shingleWords).persist()
-    val banded = bandRows(sigs)
-    val candidates = sampleCandidates(
-      banded.as("x")
-        .join(banded.as("y"), col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b")))
-    val pruned  = pruneToMembers(sigs, candidates)
-    val sigOnly = pruned.select(col("doc_id"), col("sig"))
-    val est = candidates
-      .join(sigOnly.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigOnly.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .select(
-        col("id_a"),
-        col("id_b"),
-        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) AS BIGINT)")
-          .as("n_match"),
-        expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x % 2 = y % 2), b -> b)) AS BIGINT)")
-          .as("n_match_1bit"))
-    val sets  = pruned.select(col("doc_id"), explode(col("shingle_set")).as("shingle"))
-    val sizes = pruned.select(col("doc_id"), col("set_size"))
-    val inter = candidates
-      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("id_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val out = est
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .join(sizes.select(col("doc_id").as("id_a"), col("set_size").as("za")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("set_size").as("zb")), "id_b")
+  ): DataFrame =
+    calibrationPairStats(docs, idCol, textCol, shingleWords)
       .select(
         col("n_match"),
         expr("greatest(2 * n_match_1bit - 16, 0L) * 1000000 div 16").as("est_1bit_ppm"),
-        expr("CAST(coalesce(n_inter, 0) * 1000000 div (za + zb - coalesce(n_inter, 0)) AS BIGINT)")
-          .as("jac_ppm"))
+        col("jac_ppm"))
       .groupBy(col("n_match"))
       .agg(
         count(lit(1)).as("n_pairs"),
         expr("CAST(sum(est_1bit_ppm) div count(1) AS BIGINT)").as("avg_est_1bit_ppm"),
         expr("CAST(sum(jac_ppm) div count(1) AS BIGINT)").as("avg_jaccard_ppm"))
       .withColumn("est_full_ppm", expr("n_match * 1000000 div 16"))
-      .localCheckpoint(true)
-    sigs.unpersist()
-    out
-  }
 
   def minhashPairs(
       docs: DataFrame,

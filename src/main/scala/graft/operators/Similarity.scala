@@ -364,36 +364,44 @@ object Similarity {
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
-      bitsPerBand: Int
+      bitsPerBand: Int,
+      bands: Int = 2,
+      dim: Int = 64
   ): DataFrame = {
     require(bitsPerBand <= MaxBitsPerBand, s"bitsPerBand $bitsPerBand > $MaxBitsPerBand")
-    val planes = signPlanes(2 * MaxBitsPerBand, 64)
+    // same plane geometry as randomHyperplanePairs: dim must match the
+    // embedding column's length or the sign projections are meaningless
+    val planes = signPlanes(bands * MaxBitsPerBand, dim)
     val base = spread(embeddings).select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    val bandCols = (0 until 2).map { bd =>
+    val bandCols = (0 until bands).map { bd =>
       (0 until bitsPerBand).map { b =>
         val plane = planes(bd * MaxBitsPerBand + b)
         when(dot(col("v"), array(plane.map(lit).toIndexedSeq: _*)) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"b$bd")
     }
-    val packed = base.select(col("vec_id"), col("v"), bandCols(0), bandCols(1))
+    val packed = base.select(col("vec_id") +: col("v") +: bandCols: _*)
+    val maskCols = (0 until bands).map(i => col(s"b$i"))
     val banded = packed.select(
-      col("vec_id"), col("v"), col("b0"), col("b1"),
-      posexplode(array(col("b0"), col("b1"))).as(Seq("band", "bucket")))
+      (Seq(col("vec_id"), col("v")) ++ maskCols :+
+        posexplode(array(maskCols: _*)).as(Seq("band", "bucket"))): _*)
     val candidates = banded.as("x")
       .join(
         banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(
-        col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        col("x.v").as("va"), col("y.v").as("vb"),
-        col("x.b0").as("a0"), col("x.b1").as("a1"),
-        col("y.b0").as("z0"), col("y.b1").as("z1"))
+        (Seq(
+          col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+          col("x.v").as("va"), col("y.v").as("vb")) ++
+          (0 until bands).map(i => col(s"x.b$i").as(s"a$i")) ++
+          (0 until bands).map(i => col(s"y.b$i").as(s"z$i"))): _*)
       .dropDuplicates("id_a", "id_b")
     candidates
       .select(
-        (lit(2L * bitsPerBand) -
-          expr("CAST(bit_count(a0 ^ z0) AS BIGINT) + CAST(bit_count(a1 ^ z1) AS BIGINT)"))
+        (lit(bands.toLong * bitsPerBand) -
+          (0 until bands)
+            .map(i => expr(s"CAST(bit_count(a$i ^ z$i) AS BIGINT)"))
+            .reduce(_ + _))
           .as("n_match"),
         round(round(cosine(col("va"), col("vb")), 6) * lit(1000000), 0)
           .cast("long").as("cos_micro"))

@@ -273,15 +273,41 @@ object ManifestJsonl {
     * mis-resolved.
     */
   def localPath(path: String): Path = {
-    val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:".r
+    // 2+ char scheme: a single-letter prefix like `C:` is a Windows drive
+    // path, not a URI scheme (RFC 3986 allows it, but no filesystem scheme
+    // this sink could meet is one letter — file/hdfs/s3a/...)
+    val schemeRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]+:".r
     if (schemeRe.findFirstIn(path).isDefined) {
-      val uri = java.net.URI.create(path)
+      val uri =
+        try java.net.URI.create(path)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"graft-manifest-jsonl: path option '$path' looks scheme-qualified but is not a " +
+                s"valid URI (${e.getMessage}); pass a plain local path or a well-formed file: URI",
+              e
+            )
+        }
       require(
         uri.getScheme == "file",
         s"graft-manifest-jsonl is java.nio-backed and supports only local file paths; " +
           s"got scheme '${uri.getScheme}' in '$path'"
       )
-      Paths.get(uri)
+      require(
+        uri.getAuthority == null || uri.getAuthority.isEmpty,
+        s"graft-manifest-jsonl: file: URI '$path' carries an authority " +
+          s"('${uri.getAuthority}') — remote-host file URIs are not local paths; " +
+          "use file:/abs/path or file:///abs/path"
+      )
+      try Paths.get(uri)
+      catch {
+        case e: RuntimeException =>
+          throw new IllegalArgumentException(
+            s"graft-manifest-jsonl: cannot resolve '$path' to a local filesystem path " +
+              s"(${e.getMessage})",
+            e
+          )
+      }
     } else Paths.get(path)
   }
 
