@@ -136,6 +136,31 @@ class RegistrySpec extends GraftSpecBase {
     assert(stale.isEmpty, s"README query counts $stale != registry size $n — refresh README.md")
   }
 
+  test("survey map is total both ways and REGISTRY.md matches the registry (r12 verdict #7)") {
+    // the machine-readable operator→query map: every registered query must
+    // carry SURVEY §2 ids, every mapped query must exist, and the committed
+    // REGISTRY.md must list exactly the registered queries — so coverage
+    // tables can be generated, never hand-maintained, and a new wave fails
+    // the suite until both the map and REGISTRY.md are refreshed
+    // (`scripts/run-main.sh graft.tools.Registry`).
+    val q = SparkEntry.queries.keySet
+    val m = graft.tools.Registry.loadSurveyMap()
+    val unmapped = (q -- m.queryIds.keySet).toSeq.sorted
+    assert(unmapped.isEmpty, s"queries missing from scripts/survey_map.tsv: $unmapped")
+    val ghost = (m.queryIds.keySet -- q).toSeq.sorted
+    assert(ghost.isEmpty, s"survey_map.tsv names not in the registry: $ghost")
+    val dupSpecIds = m.specIds.groupBy(_._1).collect { case (id, rs) if rs.size > 1 => id }
+    assert(dupSpecIds.isEmpty, s"duplicate spec-id rows: $dupSpecIds")
+    val overlap = m.specIds.map(_._1).toSet & m.queryIds.values.flatten.toSet
+    assert(overlap.isEmpty, s"SURVEY ids both query-mapped and spec-only: ${overlap.toSeq.sorted}")
+
+    val registryMd = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("REGISTRY.md")), "UTF-8")
+    val listed = """\| `([a-z0-9_]+)` \|""".r.findAllMatchIn(registryMd).map(_.group(1)).toSet
+    assert((q -- listed).isEmpty, s"REGISTRY.md missing queries: ${(q -- listed).toSeq.sorted} — regenerate")
+    assert((listed -- q).isEmpty, s"REGISTRY.md lists unregistered queries: ${(listed -- q).toSeq.sorted} — regenerate")
+  }
+
   test("every query output schema is scalar-only (driver-harness contract)") {
     // The driver's oracle gate canonicalizes results via pandas sort_values
     // + a dtype-sensitive row hash; an array/map/struct toplevel column
