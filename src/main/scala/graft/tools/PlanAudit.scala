@@ -136,7 +136,12 @@ object PlanAudit {
       // max-id broadcast for the planted-copy staging, and the 4-literal
       // canary grid crossed over the scan — every loop side constant- or
       // vocab-bounded, the corpus never self-joins
-      "text_ngram_coverage_curve", "embed_exact_dup", "text_canary_contamination"
+      "text_ngram_coverage_curve", "embed_exact_dup", "text_canary_contamination",
+      // round 13 batch 56, reviewed: the key-level and row-level drift
+      // totals are each ONE aggregate row crossed over each other before
+      // the 3-literal W explode (scalar-subquery pattern, both sides
+      // 1-row by construction)
+      "cdc_watermark_survivor_drift"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test
