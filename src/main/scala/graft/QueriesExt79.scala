@@ -216,8 +216,10 @@ object QueriesExt79 {
        |b AS MATERIALIZED (SELECT vec_id, (${buckets(0)}) AS b0, (${buckets(1)}) AS b1, e
        |  FROM v, bits),
        |x AS (SELECT vec_id, unnest([b0, b1]) AS bucket, unnest([0, 1]) AS band FROM b),
-       |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |cand0 AS MATERIALIZED (SELECT x.vec_id AS id_a, y.vec_id AS id_b
        |         FROM x JOIN x AS y ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |cand AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT id_a, id_b FROM cand0 ORDER BY md5(concat(id_a, ':', id_b)), id_a, id_b LIMIT 50000)),
        |p AS (SELECT
        |    2 * nb - bit_count(CAST(xor(a.b0, z.b0) AS BIGINT))
        |           - bit_count(CAST(xor(a.b1, z.b1) AS BIGINT)) AS n_match,

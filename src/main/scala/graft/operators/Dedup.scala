@@ -191,7 +191,9 @@ object Dedup {
     */
   private val CalibrationSampleK = 50000
 
-  private def sampleCandidates(candidates: DataFrame): DataFrame =
+  // private[operators]: Similarity.rpLshCalibration shares the identical
+  // md5-ranked bounded-sample discipline (same K, same oracle idiom)
+  private[operators] def sampleCandidates(candidates: DataFrame): DataFrame =
     candidates
       // rank BEFORE dedup: callers hand in the raw band self-join output
       // (a pair colliding in 2+ bands appears 2+ times), because a full

@@ -353,12 +353,22 @@ object Similarity {
     * cos(π·(1 − m/2b)) — this measures whether it DOES on this cloud,
     * before anyone trusts the banding's recall.
     *
-    * Scale shape: identical to randomHyperplanePairs (bands rows per
-    * vector shuffle, candidates only from bucket collisions, never
-    * all-pairs); masks travel with the banding rows so no corpus
-    * join-back; per-pair work is two popcounts + one cosine; output is
-    * ≤ 2·bitsPerBand+1 rows. Cosines are round-6 snapped then scaled to
-    * exact integer micros so the per-level mean is summation-order-free.
+    * Scale shape (r13 — its own sf100 probe caught the previous form
+    * dying): banding rows carry ONLY (vec_id, band, bucket), so the
+    * candidate self-join and the md5-ranked ≤50 k-pair sample
+    * (Dedup.sampleCandidates — the identical r12 discipline that bounded
+    * the minhash calibration family) move 16-byte id pairs, never
+    * vectors. The earlier form carried both full 64-dim vectors + masks
+    * through the candidate dropDuplicates shuffle: at 2 M vectors
+    * (~200 M banded candidates × ~1 KB) it spilled past the disk and
+    * died — the diagnostic's curve converges long before that, so a
+    * fixed deterministic sample is the correct cost class (O(k) verify
+    * after a linear banding pass). Vectors and masks join back via a
+    * broadcast semi-join on the ≤2k sampled members only. Cosines are
+    * round-6 snapped then scaled to exact integer micros so the
+    * per-level mean is summation-order-free; the oracle replays the
+    * identical sample (ORDER BY md5(id:id) LIMIT k, rank before
+    * distinct — boundary ties are bit-identical rows).
     */
   def rpLshCalibration(
       embeddings: DataFrame,
@@ -379,24 +389,30 @@ object Similarity {
         when(dot(col("v"), array(plane.map(lit).toIndexedSeq: _*)) > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"b$bd")
     }
-    val packed = base.select(col("vec_id") +: col("v") +: bandCols: _*)
+    val packed = base.select(col("vec_id") +: col("v") +: bandCols: _*).persist()
     val maskCols = (0 until bands).map(i => col(s"b$i"))
     val banded = packed.select(
-      (Seq(col("vec_id"), col("v")) ++ maskCols :+
-        posexplode(array(maskCols: _*)).as(Seq("band", "bucket"))): _*)
-    val candidates = banded.as("x")
-      .join(
-        banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(
-        (Seq(
-          col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-          col("x.v").as("va"), col("y.v").as("vb")) ++
-          (0 until bands).map(i => col(s"x.b$i").as(s"a$i")) ++
-          (0 until bands).map(i => col(s"y.b$i").as(s"z$i"))): _*)
-      .dropDuplicates("id_a", "id_b")
-    candidates
+      col("vec_id"), posexplode(array(maskCols: _*)).as(Seq("band", "bucket")))
+    val candidates = Dedup.sampleCandidates(
+      banded.as("x")
+        .join(
+          banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b")))
+    val members = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("vec_id"))
+      .distinct()
+    val pruned = packed.join(broadcast(members), Seq("vec_id"), "left_semi")
+    val aSide = pruned.select(
+      (col("vec_id").as("id_a") +: col("v").as("va") +:
+        (0 until bands).map(i => col(s"b$i").as(s"a$i"))): _*)
+    val zSide = pruned.select(
+      (col("vec_id").as("id_b") +: col("v").as("vb") +:
+        (0 until bands).map(i => col(s"b$i").as(s"z$i"))): _*)
+    val perPair = candidates
+      .join(aSide, "id_a")
+      .join(zSide, "id_b")
       .select(
         (lit(bands.toLong * bitsPerBand) -
           (0 until bands)
@@ -405,6 +421,9 @@ object Similarity {
           .as("n_match"),
         round(round(cosine(col("va"), col("vb")), 6) * lit(1000000), 0)
           .cast("long").as("cos_micro"))
+      .localCheckpoint(true)
+    packed.unpersist()
+    perPair
       .groupBy(col("n_match"))
       .agg(
         count(lit(1)).as("n_pairs"),
