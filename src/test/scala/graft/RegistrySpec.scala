@@ -99,7 +99,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt79" -> QueriesExt79.queries.keySet,
       "QueriesExt80" -> QueriesExt80.queries.keySet,
       "QueriesExt81" -> QueriesExt81.queries.keySet,
-      "QueriesExt82" -> QueriesExt82.queries.keySet
+      "QueriesExt82" -> QueriesExt82.queries.keySet,
+      "QueriesExt83" -> QueriesExt83.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
