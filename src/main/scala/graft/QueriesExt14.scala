@@ -394,8 +394,13 @@ object QueriesExt14 {
   private def simKmeansAssign(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.kmeansAssign(embeddings(s, dir), "vec_id", "embedding", 8, 2)
 
-  private val simKmeansAssignSql =
-    """WITH e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+  /** Shared CTE body for the deterministic 2-round k-means (B50): final
+    * assignment lives in `a2 (vec_id, cluster, d2)`. Reused by the
+    * cluster-purity oracle (B312) so both replay the identical
+    * trajectory.
+    */
+  private[graft] val kmeansCtes =
+    """e AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INT) AS cluster, v
       |  FROM e ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
       |ex AS (SELECT vec_id, u.dim AS dim, u.val AS val FROM (
@@ -415,9 +420,12 @@ object QueriesExt14 {
       |  FROM ex JOIN c1 USING (dim) GROUP BY 1, 2),
       |a2 AS (SELECT vec_id, cluster, d2 FROM (
       |  SELECT vec_id, cluster, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-      |  FROM d2t) WHERE rn = 1)
-      |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(sqrt(d2), 6) AS dist
-      |FROM a2""".stripMargin
+      |  FROM d2t) WHERE rn = 1)""".stripMargin
+
+  private val simKmeansAssignSql =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, round(sqrt(d2), 6) AS dist
+       |FROM a2""".stripMargin
 
   // ------------------------------------------------------------ registry
 

@@ -102,7 +102,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt82" -> QueriesExt82.queries.keySet,
       "QueriesExt83" -> QueriesExt83.queries.keySet,
       "QueriesExt84" -> QueriesExt84.queries.keySet,
-      "QueriesExt85" -> QueriesExt85.queries.keySet
+      "QueriesExt85" -> QueriesExt85.queries.keySet,
+      "QueriesExt86" -> QueriesExt86.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
