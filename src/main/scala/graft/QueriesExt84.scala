@@ -284,14 +284,27 @@ object QueriesExt84 {
     */
   private def embedWhiteningGain(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
-    // raw-unit mean pairwise cosine (B266's identity, inlined)
-    val unitRaw = emb.select(
-      col("vec_id"),
-      expr(
-        "transform(embedding, x -> CAST(round(round(CAST(x AS DOUBLE) /" +
-          " sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), 6) * 1000000, 0) AS BIGINT))")
-        .as("u"))
-    def meanCos(unit: DataFrame): DataFrame = {
+    // raw-unit mean pairwise cosine (B266's identity, inlined). The norm
+    // fold is HOISTED to its own column: higher-order lambdas are
+    // interpreted, and a norm inside the per-element transform re-ran the
+    // 64-term fold 64× per row — the sf1 probe measured the un-hoisted
+    // form at 7.5×/decade; hoisting restores the linear class (the value
+    // is identical — same sqrt input per row)
+    val unitRaw = emb
+      .withColumn("nrm",
+        expr("sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"))
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(round(CAST(x AS DOUBLE) / nrm, 6) * 1000000, 0) AS BIGINT))")
+          .as("u"))
+    // each unit table feeds TWO aggregations inside meanCos (the 64-key
+    // dim sums and the per-corpus self/count agg) — unpersisted, the
+    // whole upstream (posexplode + zip_with chain + the stats broadcast)
+    // re-evaluated per consumer and the sf1 probe read 7.5×/decade;
+    // persisting the n-row unit tables restores one-pass linearity
+    // (Bench's per-query storage cleanup releases the blocks)
+    def meanCos(unitRawDf: DataFrame): DataFrame = {
+      val unit = unitRawDf.persist()
       val cells = unit.select(col("vec_id"), posexplode(col("u")).as(Seq("pos", "ux")))
       val dims  = cells.groupBy(col("pos")).agg(sum(col("ux")).as("sd"))
       val ssq   = dims.agg(sum(expr("CAST(sd AS DECIMAL(38,0)) * sd")).as("ssq_dims"))
@@ -326,12 +339,12 @@ object QueriesExt84 {
         expr(
           "zip_with(zip_with(embedding, mus, (x, m) -> round(CAST(x AS DOUBLE) * 1000000, 0) - m), sds," +
             " (zm, sdv) -> round(zm / sdv, 6))").as("z"))
-    val unitWhite = zArr.select(
-      col("vec_id"),
-      expr(
-        "transform(z, zx -> CAST(round(round(zx /" +
-          " sqrt(aggregate(z, CAST(0 AS DOUBLE), (a, y) -> a + y * y)), 6) * 1000000, 0) AS BIGINT))")
-        .as("u"))
+    val unitWhite = zArr
+      .withColumn("nrm", expr("sqrt(aggregate(z, CAST(0 AS DOUBLE), (a, y) -> a + y * y))"))
+      .select(
+        col("vec_id"),
+        expr("transform(z, zx -> CAST(round(round(zx / nrm, 6) * 1000000, 0) AS BIGINT))")
+          .as("u"))
     meanCos(unitRaw).select(col("n").as("n_vectors"), col("mc").as("raw_mean_cos_micro"))
       .crossJoin(
         meanCos(unitWhite).select(col("mc").as("whitened_mean_cos_micro")))

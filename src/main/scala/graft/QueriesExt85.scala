@@ -321,7 +321,10 @@ object QueriesExt85 {
         col("area_ms"), col("peak_concurrency"),
         expr("sum_dur_ms div n_users").as("mean_presence_ms"),
         expr("area_ms * 1000 div span_ms").as("avg_concurrency_milli"),
-        expr("CASE WHEN sum_dur_ms = 0 THEN NULL ELSE area_ms * 1000000 div sum_dur_ms END")
+        // area_ms can exceed 9.2e12 (sum of per-user presence) — the ppm
+        // numerator must go through DECIMAL or it overflows at sf1+
+        expr("CASE WHEN sum_dur_ms = 0 THEN NULL ELSE " +
+          "CAST(CAST(area_ms AS DECIMAL(38,0)) * 1000000 div sum_dur_ms AS BIGINT) END")
           .as("littles_ratio_ppm"))
   }
 
@@ -343,7 +346,7 @@ object QueriesExt85 {
       |  sum_dur_ms // n_users AS mean_presence_ms,
       |  area_ms * 1000 // span_ms AS avg_concurrency_milli,
       |  CASE WHEN sum_dur_ms = 0 THEN NULL
-      |       ELSE CAST(area_ms * 1000000 // sum_dur_ms AS BIGINT) END AS littles_ratio_ppm
+      |       ELSE CAST(CAST(area_ms AS HUGEINT) * 1000000 // sum_dur_ms AS BIGINT) END AS littles_ratio_ppm
       |FROM base, ar""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
