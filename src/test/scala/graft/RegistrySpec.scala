@@ -104,7 +104,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt84" -> QueriesExt84.queries.keySet,
       "QueriesExt85" -> QueriesExt85.queries.keySet,
       "QueriesExt86" -> QueriesExt86.queries.keySet,
-      "QueriesExt87" -> QueriesExt87.queries.keySet
+      "QueriesExt87" -> QueriesExt87.queries.keySet,
+      "QueriesExt88" -> QueriesExt88.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex

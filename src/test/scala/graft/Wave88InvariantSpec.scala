@@ -45,14 +45,20 @@ class Wave88InvariantSpec extends GraftSpecBase {
     }
   }
 
-  test("graph_ppr_seed: mass stays near the seed; seed outranks the global tail") {
+  test("graph_ppr_seed: seed keeps its teleport floor; personalization zeroes the far tail") {
     val rows = run("graph_ppr_seed").collect()
     assert(rows.length === 20)
     val bySeed = rows.map(r => r.getAs[String]("node") -> r.getAs[Long]("ppr_ppm")).toMap
-    // the seed keeps its teleport floor
+    // the seed keeps its teleport floor (its mass can still flow onward —
+    // a downstream hub MAY out-rank the seed, that is not a bug)
     assert(bySeed("src0") >= 150000L, s"seed rank ${bySeed("src0")} below teleport floor")
-    // personalization: the seed must hold the max rank
-    assert(bySeed.values.max === bySeed("src0"), "seed not the top-ranked node")
+    // the personalization signature global PageRank can never show:
+    // nodes outside the seed's reach score exactly 0 (global PR gives
+    // every node the uniform teleport floor)
+    assert(rows.count(_.getAs[Long]("ppr_ppm") === 0L) > 0,
+      "no zero-rank nodes — personalization is not localized")
+    // floor-division only loses mass, never creates it
+    assert(rows.map(_.getAs[Long]("ppr_ppm")).sum <= 1000000L)
     rows.foreach(r => assert(r.getAs[Long]("ppr_ppm") >= 0L))
   }
 
