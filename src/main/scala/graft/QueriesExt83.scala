@@ -201,9 +201,14 @@ object QueriesExt83 {
     val pairs = operators.Similarity.randomHyperplanePairs(
       emb, "vec_id", "embedding", tau = 0.0,
       bitsPerBand = operators.Similarity.bitsFor(emb.count()))
+    // candidate-bounded; persisted because BOTH selections (and the
+    // negative's join back) consume it — unpersisted, the whole LSH
+    // banding pipeline re-evaluated per consumer (7.9×/decade in the
+    // sf1 probe; Bench's per-query storage cleanup releases the blocks)
     val sym = pairs
       .select(col("id_a").as("src"), col("id_b").as("nbr"), col("cosine"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cosine")))
+      .persist()
     val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr"))
     val pos = sym
       .withColumn("rn", row_number().over(w))

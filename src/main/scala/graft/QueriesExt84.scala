@@ -177,8 +177,13 @@ object QueriesExt84 {
       .select(col("id_a").as("src"), col("id_b").as("nbr"), col("cosine"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"), col("cosine")))
     val wTop = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nbr"))
+    // 3 edges/node, bounded — localCheckpointed because the anchor
+    // restriction, the 2-hop expansion and the hit counting all consume
+    // it (unpersisted, the LSH pipeline re-ran per consumer: 5.6×/decade
+    // in the sf1 probe)
     val base3 = sym.withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
       .select(col("src"), col("nbr"), col("cosine"))
+      .localCheckpoint(true)
     val sample = v
       .select(col("vec_id").as("anchor"))
       .orderBy(md5(col("anchor").cast("string")), col("anchor"))

@@ -144,7 +144,10 @@ object QueriesExt85 {
     val phraseLen = cand.groupBy(col("doc_id"), col("pid"))
       .agg(count(lit(1)).as("n_words"))
       .filter(col("n_words") <= 4)
-    val kept = cand.join(phraseLen, Seq("doc_id", "pid"))
+    // token-sized; persisted because word scoring AND phrase assembly
+    // both consume it (unpersisted, the segmentation windows re-ran per
+    // consumer: 4.2×/decade in the sf1 probe)
+    val kept = cand.join(phraseLen, Seq("doc_id", "pid")).persist()
     val wordScore = kept
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("degree"))

@@ -134,6 +134,7 @@ object QueriesExt86 {
           .as(Seq("sid", "stext")))
       .filter(length(col("stext")) > 0)
       .withColumn("sid", col("sid").cast("long"))
+      .persist() // consumed by tokenization, the count, r0 and the final text join
     val sTok = sent
       .select(col("doc_id"), col("sid"),
         explode(array_distinct(split(col("stext"), " "))).as("tok"))
@@ -151,7 +152,10 @@ object QueriesExt86 {
         expr("nshared * 1000000 div (li + lj)").as("w"))
       .filter(col("w") > 0)
     val outW = edges.groupBy(col("doc_id"), col("si")).agg(sum(col("w")).as("outw"))
-    val e = edges.join(outW, Seq("doc_id", "si"))
+    // per-doc-bounded edge list; persisted because every power-iteration
+    // round joins it (unpersisted, the sentence self-join re-ran per
+    // round: 3.6×/decade in the sf1 probe)
+    val e = edges.join(outW, Seq("doc_id", "si")).persist()
     val nDoc = sent.groupBy(col("doc_id")).agg(count(lit(1)).as("sn"))
     val r0 = sent.select(col("doc_id"), col("sid"))
       .join(nDoc, Seq("doc_id"))

@@ -262,8 +262,17 @@ object QueriesExt87 {
       .filter(length(col("nrm")) >= 2)
       .select(col("source"),
         explode(sequence(lit(1), length(col("nrm")) - 1)).as("i"), col("nrm"))
-      .select(col("source"), expr("substring(nrm, i, 1)").as("c1"), expr("substring(nrm, i + 1, 1)").as("c2"))
-    val big = bg.groupBy(col("source"), col("c1"), col("c2")).agg(count(lit(1)).as("n12"))
+      // ONE substr per exploded row (B58's proven bigram shape — the
+      // two-substr per-char form ran the hot pass measurably slower);
+      // the (c1, c2) split happens on the charset²-bounded aggregate
+      .select(col("source"), expr("substring(nrm, i, 2)").as("b"))
+    // (source × charset²)-bounded — localCheckpoint so the 10M-row-class
+    // bigram explode runs ONCE (uni/tot/hCond each re-evaluated it
+    // otherwise; the sf1 probe read 8.1×/decade, the explode ran 3×)
+    val big = bg.groupBy(col("source"), col("b")).agg(count(lit(1)).as("n12"))
+      .select(col("source"), expr("substring(b, 1, 1)").as("c1"),
+        expr("substring(b, 2, 1)").as("c2"), col("n12"))
+      .localCheckpoint(true)
     val uni = big.groupBy(col("source"), col("c1")).agg(sum(col("n12")).as("n1"))
     val tot = big.groupBy(col("source")).agg(sum(col("n12")).as("nn"))
     val hUni = uni.join(tot, Seq("source"))
@@ -286,10 +295,11 @@ object QueriesExt87 {
   private val textConditionalEntropySql = {
     import QueriesExt.normSql
     s"""WITH nrm AS (SELECT source, $normSql AS nrm FROM documents),
-       |bg AS (SELECT source, substr(nrm, i, 1) AS c1, substr(nrm, i + 1, 1) AS c2
+       |bg AS (SELECT source, substr(nrm, i, 2) AS b
        |  FROM (SELECT source, nrm, unnest(range(1, length(nrm))) AS i
        |        FROM nrm WHERE length(nrm) >= 2)),
-       |big AS (SELECT source, c1, c2, count(*) AS n12 FROM bg GROUP BY 1, 2, 3),
+       |big AS (SELECT source, substr(b, 1, 1) AS c1, substr(b, 2, 1) AS c2, count(*) AS n12
+       |  FROM bg GROUP BY source, b),
        |uni AS (SELECT source, c1, CAST(sum(n12) AS BIGINT) AS n1 FROM big GROUP BY 1, 2),
        |tot AS (SELECT source, CAST(sum(n12) AS BIGINT) AS nn FROM big GROUP BY 1),
        |hu AS (SELECT u.source, CAST(sum(CAST(round(-(CAST(n1 AS DOUBLE) / nn) *
