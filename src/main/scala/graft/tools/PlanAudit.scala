@@ -141,7 +141,20 @@ object PlanAudit {
       // totals are each ONE aggregate row crossed over each other before
       // the 3-literal W explode (scalar-subquery pattern, both sides
       // 1-row by construction)
-      "cdc_watermark_survivor_drift"
+      "cdc_watermark_survivor_drift",
+      // round 13 batches 57-62, reviewed: 1-row aggregate broadcasts
+      // (vocab totals, the 64-double moment arrays, HITS/entropy
+      // normalizers, count products, the doc-id half threshold) crossed
+      // over bounded or row-local sides (dsir, whitening, littles, hits,
+      // join-order, cluster-purity, term-drift); the 9-row aspect-bucket
+      // grid crossed over the corpus for a row-local argmin (B180's
+      // bounded-grid sweep); and sim_nn_descent_round's 50-anchor ×
+      // corpus exact-truth cross — the documented bruteForceTopK audit
+      // trade (sample bounded, the corpus never self-joins)
+      "text_dsir_weights", "embed_whitening_gain",
+      "events_concurrency_littles_law", "graph_hits_scores",
+      "q_join_order_surface", "embed_cluster_purity", "text_term_drift",
+      "mm_aspect_buckets", "sim_nn_descent_round"
     )
 
   /** The sweep itself, callable from the CLI main AND from the test
