@@ -10,10 +10,39 @@ import org.apache.spark.sql.SparkSession
   * of every output row/column (count() would let Catalyst prune the
   * plan). One cheap warmup query first so JVM/codegen startup cost isn't
   * attributed to the first measured query.
+  *
+  * Kill-safety (r13 postmortem): BENCH_r13.json was an rc-124 timeout
+  * kill with nothing parseable — the suite outgrew the driver's
+  * wall-clock window and this main used to serialize ALL output only
+  * after the last query. Three layers now guarantee a valid artifact:
+  *  1. target/bench_full.json is flushed incrementally (after every
+  *     query and every gate pass), always valid JSON, marked
+  *     "partial":true until the run completes.
+  *  2. A JVM shutdown hook prints the latest headline JSON line to
+  *     stdout if the normal end-of-run print never happened (SIGTERM
+  *     from `timeout` runs hooks before the JVM halts).
+  *  3. The run is time-budget-aware (SPARK_GRAFT_BENCH_BUDGET_SEC,
+  *     default 1250): when the projected finish exceeds the budget it
+  *     degrades per-query cost (skip warmup, 3→2→1 trials), and past
+  *     93% of budget it stops measuring, records the remaining names
+  *     under "skipped", and emits what completed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Wall-clock budget for the WHOLE main (JVM start to headline print).
+    // Default calibrated against the driver's observed window: r12's full
+    // run passed at 1,229 s and r13's (+28 queries) was killed, so the cap
+    // sits somewhere above 1,230 s — 1,250 s of self-imposed budget keeps
+    // the degradation machinery ahead of any plausible external kill while
+    // leaving a healthy dieted run (sub-1,100 s) entirely un-degraded.
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map { raw =>
+      scala.util.Try(raw.trim.toDouble).getOrElse(
+        throw new IllegalArgumentException(s"SPARK_GRAFT_BENCH_BUDGET_SEC must be a number, got '$raw'")
+      )
+    }.getOrElse(1250.0).max(60.0)
     // GraftSession (shared configs + GraftExtensions, incl. the custom
     // as-of strategy) plus the local-bench knob: the sf0.1 tables are
     // single ~1-10 MB parquet files, far below the 128 MB default split
@@ -57,7 +86,13 @@ object Bench {
       // cleanup (ContextCleaner's queue, DirectByteBuffer frees) often
       // needs a SECOND collection cycle after the first one discovers
       // the refs, so the settle is now gc → drain → gc → drain.
-      val leaked = spark.sparkContext.getPersistentRDDs
+      // Bench-session caches (the shared dedup pair-table stage,
+      // Dedup.protectedRddIds) are exempt: they are deliberately
+      // long-lived across the suite, and unpersisting a localCheckpoint
+      // is UNRECOVERABLE (truncated lineage) — the sweep would not just
+      // re-run the shared stage, it would crash every later consumer.
+      val protectedIds = graft.operators.Dedup.protectedRddIds
+      val leaked = spark.sparkContext.getPersistentRDDs.filter(kv => !protectedIds(kv._1))
       if (leaked.nonEmpty) {
         leaked.valuesIterator.foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
@@ -88,9 +123,43 @@ object Bench {
 
     final case class QStat(med: Double, min: Double, max: Double)
 
-    def run(name: String): QStat = {
-      runOnce(name) // warmup, excluded from the stats
-      val ts = Seq.fill(trials)(runOnce(name)).filter(_ >= 0.0).sorted
+    // Degradation ladder (r13 fix): 0 = full fat (warmup + `trials`
+    // trials), 1 = no warmup + ≤2 trials, 2 = no warmup + 1 trial,
+    // 3 = stop measuring. Levels 1-2 only engage when either elapsed time
+    // crosses hard fractions of the budget or the PROJECTED finish
+    // (linear per-query pace + a 90 s allowance for the stream drain and
+    // gate passes) exceeds it — a healthy run that fits stays at level 0
+    // for every query, so drift history quality is unaffected.
+    var degradedQueries = 0
+    def levelByElapsed(): Int = {
+      val e = elapsed
+      if (e > 0.93 * budget) 3 else if (e > 0.86 * budget) 2 else if (e > 0.72 * budget) 1 else 0
+    }
+    // Projection pace = MEDIAN measured per-query wall (not mean
+    // elapsed/done: that attributes JVM+session startup and the slow cdc_*
+    // head of the alphabetical order to the pace and degrades the first
+    // queries of a run that would have fit comfortably — observed at
+    // sf0.001 where a 54 s-elapsed run against a 1,250 s budget had
+    // degraded 17 of its first 18 queries). Needs 10 observations before
+    // it engages; below that only the hard elapsed thresholds apply.
+    val qWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def degradeLevel(done: Int, total: Int): Int = {
+      val hard = levelByElapsed()
+      if (hard >= 2 || qWalls.size < 10) hard
+      else {
+        val ws   = qWalls.toSeq.sorted
+        val medW = ws(ws.size / 2)
+        val proj = elapsed + medW * (total - done) + 90.0
+        if (proj <= 0.92 * budget) 0 else math.max(hard, 1)
+      }
+    }
+
+    def runAt(name: String, level: Int): QStat = {
+      if (level >= 3) return QStat(-1.0, -1.0, -1.0)
+      if (level == 0) runOnce(name) // warmup, excluded from the stats
+      else degradedQueries += 1
+      val n  = if (level == 0) trials else if (level == 1) math.min(trials, 2) else 1
+      val ts = Seq.fill(n)(runOnce(name)).filter(_ >= 0.0).sorted
       if (ts.isEmpty) QStat(-1.0, -1.0, -1.0)
       else {
         val med =
@@ -99,6 +168,7 @@ object Bench {
         QStat(med, ts.head, ts.last)
       }
     }
+    def run(name: String): QStat = runAt(name, levelByElapsed())
 
     // warmup: exercise scan + join + agg codegen paths once
     try SparkEntry.queries("q6_revenue_forecast")(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -185,63 +255,6 @@ object Bench {
           System.err.println(s"[bench] stream throughput failed: ${e.getMessage}")
           (0L, -1.0, 0, 0, Seq.empty)
       }
-    // Run-level canary (r11 What's-wrong #1): a fixed fast query re-timed
-    // every `canaryEvery` suite queries detects WHOLE-RUN host
-    // contamination that per-query trial spreads cannot (when every trial
-    // in a window is slow, med/min stays tight). Canary timings are
-    // untimed w.r.t. the suite total and recorded in the full snapshot;
-    // a sample >2× the run's best sample marks the surrounding span as
-    // contaminated on stderr — the per-query drift gate below is what
-    // actually re-runs affected queries.
-    val canaryName  = "q2_filter_project" // scan+filter+project, sub-second at every sf
-    val canaryEvery = 25
-    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    // returns true when THIS sample marks a contamination window (>2× the
-    // best sample so far) — the caller re-times the window's queries (r12
-    // postmortem: the shipped run RECORDED a live 0.557 s-vs-0.203 window
-    // at query 325 but only settled; dedup_simhash's 1.5× inflation inside
-    // it then sailed under the old 2× per-query drift trigger)
-    def canaryTick(idx: Int): Boolean = {
-      if (!(only.isEmpty && SparkEntry.queries.contains(canaryName))) return false
-      val t = runOnce(canaryName)
-      if (t < 0) return false
-      canarySamples += ((idx, t))
-      val best = canarySamples.map(_._2).min
-      val dirty = t > 2.0 * best && t - best > 0.3
-      if (dirty) {
-        System.err.println(
-          f"[bench] canary drift at query $idx: $canaryName $t%.2fs vs best $best%.2fs — host contamination window; settling")
-        System.gc(); Thread.sleep(500)
-      }
-      dirty
-    }
-    canaryTick(0)
-    // A dirty canary sample re-times every query measured since the last
-    // clean tick (min-merged — stalls only ever inflate). Capped: a host
-    // that is THIS noisy should ship its numbers flagged, not loop.
-    val maxCanaryRetimes = 3
-    var canaryRetimes    = 0
-    val firstPassBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QStat)]
-    var windowStart  = 0
-    names.zipWithIndex.foreach { case (n, i) =>
-      if (i > 0 && i % canaryEvery == 0) {
-        val dirty = canaryTick(i)
-        if (dirty && canaryRetimes < maxCanaryRetimes) {
-          canaryRetimes += 1
-          System.err.println(
-            s"[bench] canary-triggered re-time of suite queries $windowStart..${i - 1} (window ${canaryRetimes}/$maxCanaryRetimes)")
-          (windowStart until i).foreach { j =>
-            val (nm, first) = firstPassBuf(j)
-            val second      = run(nm)
-            if (second.med >= 0 && (first.med < 0 || second.med < first.med))
-              firstPassBuf(j) = nm -> second
-          }
-        }
-        windowStart = i
-      }
-      firstPassBuf += (n -> run(n))
-    }
-    val firstPass = firstPassBuf.toSeq
 
     /** Outlier guard against the committed run history. Same-binary full-suite
       * totals have swung 1.6× on this shared host (round 6: 115.2 s in the
@@ -264,6 +277,8 @@ object Bench {
     // checkout sets every file to the same mtime, making "last 8" an
     // arbitrary subset per machine. mtime is only the tiebreak/fallback
     // for hand-dropped files without a stamp.
+    // Partial/degraded snapshots are excluded — a killed run's 1-trial
+    // numbers must not become drift-gate history.
     lazy val historyRuns: Seq[Map[String, Double]] = {
       val dir = java.nio.file.Paths.get("bench_history")
       if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
@@ -282,6 +297,7 @@ object Bench {
             scala.util.Try {
               val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
               val sfOk = (j \ "sf") match { case JString(s) => s == sfDir; case _ => false }
+              val partial = (j \ "partial") match { case JBool(b) => b; case _ => false }
               // history is only comparable within one execution topology:
               // a local-cluster[2,2,2048] run at 4 cores/2 JVMs must not
               // poison the local[32] drift medians (and vice versa).
@@ -298,7 +314,7 @@ object Bench {
                 }.flatten.toMap
                 case _ => Map.empty[String, Double]
               }
-              if (sfOk && masterOk && qs.nonEmpty) Some(qs) else scala.None
+              if (sfOk && masterOk && !partial && qs.nonEmpty) Some(qs) else scala.None
             }.toOption.flatten
           }
           .takeRight(8)
@@ -363,6 +379,205 @@ object Bench {
       "text_langid", "curate_pipeline_e2e"
     ).toSet
 
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+
+    // ---- incremental snapshot + shutdown-hook state (r13 fix) ----------
+    // Everything the artifact needs, readable mid-run. buildSnapshot()
+    // turns the current state into (full JSON, headline line); flush()
+    // stashes both for the shutdown hook and rewrites
+    // target/bench_full.json so an external kill at ANY point leaves a
+    // valid, parseable artifact on disk AND a headline line on stdout.
+    val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var hookFull: String     = ""
+    @volatile var hookHeadline: String = ""
+    var curStats: Seq[(String, QStat)]   = Seq.empty
+    var curRatio: Option[Double]         = scala.None
+    var curHeadRatio: Option[Double]     = scala.None
+    var curReruns                        = 0
+    var curSpreadReruns                  = 0
+    var curSpreadViol: Seq[String]       = Seq.empty
+    var curDriftReruns                   = 0
+    var curDriftViol: Seq[String]        = Seq.empty
+    var skipped: Seq[String]             = Seq.empty
+    var curStream: Seq[(Long, Double, Int, Int, Seq[Long])] = Seq.empty
+    val canaryName  = "q2_filter_project" // scan+filter+project, sub-second at every sf
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var canaryRetimes = 0
+
+    def buildSnapshot(partial: Boolean): (String, String) = {
+      val results = curStats.map { case (n, s) => n -> s.med }
+      val all = curStats.map { case (k, s) =>
+        "\"" + k + "\":{\"med\":" + fmt(s.med) + ",\"min\":" + fmt(s.min) + ",\"max\":" + fmt(s.max) + "}"
+      }.mkString("{", ",", "}")
+      val head  = results.filter(r => headline(r._1)).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val streamField = curStream.sortBy(-_._2).headOption.map {
+        case (rows, rps, files, nb, batchMs) =>
+          s""","stream_rows":$rows,"stream_rows_per_sec":${fmt(rps)}""" +
+            s""","stream_src_files":$files,"stream_batches":$nb""" +
+            batchMs.mkString(""","stream_batch_ms":[""", ",", "]")
+      }.getOrElse("")
+      // spread audit trail: how this run compared to the history median on
+      // first pass, and whether the >25%-drift rerun fired.
+      // hist_ratio is the FINAL (post-rerun-merge) ratio; reruns counts the
+      // extra full passes the drift loop took (0 = first pass was clean)
+      // the violation NAME lists are capped on the stdout line (a noisy
+      // or partial run can flag dozens — the full list lives in the full
+      // snapshot; the line must stay inside the driver's ~2000-char tail)
+      def violField(key: String, names: Seq[String], cap: Int) =
+        if (names.isEmpty) ""
+        else
+          names.take(cap).map("\"" + _ + "\"").mkString(s""","$key":[""", ",", "]") +
+            (if (names.size > cap) s""","${key}_count":${names.size}""" else "")
+      def histField(cap: Int) = curRatio.map(r => s""","hist_ratio":${fmt(r)},"reruns":$curReruns""").getOrElse("") +
+        curHeadRatio.map(r => s""","hist_ratio_headline":${fmt(r)}""").getOrElse("") +
+        s""","spread_reruns":$curSpreadReruns""" +
+        violField("spread_violations", curSpreadViol, cap) +
+        s""","perquery_drift_reruns":$curDriftReruns""" +
+        violField("perquery_drift_violations", curDriftViol, cap)
+      // kill-safety audit: partial marks an artifact from an incomplete
+      // run; degraded/skipped record what the budget ladder did. The
+      // skipped NAME list goes to the full snapshot only — on a 399-query
+      // suite it can run to kilobytes, and the stdout line must stay
+      // inside the driver's ~2000-char tail buffer.
+      val budgetField =
+        s""","partial":$partial,"budget_sec":${fmt(budget)},"elapsed_sec":${fmt(elapsed)},"degraded_queries":$degradedQueries""" +
+          (if (skipped.nonEmpty) s""","skipped_count":${skipped.size}""" else "")
+      val skippedField =
+        if (skipped.nonEmpty) skipped.map("\"" + _ + "\"").mkString(""","skipped":[""", ",", "]") else ""
+      // canary audit trail goes to the FULL snapshot only (stdout line must
+      // stay under the driver's ~2000-char tail buffer).
+      // `flagged` is recomputed RETROACTIVELY against the whole-run best:
+      // the live check compares each sample to the min-so-far, so
+      // contamination present from the start of the run (inflated first
+      // sample = 'best') only becomes visible once a later clean sample
+      // lowers the baseline — the end-of-run sweep names those spans too.
+      val canaryField =
+        if (canarySamples.isEmpty) ""
+        else {
+          val best = canarySamples.map(_._2).min
+          val flagged = canarySamples.collect {
+            case (i, t) if t > 2.0 * best && t - best > 0.3 => i
+          }
+          canarySamples.map { case (i, t) => s"[$i,${fmt(t)}]" }
+            .mkString(s""","canary":{"query":"$canaryName","samples":[""", ",",
+              s"""],"retimed_windows":$canaryRetimes,"flagged":[${flagged.mkString(",")}]}""")
+        }
+      def common(violCap: Int) =
+        s""""metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"trials":$trials${histField(violCap)}$budgetField"""
+      val fullJson = s"""{${common(Int.MaxValue)}$skippedField$canaryField,"queries":$all$streamField,"sf":"$sfDir","master":"${spark.sparkContext.master}"}"""
+      // The driver captures only the last ~2000 chars of output, so the
+      // stdout JSON line must stay well under that (a full per-query map
+      // was 1927 chars in round 1 and got truncated past parseability).
+      // Headline queries go on the one parsed line; the complete per-query
+      // breakdown goes to stderr and target/bench_full.json.
+      val line = s"""{${common(8)},"queries":$head$streamField,"sf":"$sfDir"}"""
+      (fullJson, line)
+    }
+
+    def flush(partial: Boolean): Unit = {
+      // once the shutdown hook has emitted, the main thread is racing the
+      // JVM halt with a stopped SparkContext — every remaining query fails
+      // in ~ms, and letting those -1 entries overwrite the snapshot (or a
+      // sprint through the tail mark it "partial":false) would corrupt the
+      // artifact the hook just finalized
+      if (emittedFinal.get()) return
+      val (full, line) = buildSnapshot(partial)
+      hookFull = full
+      hookHeadline = line
+      try {
+        val p = java.nio.file.Paths.get("target/bench_full.json")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
+
+    // Last-resort emit: `timeout`'s SIGTERM runs JVM shutdown hooks before
+    // halting, so even a killed run prints its latest stashed headline
+    // line (already flushed to disk as a partial snapshot). No Spark calls
+    // here — the context may already be stopped by Spark's own hook.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (emittedFinal.compareAndSet(false, true) && hookHeadline.nonEmpty) {
+        println(hookHeadline)
+        System.out.flush()
+      }
+    }, "bench-emit-hook"))
+
+    // Run-level canary (r11 What's-wrong #1): a fixed fast query re-timed
+    // every `canaryEvery` suite queries detects WHOLE-RUN host
+    // contamination that per-query trial spreads cannot (when every trial
+    // in a window is slow, med/min stays tight). Canary timings are
+    // untimed w.r.t. the suite total and recorded in the full snapshot;
+    // a sample >2× the run's best sample marks the surrounding span as
+    // contaminated on stderr — the per-query drift gate below is what
+    // actually re-runs affected queries.
+    val canaryEvery = 25
+    // returns true when THIS sample marks a contamination window (>2× the
+    // best sample so far) — the caller re-times the window's queries (r12
+    // postmortem: the shipped run RECORDED a live 0.557 s-vs-0.203 window
+    // at query 325 but only settled; dedup_simhash's 1.5× inflation inside
+    // it then sailed under the old 2× per-query drift trigger)
+    def canaryTick(idx: Int): Boolean = {
+      if (!(only.isEmpty && SparkEntry.queries.contains(canaryName))) return false
+      val t = runOnce(canaryName)
+      if (t < 0) return false
+      canarySamples += ((idx, t))
+      val best = canarySamples.map(_._2).min
+      val dirty = t > 2.0 * best && t - best > 0.3
+      if (dirty) {
+        System.err.println(
+          f"[bench] canary drift at query $idx: $canaryName $t%.2fs vs best $best%.2fs — host contamination window; settling")
+        System.gc(); Thread.sleep(500)
+      }
+      dirty
+    }
+    canaryTick(0)
+    // A dirty canary sample re-times every query measured since the last
+    // clean tick (min-merged — stalls only ever inflate). Capped: a host
+    // that is THIS noisy should ship its numbers flagged, not loop.
+    // Retimes only run at degradation level 0 — past the budget knee the
+    // priority is completing the suite, not polishing the window.
+    val maxCanaryRetimes = 3
+    val firstPassBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QStat)]
+    var windowStart  = 0
+    val namesArr     = names.toIndexedSeq
+    var qi           = 0
+    while (qi < namesArr.size && !emittedFinal.get()) {
+      val n   = namesArr(qi)
+      val lvl = degradeLevel(qi, namesArr.size)
+      if (lvl >= 3) {
+        // budget exhausted: record the tail as skipped and emit a partial
+        // (still-valid) artifact rather than dying mid-suite with nothing
+        skipped = namesArr.drop(qi)
+        System.err.println(
+          f"[bench] budget knee at ${elapsed}%.0f/${budget}%.0f s after $qi/${namesArr.size} queries — skipping ${skipped.size} remaining")
+        qi = namesArr.size
+      } else {
+        if (qi > 0 && qi % canaryEvery == 0 && lvl == 0) {
+          val dirty = canaryTick(qi)
+          if (dirty && canaryRetimes < maxCanaryRetimes) {
+            canaryRetimes += 1
+            System.err.println(
+              s"[bench] canary-triggered re-time of suite queries $windowStart..${qi - 1} (window ${canaryRetimes}/$maxCanaryRetimes)")
+            (windowStart until qi).foreach { j =>
+              val (nm, first) = firstPassBuf(j)
+              val second      = run(nm)
+              if (second.med >= 0 && (first.med < 0 || second.med < first.med))
+                firstPassBuf(j) = nm -> second
+            }
+          }
+          windowStart = qi
+        }
+        val w0 = System.nanoTime()
+        firstPassBuf += (n -> runAt(n, lvl))
+        qWalls += (System.nanoTime() - w0) / 1e9
+        curStats = firstPassBuf.toSeq
+        flush(partial = true)
+        qi += 1
+      }
+    }
+    val firstPass = firstPassBuf.toSeq
+
     val firstMap = firstPass.toMap.map { case (n, s) => n -> s.med }
     // Drift reruns LOOP until the snapshot clears the 25% band or the cap
     // is hit (r7 postmortem: a single rerun landed both passes in the same
@@ -375,12 +590,15 @@ object Bench {
     // The rerun is a FULL-run safeguard only: a dev subset's ratio is
     // still reported for context, but re-running a hand-picked subset
     // would just double iteration time without protecting any snapshot.
+    // Budget-guarded (r13): a full extra pass only fits at level 0.
     val maxReruns      = 3
     var stats          = firstPass
     def ratios(m: Map[String, Double]): (Option[Double], Option[Double]) =
       (historyRatio(m), historyRatio(m.filter(kv => headline(kv._1))))
     var (ratio, headRatio) = ratios(firstMap)
     var reruns         = 0
+    curRatio = ratio; curHeadRatio = headRatio
+    flush(partial = true)
     // The two drift directions need different policies (r11 lesson: the
     // pf=true restore made the whole suite ~19% FASTER than committed
     // history, and the symmetric loop burned all 3 rerun passes —
@@ -398,7 +616,8 @@ object Bench {
       full.exists(_ < 0.75) || head.exists(_ < 0.87)
     def drifted(full: Option[Double], head: Option[Double]) =
       slowDrift(full, head) || (reruns == 0 && fastDrift(full, head))
-    while (only.isEmpty && reruns < maxReruns && drifted(ratio, headRatio)) {
+    while (only.isEmpty && reruns < maxReruns && levelByElapsed() == 0 &&
+           skipped.isEmpty && drifted(ratio, headRatio)) {
       System.err.println(
         s"[bench] drift vs history median (full=${ratio.getOrElse(-1.0)}, headline=${headRatio.getOrElse(-1.0)}) — rerun ${reruns + 1}/$maxReruns")
       val prev = stats.toMap
@@ -410,6 +629,8 @@ object Bench {
       val rr = ratios(stats.toMap.map { case (n, s) => n -> s.med })
       ratio = rr._1; headRatio = rr._2
       reruns += 1
+      curStats = stats; curRatio = ratio; curHeadRatio = headRatio; curReruns = reruns
+      flush(partial = true)
     }
     // Per-query spread gate, two conditions on a non-trivial median:
     //  - max/med > 3: one trial was contaminated (GC/page-cache
@@ -430,7 +651,7 @@ object Bench {
     def spreadBad(s: QStat): Boolean =
       s.med > 0.3 && (s.max > s.med * 3.0 || (s.min > 0 && s.med > s.min * 2.0))
     var spreadReruns = 0
-    while (spreadReruns < 5 && stats.exists(kv => spreadBad(kv._2))) {
+    while (spreadReruns < 5 && levelByElapsed() <= 1 && stats.exists(kv => spreadBad(kv._2))) {
       val flagged = stats.collect { case (n, s) if spreadBad(s) => n }
       System.err.println(
         s"[bench] spread gate (max/med>3 or med/min>2): rerunning ${flagged.mkString(", ")}")
@@ -447,8 +668,11 @@ object Bench {
         }
       }
       spreadReruns += 1
+      curStats = stats; curSpreadReruns = spreadReruns
+      flush(partial = true)
     }
     val spreadViolations = stats.collect { case (n, s) if spreadBad(s) => n }.toSeq.sorted
+    curSpreadViol = spreadViolations
 
     // Per-query drift gate vs committed history (layer 3). A query whose
     // med exceeds 2× its history median (with an absolute 0.5 s slack so
@@ -480,7 +704,8 @@ object Bench {
       medBad || minBad
     }
     var driftReruns = 0
-    while (only.isEmpty && driftReruns < 3 && stats.exists(kv => driftBad(kv._1, kv._2))) {
+    while (only.isEmpty && driftReruns < 3 && levelByElapsed() <= 1 &&
+           stats.exists(kv => driftBad(kv._1, kv._2))) {
       val flagged = stats.collect { case (n, s) if driftBad(n, s) => n }
       System.err.println(
         s"[bench] per-query drift gate (med > 2x history med): rerunning solo ${flagged.mkString(", ")}")
@@ -492,6 +717,8 @@ object Bench {
         }
       }
       driftReruns += 1
+      curStats = stats; curDriftReruns = driftReruns
+      flush(partial = true)
     }
     // violations only meaningful on full runs — a dev subset at a
     // different CPU count / trial count produces junk ratios vs history
@@ -506,26 +733,9 @@ object Bench {
       System.err.println(
         s"[bench] perquery_drift_violations (med still >2x history after $driftReruns solo reruns): " +
           driftViolations.map(n => f"$n (${stats.toMap.apply(n).med}%.2fs vs hist ${histMed(n)}%.2fs)").mkString(", "))
+    curStats = stats; curRatio = ratio; curHeadRatio = headRatio; curDriftViol = driftViolations
+    flush(partial = true)
 
-    val results = stats.map { case (n, s) => n -> s.med }
-    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-
-    // The driver captures only the last ~2000 chars of output, so the
-    // stdout JSON line must stay well under that (a full per-query map
-    // was 1927 chars in round 1 and got truncated past parseability).
-    // Headline queries (defined above the drift guard) go on the one
-    // parsed line; the complete per-query breakdown goes to stderr and
-    // target/bench_full.json.
-    // full breakdown keeps every trial stat: med is the reported value,
-    // min/max expose host-noise spread per query across the N trials.
-    // SCHEMA NOTE: per-query values are {med,min,max} objects since round
-    // 5 (plain min-of-2 numbers before) — history diffing must accept
-    // both (number OR object.med); totals are comparable from r5 onward.
-    val all = stats.map { case (k, s) =>
-      "\"" + k + "\":{\"med\":" + fmt(s.med) + ",\"min\":" + fmt(s.min) + ",\"max\":" + fmt(s.max) + "}"
-    }.mkString("{", ",", "}")
-    val head  = results.filter(r => headline(r._1)).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     val runStream = streamMode == "only" || (only.isEmpty && streamMode != "skip")
     // best-of-N on the stream drain, ALWAYS (r7 postmortem: the drain ran
     // once per suite, so a single multi-second host stall produced the
@@ -533,63 +743,34 @@ object Bench {
     // binary does all day. Queries get a median of trials; the drain gets
     // best-of-trials because stalls only ever deflate rows/s; ~2 s/trial
     // at sf0.1 is cheap insurance on the committed number.)
-    val streamRuns =
-      if (runStream) Seq.fill(trials)(streamThroughput()).filter(_._2 > 0) else Seq.empty
-    val streamField = streamRuns.sortBy(-_._2).headOption.map {
-      case (rows, rps, files, nb, batchMs) =>
-        s""","stream_rows":$rows,"stream_rows_per_sec":${fmt(rps)}""" +
-          s""","stream_src_files":$files,"stream_batches":$nb""" +
-          batchMs.mkString(""","stream_batch_ms":[""", ",", "]")
-    }.getOrElse("")
-    // spread audit trail: how this run compared to the history median on
-    // first pass, and whether the >25%-drift rerun fired
-    // hist_ratio is the FINAL (post-rerun-merge) ratio; reruns counts the
-    // extra full passes the drift loop took (0 = first pass was clean)
-    val histField = ratio.map(r => s""","hist_ratio":${fmt(r)},"reruns":$reruns""").getOrElse("") +
-      headRatio.map(r => s""","hist_ratio_headline":${fmt(r)}""").getOrElse("") +
-      s""","spread_reruns":$spreadReruns""" +
-      (if (spreadViolations.nonEmpty)
-         spreadViolations.map("\"" + _ + "\"").mkString(""","spread_violations":[""", ",", "]")
-       else "") +
-      s""","perquery_drift_reruns":$driftReruns""" +
-      (if (driftViolations.nonEmpty)
-         driftViolations.map("\"" + _ + "\"").mkString(""","perquery_drift_violations":[""", ",", "]")
-       else "")
-    // canary audit trail goes to the FULL snapshot only (stdout line must
-    // stay under the driver's ~2000-char tail buffer)
-    // `flagged` is recomputed RETROACTIVELY against the whole-run best:
-    // the live check compares each sample to the min-so-far, so
-    // contamination present from the start of the run (inflated first
-    // sample = 'best') only becomes visible once a later clean sample
-    // lowers the baseline — the end-of-run sweep names those spans too.
-    val canaryField =
-      if (canarySamples.isEmpty) ""
-      else {
-        val best = canarySamples.map(_._2).min
-        val flagged = canarySamples.collect {
-          case (i, t) if t > 2.0 * best && t - best > 0.3 => i
-        }
-        canarySamples.map { case (i, t) => s"[$i,${fmt(t)}]" }
-          .mkString(s""","canary":{"query":"$canaryName","samples":[""", ",",
-            s"""],"retimed_windows":$canaryRetimes,"flagged":[${flagged.mkString(",")}]}""")
+    // Budget-guarded: always attempt one trial (the stream field is part
+    // of the driver contract), extra trials only while comfortably inside
+    // the window.
+    if (runStream) {
+      var k = 0
+      while (k < trials && (k == 0 && elapsed < 0.97 * budget || k > 0 && elapsed < 0.88 * budget)) {
+        val r = streamThroughput()
+        if (r._2 > 0) { curStream = curStream :+ r; flush(partial = true) }
+        k += 1
       }
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"trials":$trials$histField$canaryField,"queries":$all$streamField,"sf":"$sfDir","master":"${spark.sparkContext.master}"}"""
+    }
+
+    val completed = skipped.isEmpty
+    flush(partial = !completed)
     try {
-      val p = java.nio.file.Paths.get("target/bench_full.json")
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, fullJson.getBytes("UTF-8"))
       // committed history snapshot: keeps per-query breakdowns diffable
       // across rounds (target/ is cleaned; round 2's breakdown was lost).
       // FULL runs only — SPARK_GRAFT_ONLY dev subsets would litter the
       // history (they're excluded from the drift ratio anyway, but the
-      // files accumulate in git)
-      if (only.isEmpty && streamMode != "only") {
+      // files accumulate in git); partial (budget-truncated) runs are
+      // excluded too so degraded numbers never poison drift medians.
+      if (only.isEmpty && streamMode != "only" && completed) {
         val stamp = java.time.format.DateTimeFormatter
           .ofPattern("yyyyMMdd-HHmmss")
           .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
         val h = java.nio.file.Paths.get(s"bench_history/bench_full_$stamp.json")
         java.nio.file.Files.createDirectories(h.getParent)
-        java.nio.file.Files.write(h, fullJson.getBytes("UTF-8"))
+        java.nio.file.Files.write(h, hookFull.getBytes("UTF-8"))
       }
     } catch { case _: Throwable => () }
     // stop Spark BEFORE printing so the parseable headline-subset line is
@@ -598,7 +779,9 @@ object Bench {
     // the full per-query map stays in target/bench_full.json to keep this
     // line inside the driver's 2000-char tail buffer
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$histField,"queries":$head$streamField,"sf":"$sfDir"}""")
-    System.out.flush()
+    if (emittedFinal.compareAndSet(false, true)) {
+      println(hookHeadline)
+      System.out.flush()
+    }
   }
 }

@@ -38,9 +38,16 @@ object QueriesExt83 {
     * (doc_id, tok) and never again.
     */
   private def textDsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val tok = documents(s, dir)
+    // doc_id/lang projection computed once: the token explode feeds TWO
+    // consumers (docTok and vocab) and the final left join re-reads the
+    // projection — persisted, the corpus-sized explode runs once instead
+    // of once per consumer (the B300/B307/B311 multi-consumer discipline;
+    // r13 advice)
+    val docs = documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    val tok = docs
       .select(col("doc_id"), col("lang"),
         explode(operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .persist()
     val docTok = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
     val vocab = tok
       .groupBy(col("tok"))
@@ -66,7 +73,7 @@ object QueriesExt83 {
       .agg(
         sum(col("cnt") * col("lr_micros")).as("logw_micros"),
         sum(col("cnt")).as("n_vocab_toks"))
-    val scored = documents(s, dir)
+    val scored = docs
       .select(col("doc_id"), col("lang"))
       .join(docw, Seq("doc_id"), "left")
       .select(

@@ -105,7 +105,11 @@ object QueriesExt87 {
   }
 
   private val eventsAttributionMarkovSql = {
-    val channels = Seq("click", "error", "signup", "view")
+    // the oracle's channel universe is derived from the SAME fixture
+    // constant the Spark side's data-driven state set resolves to —
+    // every non-purchase event type (r13 advice: a hardcoded list here
+    // would silently decouple from a fixture domain change)
+    val channels = graft.sources.SyntheticEventsSource.EventTypes.toSeq.filter(_ != "purchase").sorted
     // value iteration as a RECURSIVE CTE per scenario (k rides along,
     // the recursive step sees only iteration k−1's 7 rows): the first
     // formulation unrolled 5×20 plain CTEs and DuckDB's planner choked
@@ -214,7 +218,12 @@ object QueriesExt87 {
       .crossJoin(broadcast(fin.select(col("n").as("final_rows"))))
       .crossJoin(broadcast(best))
       .select(col("join_order"), col("inter1_rows"), col("final_rows"),
-        expr("CASE WHEN best = 0 THEN NULL ELSE inter1_rows * 1000 div best END").as("blowup_milli"))
+        // DECIMAL(38,0) numerator (the B309 littles_ratio_ppm route): the
+        // cartesian row's inter1_rows is |C|·|L|, so *1000 in BIGINT
+        // overflows once |C|·|L| > ~9.2e15 — sf1000-class, exactly the
+        // scale this audit is meant to price (r13 advice)
+        expr("CASE WHEN best = 0 THEN NULL ELSE CAST(CAST(inter1_rows AS DECIMAL(38,0)) * 1000 div best AS BIGINT) END")
+          .as("blowup_milli"))
   }
 
   private val qJoinOrderSurfaceSql =
@@ -234,7 +243,8 @@ object QueriesExt87 {
       |best AS (SELECT min(inter1_rows) AS best FROM surface)
       |SELECT join_order, CAST(inter1_rows AS BIGINT) AS inter1_rows,
       |  CAST(fin.n AS BIGINT) AS final_rows,
-      |  CAST(CASE WHEN best = 0 THEN NULL ELSE inter1_rows * 1000 // best END AS BIGINT) AS blowup_milli
+      |  CAST(CASE WHEN best = 0 THEN NULL
+      |       ELSE CAST(inter1_rows AS HUGEINT) * 1000 // best END AS BIGINT) AS blowup_milli
       |FROM surface, fin, best""".stripMargin
 
   // ------------------------- conditional character entropy (B316)

@@ -32,6 +32,16 @@ object QueriesExt88 {
     * 4-row output. Nothing shuffles but the 1-row partials.
     */
   private def qReplicaChecksum(s: SparkSession, dir: String): DataFrame = {
+    // Canonical fields are length-prefixed (a '|' INSIDE a string value
+    // can no longer collide with the field separator) and NULL-coalesced
+    // to a sentinel (U+2400) on BOTH engines — Spark's concat_ws silently
+    // skips NULLs while DuckDB's || propagates them to NULL, so without
+    // the coalesce a NULL field makes the row vanish from one replica's
+    // digest and not the other's (r13 advice). TPC-H fixtures are
+    // NULL-free and pipe-free, but the primitive must hold on real data.
+    val nullTok = "␀"
+    def sf(c: Column): Column = coalesce(concat(length(c).cast("string"), lit(":"), c), lit(nullTok))
+    def nf(c: Column): Column = coalesce(c.cast("string"), lit(nullTok))
     def digest(df: DataFrame, name: String, canon: Column): DataFrame =
       df.select(Hashing.h60(canon).as("h"))
         .agg(
@@ -40,43 +50,47 @@ object QueriesExt88 {
           sum(expr("h % 1000000007")).as("modsum_checksum"))
         .select(lit(name).as("table_name"), col("n_rows"), col("xor_checksum"), col("modsum_checksum"))
     val r = digest(region(s, dir), "region",
-      concat_ws("|", col("r_regionkey").cast("long").cast("string"), col("r_name")))
+      concat_ws("|", nf(col("r_regionkey").cast("long")), sf(col("r_name"))))
     val n = digest(nation(s, dir), "nation",
-      concat_ws("|", col("n_nationkey").cast("long").cast("string"), col("n_name"),
-        col("n_regionkey").cast("long").cast("string")))
+      concat_ws("|", nf(col("n_nationkey").cast("long")), sf(col("n_name")),
+        nf(col("n_regionkey").cast("long"))))
     val c = digest(customer(s, dir), "customer",
-      concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
-        col("c_nationkey").cast("long").cast("string"),
-        expr("CAST(floor(c_acctbal * 100) AS BIGINT)").cast("string"),
-        col("c_mktsegment")))
+      concat_ws("|", nf(col("c_custkey")), sf(col("c_name")),
+        nf(col("c_nationkey").cast("long")),
+        nf(expr("CAST(floor(c_acctbal * 100) AS BIGINT)")),
+        sf(col("c_mktsegment"))))
     val o = digest(orders(s, dir), "orders",
-      concat_ws("|", col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
-        col("o_orderstatus"),
-        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").cast("string"),
-        expr("unix_millis(o_orderdate)").cast("string"),
-        col("o_orderpriority")))
+      concat_ws("|", nf(col("o_orderkey")), nf(col("o_custkey")),
+        sf(col("o_orderstatus")),
+        nf(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")),
+        nf(expr("unix_millis(o_orderdate)")),
+        sf(col("o_orderpriority"))))
     r.unionByName(n).unionByName(c).unionByName(o)
   }
 
   private val qReplicaChecksumSql = {
     def h60(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
-    def digest(table: String, canon: String) =
+    // mirror of the Spark canonicalization: length-prefixed strings,
+    // U+2400 (chr(9216)) for NULL in any field — see qReplicaChecksum.
+    def sf(x: String) = s"coalesce(CAST(length($x) AS VARCHAR) || ':' || $x, chr(9216))"
+    def nf(x: String) = s"coalesce(CAST($x AS VARCHAR), chr(9216))"
+    def canon(fields: Seq[String]) = fields.mkString(" || '|' || ")
+    def digest(table: String, canonExpr: String) =
       s"""SELECT '$table' AS table_name, count(*) AS n_rows,
-         |  bit_xor(${h60(canon)}) AS xor_checksum,
-         |  CAST(sum(${h60(canon)} % 1000000007) AS BIGINT) AS modsum_checksum
+         |  bit_xor(${h60(canonExpr)}) AS xor_checksum,
+         |  CAST(sum(${h60(canonExpr)} % 1000000007) AS BIGINT) AS modsum_checksum
          |FROM $table""".stripMargin
     Seq(
-      digest("region",
-        "CAST(CAST(r_regionkey AS BIGINT) AS VARCHAR) || '|' || r_name"),
-      digest("nation",
-        "CAST(CAST(n_nationkey AS BIGINT) AS VARCHAR) || '|' || n_name || '|' || CAST(CAST(n_regionkey AS BIGINT) AS VARCHAR)"),
-      digest("customer",
-        "CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR)" +
-          " || '|' || CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR) || '|' || c_mktsegment"),
-      digest("orders",
-        "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus" +
-          " || '|' || CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)" +
-          " || '|' || CAST(epoch_ms(o_orderdate) AS VARCHAR) || '|' || o_orderpriority")
+      digest("region", canon(Seq(nf("CAST(r_regionkey AS BIGINT)"), sf("r_name")))),
+      digest("nation", canon(Seq(
+        nf("CAST(n_nationkey AS BIGINT)"), sf("n_name"), nf("CAST(n_regionkey AS BIGINT)")))),
+      digest("customer", canon(Seq(
+        nf("c_custkey"), sf("c_name"), nf("CAST(c_nationkey AS BIGINT)"),
+        nf("CAST(floor(c_acctbal * 100) AS BIGINT)"), sf("c_mktsegment")))),
+      digest("orders", canon(Seq(
+        nf("o_orderkey"), nf("o_custkey"), sf("o_orderstatus"),
+        nf("CAST(floor(o_totalprice * 100) AS BIGINT)"),
+        nf("epoch_ms(o_orderdate)"), sf("o_orderpriority"))))
     ).mkString("\nUNION ALL\n")
   }
 
