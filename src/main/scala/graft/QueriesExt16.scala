@@ -662,27 +662,28 @@ object QueriesExt16 {
     *
     * Scale shape: POINTER DOUBLING, not row-at-a-time recursion — each
     * round jumps every node twice as far (`jump' = jump(jump)`,
-    * accumulating depth), so 5 equi-join rounds cover depth ≤ 32 and
-    * the rounds are O(log depth), never O(depth). Every round is a
-    * shuffle equi-join of the node table with itself on the jump key,
-    * localCheckpointed to keep the self-referencing lineage linear
-    * (without it the plan doubles per round). At 100 TB both sides
-    * bucket on id and the per-round Exchange disappears.
+    * accumulating depth), so rounds are O(log depth), never O(depth).
+    * Every round is a shuffle equi-join of the node table with itself on
+    * the jump key, localCheckpointed to keep the self-referencing
+    * lineage linear (without it the plan doubles per round). At 100 TB
+    * both sides bucket on id and the per-round Exchange disappears.
+    *
+    * Depth robustness (r14, the r13 verdict's depth item): the doubling
+    * loop lives in `GraphOps.flattenHierarchy` and runs to FIXPOINT —
+    * it stops when no node still points at a non-root ancestor —
+    * instead of a fixed 5 rounds, which on a hierarchy deeper than 32
+    * levels would silently return non-root "roots" while the
+    * recursive-CTE oracle walked to completion. HierarchyDepthSpec pins
+    * exact roots/depths on a 40-deep chain (past the old cap) and the
+    * loud cycle failure.
     */
-  private def qHierarchyFlatten(s: SparkSession, dir: String): DataFrame = {
-    val f0 = documents(s, dir).select(
-      col("doc_id").as("id"),
-      when(col("doc_id") >= 8, expr("CAST(doc_id div 8 AS BIGINT)")).otherwise(col("doc_id")).as("anc"),
-      when(col("doc_id") >= 8, lit(1L)).otherwise(lit(0L)).as("d")
-    )
-    val flat = (1 to 5).foldLeft(f0) { (f, _) =>
-      val fc = f.localCheckpoint(true)
-      fc.as("a")
-        .join(fc.select(col("id").as("anc"), col("anc").as("anc2"), col("d").as("d2")), Seq("anc"))
-        .select(col("id"), col("anc2").as("anc"), (col("d") + col("d2")).as("d"))
-    }
-    flat.select(col("id").as("doc_id"), col("anc").as("root"), col("d").as("depth"))
-  }
+  private def qHierarchyFlatten(s: SparkSession, dir: String): DataFrame =
+    operators.GraphOps.flattenHierarchy(
+      documents(s, dir).select(
+        col("doc_id").as("id"),
+        when(col("doc_id") >= 8, expr("CAST(doc_id div 8 AS BIGINT)")).otherwise(col("doc_id")).as("parent")),
+      "id", "parent")
+      .select(col("id").as("doc_id"), col("root"), col("depth"))
 
   private val qHierarchyFlattenSql =
     """WITH RECURSIVE w AS (

@@ -942,12 +942,12 @@ object QueriesExt19 {
     * and triangles (density). The oracle walks the same graph with a
     * recursive CTE + min().
     *
-    * Scale shape: frontier BFS as iterative relational rounds — each of
-    * the 6 rounds joins the CURRENT frontier (not the whole visited
-    * set) with the edge list and anti-joins the visited set, exactly
-    * the Pregel frontier expansion; rounds are O(diameter), work per
-    * round is frontier-adjacency sized, and each round
-    * localCheckpoints so lineage stays linear (B71's discipline).
+    * Scale shape: frontier BFS as iterative relational rounds — each
+    * round joins the CURRENT frontier (not the whole visited set) with
+    * the edge list and anti-joins the visited set, exactly the Pregel
+    * frontier expansion, running to frontier-empty fixpoint; rounds are
+    * O(diameter), work per round is frontier-adjacency sized, and each
+    * round localCheckpoints so lineage stays linear (B71's discipline).
     */
   private def graphBfsHops(s: SparkSession, dir: String): DataFrame = {
     val d = documents(s, dir)
@@ -973,10 +973,19 @@ object QueriesExt19 {
         org.apache.spark.sql.types.StructField("hops", org.apache.spark.sql.types.LongType)
       ))
     )
+    // Fixpoint frontier expansion (r14 depth item): rounds run until the
+    // frontier EMPTIES — the true BFS termination — instead of a fixed 6,
+    // which on a graph of diameter > 6 would silently truncate distances
+    // while the recursive-CTE oracle walked further. Rounds are
+    // O(diameter); the 64-round cap fails loudly on a pathological
+    // fixture rather than looping (BFS on a finite graph always empties
+    // the frontier — the cap mirrors the oracle's recursion bound, which
+    // DuckDB needs because its per-level walk re-reaches visited nodes).
     var frontier = visited
     var depth    = 0L
-    while (depth < 6) {
+    while (frontier.limit(1).count() > 0) {
       depth += 1
+      require(depth <= 64, "graph_bfs_hops: frontier non-empty after 64 rounds — mirrors the oracle's bound")
       val next = frontier
         .join(edges, frontier("node") === edges("a"))
         .select(col("b").as("node"))
@@ -1003,7 +1012,7 @@ object QueriesExt19 {
       |  UNION
       |  SELECT e.b AS node, w.hops + 1
       |  FROM walk w JOIN edges e ON w.node = e.a
-      |  WHERE w.hops < 6)
+      |  WHERE w.hops < 64)
       |SELECT node, min(hops) AS hops FROM walk GROUP BY 1""".stripMargin
 
   // --------------------------- vocabulary uniqueness (B122)

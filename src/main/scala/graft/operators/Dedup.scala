@@ -24,55 +24,16 @@ object Dedup {
     * leakage-safe splits, cluster diagnostics, …). A real pipeline
     * materializes that pair table once per corpus snapshot and fans the
     * audits out over it; re-deriving it per query made the dedup family
-    * ~26 queries / ~53 s of the bench suite. This cache memoizes the
-    * eagerly-checkpointed stage per (session, input plan, params): the
-    * first consumer builds, later consumers in the same session reuse the
-    * executor-local checkpoint blocks. Entries are plan-keyed —
-    * `sameResult` on the analyzed plan, never a bare hash, so distinct
-    * corpora (a filtered subset, a staged union, another sf dir) can
-    * never alias — and pair-list-sized, living for the session (the
-    * ContextCleaner reclaims them when the session ends).
-    *
-    * Bench contract: `Bench.runOnce`'s per-query storage-isolation sweep
-    * consults `protectedRddIds` and skips these blocks — unpersisting a
-    * localCheckpoint is unrecoverable (truncated lineage), so evicting a
-    * deliberate cross-query materialization would crash later consumers,
-    * not just slow them.
+    * ~26 queries / ~53 s of the bench suite. `SessionStageCache` (shared
+    * with GraphOps' edge list) memoizes the eagerly-checkpointed stage
+    * per (session, input plan `sameResult`, params).
     */
-  private object PairCache {
-    private val entries = scala.collection.mutable.ArrayBuffer.empty[(
-        org.apache.spark.sql.SparkSession, String,
-        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
-    private val ids = scala.collection.mutable.HashSet.empty[Int]
-
-    def protectedIds: Set[Int] = synchronized(ids.toSet)
-
-    def getOrCompute(docs: DataFrame, params: String)(build: => DataFrame): DataFrame =
-      synchronized {
-        val s    = docs.sparkSession
-        val plan = docs.queryExecution.analyzed
-        entries.collectFirst {
-          case (es, ek, ep, edf) if (es eq s) && ek == params && ep.sameResult(plan) => edf
-        } match {
-          case Some(hit) => hit
-          case scala.None =>
-            // snapshot-diff the persistent-RDD ids around the build: the
-            // stage's eager localCheckpoints (candidates + result) are
-            // whatever survives the build's own persist/unpersist pairs
-            val before = s.sparkContext.getPersistentRDDs.keySet
-            val out    = build
-            ids ++= (s.sparkContext.getPersistentRDDs.keySet -- before)
-            entries += ((s, params, plan, out))
-            System.err.println(s"[paircache] built $params (${entries.size} entries live)")
-            out
-        }
-      }
-  }
+  private val PairCache = SessionStageCache
 
   /** RDD ids of live session-cache materializations — consulted by the
-    * bench's per-query storage-isolation sweep (see PairCache doc).
+    * bench's per-query storage-isolation sweep (see SessionStageCache).
     */
-  def protectedRddIds: Set[Int] = PairCache.protectedIds
+  def protectedRddIds: Set[Int] = SessionStageCache.protectedIds
 
   /** Tiny-input guard: a single small parquet file arrives as one
     * partition, which would serialize the expensive per-document shingle /
