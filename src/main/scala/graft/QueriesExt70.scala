@@ -49,7 +49,12 @@ object QueriesExt70 {
     * LEVEL would iterate this pass then contract communities — each
     * pass is this same bounded plan.
     */
-  private def graphLouvainPass(s: SparkSession, dir: String): DataFrame = {
+  /** Pass 1 shared by `graph_louvain_pass` and the r14 level query
+    * (`graph_louvain_level`, QueriesExt89): the co-purchase edge list
+    * (session-cached in GraphOps) plus the simultaneous-argmax move
+    * table (node, k, comm, newcomm), eagerly checkpointed.
+    */
+  private[graft] def louvainPass1(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = graft.operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2L)
       .localCheckpoint(true)
     val adj = edges
@@ -86,6 +91,13 @@ object QueriesExt70 {
       .filter(col("rn") === 1)
       .select(col("node"), col("k"), col("comm"), col("cand").as("newcomm"))
       .localCheckpoint(true)
+    (edges, picked)
+  }
+
+  private def graphLouvainPass(s: SparkSession, dir: String): DataFrame = {
+    val (edges, picked) = louvainPass1(s, dir)
+    val nodes = picked.select(col("node"), col("k"), col("comm"))
+    val m1    = edges.agg(count(lit(1)).as("m"))
 
     def qOf(assign: DataFrame): DataFrame = {
       val ew = edges

@@ -105,6 +105,11 @@ object PlanAudit {
       // shortlist (sim_hamming_rerank) — every non-equi side is
       // constant-bounded, the corpus side never self-joins
       "graph_louvain_pass", "text_kn_continuation", "sim_hamming_rerank",
+      // round 14 (B258 level), reviewed: graph_louvain_pass's exact
+      // pattern — 1-row aggregate broadcasts (m / n_moved_l2 / the two Q
+      // readouts) crossed onto the ≤community-count supergraph readout;
+      // pass 2 itself is equi-joins over the community-bounded tables
+      "graph_louvain_level",
       // round 11 batch 46, reviewed: 1-row aggregate broadcasts (the
       // 64-row dim-sum square total; the user-count total over the
       // bounded count-histogram) crossed over 1-row/bounded sides

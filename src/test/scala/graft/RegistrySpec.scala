@@ -105,7 +105,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt85" -> QueriesExt85.queries.keySet,
       "QueriesExt86" -> QueriesExt86.queries.keySet,
       "QueriesExt87" -> QueriesExt87.queries.keySet,
-      "QueriesExt88" -> QueriesExt88.queries.keySet
+      "QueriesExt88" -> QueriesExt88.queries.keySet,
+      "QueriesExt89" -> QueriesExt89.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
