@@ -309,6 +309,29 @@ object Similarity {
       dim: Int = 64
   ): DataFrame = {
     require(bitsPerBand <= MaxBitsPerBand, s"bitsPerBand $bitsPerBand > $MaxBitsPerBand")
+    // Session-cached up to (but excluding) the tau filter (r14 diet): six
+    // queries (sim_rp_lsh at tau 0.3; hard negatives, NN-descent, and the
+    // three kNN-graph consumers at tau 0.0) run the IDENTICAL
+    // banding + candidate + exact-cosine stage over the same cloud — the
+    // standing LSH index + verified-pair table a deployment materializes
+    // once per embedding snapshot. The pinned table is candidate-bounded
+    // (the banding's output, never all-pairs); each caller's tau is a
+    // post-filter on it. Plan-keyed via sameResult + the full geometry.
+    SessionStageCache.getOrCompute(
+      embeddings, s"rpPairs:$idCol:$vecCol:$bands:$bitsPerBand:$dim") {
+      rpPairsUnfiltered(embeddings, idCol, vecCol, bands, bitsPerBand, dim)
+        .localCheckpoint(true)
+    }.filter(col("cosine") >= tau)
+  }
+
+  private def rpPairsUnfiltered(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int,
+      bitsPerBand: Int,
+      dim: Int
+  ): DataFrame = {
     val planes = signPlanes(bands * MaxBitsPerBand, dim)
     val base = spread(embeddings).select(
       col(idCol).as("vec_id"),
@@ -341,7 +364,6 @@ object Similarity {
         col("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cosine")
       )
-      .filter(col("cosine") >= tau)
   }
 
   /** B287 — sign-LSH index-quality calibration, the vector-space twin of
