@@ -324,7 +324,10 @@ object Similarity {
     }.filter(col("cosine") >= tau)
   }
 
-  private def rpPairsUnfiltered(
+  // private[graft]: PlanAuditSpec audits the BUILD plan here — the public
+  // entry returns the session-cached checkpoint (a Scan ExistingRDD leaf
+  // with no banding shape left to audit)
+  private[graft] def rpPairsUnfiltered(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,

@@ -296,7 +296,14 @@ class PlanAuditSpec extends GraftSpecBase {
   }
 
   test("sim_rp_lsh: banded self-join on (band,bucket), never all-pairs") {
-    val d = df("sim_rp_lsh")
+    // audited on the UNCACHED build stage: the public entry returns the
+    // session-cached checkpoint (a Scan ExistingRDD leaf), so the banding
+    // shape this test pins lives in rpPairsUnfiltered
+    val emb = Tables.embeddings(spark, sf())
+    val d = graft.operators.Similarity
+      .rpPairsUnfiltered(emb, "vec_id", "embedding", bands = 2,
+        bitsPerBand = graft.operators.Similarity.bitsFor(emb.count()), dim = 64)
+      .filter(org.apache.spark.sql.functions.col("cosine") >= 0.3)
     val p = d.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // candidate generation joins on the band+bucket equi-key
