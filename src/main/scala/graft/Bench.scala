@@ -11,21 +11,53 @@ import org.apache.spark.sql.SparkSession
   * plan). One cheap warmup query first so JVM/codegen startup cost isn't
   * attributed to the first measured query.
   *
+  * Scheduling is COVERAGE-FIRST (r15; the r14 artifact timed 368/400 and
+  * skipped 32 because trials+settles were paid up-front until the budget
+  * knee):
+  *  - pass 1 measures EVERY registered query once (no warmup, 1 trial)
+  *    — at committed medians that is ~5 min for the whole registry, so
+  *    the artifact covers all queries long before any plausible kill
+  *    window;
+  *  - pass 2 buys PRECISION with the leftover budget: queries are
+  *    re-measured at full trial count in ascending pass-1-cost order
+  *    (maximizes how many queries reach full mode), each upgrade gated
+  *    on its own projected cost fitting the remaining budget with the
+  *    stream-drain reserve held back.
+  *  Every query's measurement mode ships in the artifact ("t" = timed
+  *  trials, "w" = 1 when re-measured warm in pass 2), and history
+  *  comparisons are LIKE-FOR-LIKE: hist_ratio covers full-mode queries
+  *  vs committed-history medians; single-trial leftovers are ratioed
+  *  separately against history MINIMA (hist_ratio_reduced) and NEVER
+  *  gate — r14's headline carried a 1.819 "drift" that was pure
+  *  measurement-mode inflation (same-day idle ratio: 1.001).
+  *
   * Kill-safety (r13 postmortem): BENCH_r13.json was an rc-124 timeout
   * kill with nothing parseable — the suite outgrew the driver's
   * wall-clock window and this main used to serialize ALL output only
-  * after the last query. Three layers now guarantee a valid artifact:
+  * after the last query. Three layers guarantee a valid artifact:
   *  1. target/bench_full.json is flushed incrementally (after every
-  *     query and every gate pass), always valid JSON, marked
-  *     "partial":true until the run completes.
+  *     query and every gate pass) via write-temp + ATOMIC_MOVE, so the
+  *     on-disk file is always complete valid JSON even if a SIGTERM
+  *     lands mid-flush; marked "partial":true until the run completes.
   *  2. A JVM shutdown hook prints the latest headline JSON line to
   *     stdout if the normal end-of-run print never happened (SIGTERM
   *     from `timeout` runs hooks before the JVM halts).
   *  3. The run is time-budget-aware (SPARK_GRAFT_BENCH_BUDGET_SEC,
-  *     default 1250): when the projected finish exceeds the budget it
-  *     degrades per-query cost (skip warmup, 3→2→1 trials), and past
-  *     93% of budget it stops measuring, records the remaining names
-  *     under "skipped", and emits what completed.
+  *     default 1250): pass 2 upgrades and gate reruns are each
+  *     individually budget-gated, and a pathological host that cannot
+  *     even finish pass 1 records the tail as "skipped" at 93% of
+  *     budget rather than dying mid-suite.
+  *
+  * Shared-stage attribution (r15): the session stage cache (dedup pair
+  * table, co-purchase edges, RP-LSH pair stage — 31 consumer queries)
+  * builds once per JVM inside whichever timed trial runs its first
+  * consumer. That build cost is drained per trial from
+  * SessionStageCache.drainBuildNanos and recorded as the query's
+  * "build" field; history comparison subtracts it, so per-query history
+  * stays stable even if the run order (and therefore the build payer)
+  * changes. Full-mode medians are structurally build-free: the build
+  * lands in a pass-1 trial, and pass 2's warm re-measurement replaces
+  * that number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,8 +68,8 @@ object Bench {
     // Default calibrated against the driver's observed window: r12's full
     // run passed at 1,229 s and r13's (+28 queries) was killed, so the cap
     // sits somewhere above 1,230 s — 1,250 s of self-imposed budget keeps
-    // the degradation machinery ahead of any plausible external kill while
-    // leaving a healthy dieted run (sub-1,100 s) entirely un-degraded.
+    // the pacer ahead of any plausible external kill. Local full runs set
+    // 3600 so every query reaches full mode and the gates run undegraded.
     val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map { raw =>
       scala.util.Try(raw.trim.toDouble).getOrElse(
         throw new IllegalArgumentException(s"SPARK_GRAFT_BENCH_BUDGET_SEC must be a number, got '$raw'")
@@ -56,14 +88,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(name: String): Double = {
+    // run-level total of shared-stage build seconds (audit field)
+    var stageBuildTotal = 0.0
+
+    /** One timed execution through the noop sink. Returns (wall seconds,
+      * shared-stage build seconds that occurred inside this trial) —
+      * (-1, 0) on failure.
+      */
+    def runOnce(name: String): (Double, Double) = {
+      graft.operators.SessionStageCache.drainBuildNanos() // clear any untimed residue
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
-      val sec = (System.nanoTime() - t0) / 1e9
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); return (-1.0, 0.0)
+      }
+      val sec   = (System.nanoTime() - t0) / 1e9
+      val build = graft.operators.SessionStageCache.drainBuildNanos() / 1e9
+      stageBuildTotal += build
       // Storage isolation between queries: operators that persist() or
       // localCheckpoint() release their blocks only when the ContextCleaner
-      // GCs the DataFrame — across a 123-query run those leaked blocks
+      // GCs the DataFrame — across a 400-query run those leaked blocks
       // accumulate until eviction pressure lands on whichever query runs
       // next (observed: dedup_jaccard_ppjoin 2.6 s solo vs 14.3 s median
       // late in the full suite, bimodal min 4.6/max 14.8). Dropping all
@@ -81,11 +126,10 @@ object Bench {
       // short settle so the cleaner drains before the next timed trial.
       // r10 postmortem: ONE gc+settle still shipped two spread violators
       // and a poisoned median (graph_jaccard_neighbors med 18.7 s vs min
-      // 4.8 s) — all three contaminated queries sit downstream of the
-      // persist-heavy dedup/graph families. Weak/phantom-reference
-      // cleanup (ContextCleaner's queue, DirectByteBuffer frees) often
-      // needs a SECOND collection cycle after the first one discovers
-      // the refs, so the settle is now gc → drain → gc → drain.
+      // 4.8 s) — weak/phantom-reference cleanup (ContextCleaner's queue,
+      // DirectByteBuffer frees) often needs a SECOND collection cycle
+      // after the first one discovers the refs, so the settle is
+      // gc → drain → gc → drain.
       // Bench-session caches (the shared dedup pair-table stage,
       // Dedup.protectedRddIds) are exempt: they are deliberately
       // long-lived across the suite, and unpersisting a localCheckpoint
@@ -101,74 +145,56 @@ object Bench {
         System.gc()
         Thread.sleep(120)
       } else spark.catalog.clearCache()
-      sec
+      (sec, build)
     }
 
-    // Median of N trials with an untimed warmup pass per query: the shared
-    // host shows multi-second scheduling stalls that would otherwise be
-    // attributed to whichever query they land on (observed: the same
-    // trivial query ranging 0.5s..35s across rounds; a 1.7x same-binary
-    // swing on the full suite between builder and driver runs in round 4).
-    // The warmup run absorbs first-touch codegen + OS page-cache cost so
-    // the timed trials measure steady state; the median resists one-off
-    // stalls where min would hide a real regression and mean would inflate
-    // it. min/max are kept alongside so per-query spread is auditable.
-    // malformed values (e.g. "3x", "") fail loudly naming the env var
-    // rather than surfacing as a bare NumberFormatException mid-run
+    // Trial count for FULL-MODE (pass-2) measurements. Median of N trials:
+    // the shared host shows multi-second scheduling stalls that would
+    // otherwise be attributed to whichever query they land on (observed:
+    // the same trivial query ranging 0.5s..35s across rounds; a 1.7x
+    // same-binary swing on the full suite between builder and driver runs
+    // in round 4). The median resists one-off stalls where min would hide
+    // a real regression and mean would inflate it; min/max are kept
+    // alongside so per-query spread is auditable. Malformed values fail
+    // loudly naming the env var.
     val trials = sys.env.get("SPARK_GRAFT_TRIALS").map { raw =>
       scala.util.Try(raw.trim.toInt).getOrElse(
         throw new IllegalArgumentException(s"SPARK_GRAFT_TRIALS must be an integer, got '$raw'")
       )
     }.getOrElse(3).max(1)
 
-    final case class QStat(med: Double, min: Double, max: Double)
+    /** Per-query result. med/min/max are RAW wall seconds; n = timed
+      * trials behind them; warm = measured in pass 2 (or a gate rerun)
+      * after the pass-1 touch absorbed first-run costs; build = shared-
+      * stage build seconds that landed inside the timed trials (only ever
+      * non-zero for the single pass-1 trial of a stage's first consumer).
+      */
+    final case class QStat(med: Double, min: Double, max: Double,
+                           n: Int = 1, warm: Boolean = false, build: Double = 0.0)
+    def fullMode(s: QStat): Boolean = s.warm && s.n >= trials && s.med >= 0
+    // the comparable figure: marginal cost, independent of run order.
+    // n==1 ⇒ med IS the build-paying trial, so the subtraction is exact;
+    // n>=2 warm trials never contain a build (once-per-JVM).
+    def adjusted(s: QStat): Double =
+      if (s.med < 0) s.med else if (s.n <= 1) math.max(0.0, s.med - s.build) else s.med
 
-    // Degradation ladder (r13 fix): 0 = full fat (warmup + `trials`
-    // trials), 1 = no warmup + ≤2 trials, 2 = no warmup + 1 trial,
-    // 3 = stop measuring. Levels 1-2 only engage when either elapsed time
-    // crosses hard fractions of the budget or the PROJECTED finish
-    // (linear per-query pace + a 90 s allowance for the stream drain and
-    // gate passes) exceeds it — a healthy run that fits stays at level 0
-    // for every query, so drift history quality is unaffected.
-    var degradedQueries = 0
-    def levelByElapsed(): Int = {
-      val e = elapsed
-      if (e > 0.93 * budget) 3 else if (e > 0.86 * budget) 2 else if (e > 0.72 * budget) 1 else 0
-    }
-    // Projection pace = MEDIAN measured per-query wall (not mean
-    // elapsed/done: that attributes JVM+session startup and the slow cdc_*
-    // head of the alphabetical order to the pace and degrades the first
-    // queries of a run that would have fit comfortably — observed at
-    // sf0.001 where a 54 s-elapsed run against a 1,250 s budget had
-    // degraded 17 of its first 18 queries). Needs 10 observations before
-    // it engages; below that only the hard elapsed thresholds apply.
-    val qWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def degradeLevel(done: Int, total: Int): Int = {
-      val hard = levelByElapsed()
-      if (hard >= 2 || qWalls.size < 10) hard
+    /** n timed trials (warmup behavior is pass-1-touch based, see pass 2
+      * below; gate reruns pass doWarmup=true for a fresh untimed pass
+      * because their target ran long ago in the suite).
+      */
+    def measure(name: String, n: Int, warm: Boolean, doWarmup: Boolean): QStat = {
+      if (doWarmup) runOnce(name)
+      val ts = Seq.fill(n)(runOnce(name)).filter(_._1 >= 0.0)
+      if (ts.isEmpty) QStat(-1.0, -1.0, -1.0, 0, warm)
       else {
-        val ws   = qWalls.toSeq.sorted
-        val medW = ws(ws.size / 2)
-        val proj = elapsed + medW * (total - done) + 90.0
-        if (proj <= 0.92 * budget) 0 else math.max(hard, 1)
-      }
-    }
-
-    def runAt(name: String, level: Int): QStat = {
-      if (level >= 3) return QStat(-1.0, -1.0, -1.0)
-      if (level == 0) runOnce(name) // warmup, excluded from the stats
-      else degradedQueries += 1
-      val n  = if (level == 0) trials else if (level == 1) math.min(trials, 2) else 1
-      val ts = Seq.fill(n)(runOnce(name)).filter(_ >= 0.0).sorted
-      if (ts.isEmpty) QStat(-1.0, -1.0, -1.0)
-      else {
+        val sorted = ts.map(_._1).sorted
         val med =
-          if (ts.size % 2 == 1) ts(ts.size / 2)
-          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
-        QStat(med, ts.head, ts.last)
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        QStat(med, sorted.head, sorted.last, sorted.size, warm, ts.map(_._2).sum)
       }
     }
-    def run(name: String): QStat = runAt(name, levelByElapsed())
+    def fullFat(name: String): QStat = measure(name, trials, warm = true, doWarmup = true)
 
     // warmup: exercise scan + join + agg codegen paths once
     try SparkEntry.queries("q6_revenue_forecast")(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -190,9 +216,20 @@ object Bench {
     // throughput iteration); =skip omits it from a SPARK_GRAFT_ONLY-less
     // run; unset keeps the driver contract (full suite + stream).
     val streamMode = sys.env.getOrElse("SPARK_GRAFT_STREAM", "")
-    val names =
-      if (streamMode == "only") Seq.empty[String]
-      else SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_SHUFFLE_ORDER=<seed> measures pass 1 in a deterministic
+    // shuffled order instead of alphabetical — the reorder-stability
+    // harness for stage-build attribution (shifts which consumer pays
+    // each shared-stage build; adjusted meds must not move).
+    val orderSeed = sys.env.get("SPARK_GRAFT_SHUFFLE_ORDER").map(_.trim.toLong)
+    val names = {
+      val base =
+        if (streamMode == "only") Seq.empty[String]
+        else SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+      orderSeed match {
+        case Some(seed) => new scala.util.Random(seed).shuffle(base)
+        case scala.None => base
+      }
+    }
 
     /** Streaming throughput: envelope rows/sec through the full CDC
       * enrich pipeline (source scan → extract → broadcast lookup join →
@@ -200,13 +237,13 @@ object Bench {
       * single-node analogue of the reference's Kafka-Streams throughput
       * profile (BASELINE.md). AvailableNow drains the whole fixture in
       * micro-batches.
-      */
-    /** Returns (rows, rows/sec, source files, micro-batches, per-batch ms).
-      * The extra fields are the instrumentation the r7 throughput cliff
-      * demanded: 115k → 8k rows/s across a fixture regeneration is only
-      * diagnosable if the snapshot records whether the drain split into
-      * many micro-batches (per-batch fixed cost: persist + broadcast join
-      * + two parquet sink commits + a count) or one batch got slower.
+      *
+      * Returns (rows, rows/sec, source files, micro-batches, per-batch
+      * ms). The extra fields are the instrumentation the r7 throughput
+      * cliff demanded: 115k → 8k rows/s across a fixture regeneration is
+      * only diagnosable if the snapshot records whether the drain split
+      * into many micro-batches (per-batch fixed cost: persist + broadcast
+      * join + two parquet sink commits + a count) or one batch got slower.
       */
     def streamThroughput(): (Long, Double, Int, Int, Seq[Long]) =
       try {
@@ -277,8 +314,11 @@ object Bench {
     // checkout sets every file to the same mtime, making "last 8" an
     // arbitrary subset per machine. mtime is only the tiebreak/fallback
     // for hand-dropped files without a stamp.
-    // Partial/degraded snapshots are excluded — a killed run's 1-trial
-    // numbers must not become drift-gate history.
+    // Partial AND degraded snapshots are excluded (r14 advice: a run
+    // that finished but had reduced-trial queries still carries
+    // systematically inflated meds) — only complete full-mode runs are
+    // drift-gate history. Per-query "build" (shared-stage build cost
+    // baked into a med) is subtracted so history carries marginal cost.
     lazy val historyRuns: Seq[Map[String, Double]] = {
       val dir = java.nio.file.Paths.get("bench_history")
       if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
@@ -298,6 +338,12 @@ object Bench {
               val j = org.json4s.jackson.JsonMethods.parse(java.nio.file.Files.readString(p))
               val sfOk = (j \ "sf") match { case JString(s) => s == sfDir; case _ => false }
               val partial = (j \ "partial") match { case JBool(b) => b; case _ => false }
+              val degraded = (j \ "degraded_queries") match {
+                case JInt(n)    => n.toInt
+                case JDouble(d) => d.toInt
+                case JLong(l)   => l.toInt
+                case _          => 0
+              }
               // history is only comparable within one execution topology:
               // a local-cluster[2,2,2048] run at 4 cores/2 JVMs must not
               // poison the local[32] drift medians (and vice versa).
@@ -308,13 +354,18 @@ object Bench {
               }
               val qs = (j \ "queries") match {
                 case JObject(fields) => fields.collect {
-                  case (k, JObject(o)) => o.collectFirst { case ("med", JDouble(d)) => k -> d }
+                  case (k, JObject(o)) =>
+                    val med   = o.collectFirst { case ("med", JDouble(d)) => d }
+                    val build = o.collectFirst { case ("build", JDouble(d)) => d }.getOrElse(0.0)
+                    val nTr   = o.collectFirst { case ("t", JInt(n)) => n.toInt }.getOrElse(2)
+                    med.map(m => k -> (if (nTr <= 1) math.max(0.0, m - build) else m))
                   case (k, JDouble(d)) => Some(k -> d)
                   case (k, JDecimal(d)) => Some(k -> d.toDouble)
                 }.flatten.toMap
                 case _ => Map.empty[String, Double]
               }
-              if (sfOk && masterOk && !partial && qs.nonEmpty) Some(qs) else scala.None
+              if (sfOk && masterOk && !partial && degraded == 0 && qs.nonEmpty) Some(qs)
+              else scala.None
             }.toOption.flatten
           }
           .takeRight(8)
@@ -325,7 +376,7 @@ object Bench {
       val ratios = historyRuns.flatMap { hist =>
         val common = current.keySet.intersect(hist.keySet)
           .filter(k => current(k) > 0 && hist(k) > 0)
-        // need most of the suite in common for the ratio to mean anything
+        // need most of the subset in common for the ratio to mean anything
         // (max(1,…): integer floor would let an EMPTY intersection through
         // for 1-query dev runs → 0/0 = NaN)
         if (common.size < math.max(1, (current.size * 8) / 10)) scala.None
@@ -357,7 +408,9 @@ object Bench {
     // med/min spread stays tight, but this run's min-of-trials vs
     // history's best still separates "host was busy" from "code got
     // slower" (r12: dedup_simhash min 1.36 s vs best 0.88 s while the
-    // med-based trigger slept)
+    // med-based trigger slept). Also the like-for-like yardstick for
+    // single-trial (reduced-mode) queries: one cold trial is bounded
+    // below by the machine's best, never comparable to a warm median.
     lazy val histMin: Map[String, Double] = {
       val byQuery = historyRuns.flatten.groupBy(_._1)
       byQuery.flatMap { case (q, kvs) =>
@@ -384,15 +437,13 @@ object Bench {
     // ---- incremental snapshot + shutdown-hook state (r13 fix) ----------
     // Everything the artifact needs, readable mid-run. buildSnapshot()
     // turns the current state into (full JSON, headline line); flush()
-    // stashes both for the shutdown hook and rewrites
+    // stashes both for the shutdown hook and atomically rewrites
     // target/bench_full.json so an external kill at ANY point leaves a
     // valid, parseable artifact on disk AND a headline line on stdout.
     val emittedFinal = new java.util.concurrent.atomic.AtomicBoolean(false)
     @volatile var hookFull: String     = ""
     @volatile var hookHeadline: String = ""
     var curStats: Seq[(String, QStat)]   = Seq.empty
-    var curRatio: Option[Double]         = scala.None
-    var curHeadRatio: Option[Double]     = scala.None
     var curReruns                        = 0
     var curSpreadReruns                  = 0
     var curSpreadViol: Seq[String]       = Seq.empty
@@ -404,10 +455,26 @@ object Bench {
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var canaryRetimes = 0
 
+    // like-for-like history ratios over the CURRENT stats: full-mode
+    // queries vs committed meds (the gate signal), reduced-mode leftovers
+    // vs committed minima (report-only — measurement modes differ).
+    def ratioFull(stats: Seq[(String, QStat)]): Option[Double] =
+      historyRatio(stats.collect { case (n, s) if fullMode(s) => n -> adjusted(s) }.toMap)
+    def ratioHeadline(stats: Seq[(String, QStat)]): Option[Double] =
+      historyRatio(stats.collect { case (n, s) if fullMode(s) && headline(n) => n -> adjusted(s) }.toMap)
+    def ratioReduced(stats: Seq[(String, QStat)]): Option[Double] = {
+      val red = stats.collect { case (n, s) if !fullMode(s) && s.med >= 0 => n -> adjusted(s) }
+      val common = red.filter { case (n, v) => v > 0 && histMin.get(n).exists(_ > 0) }
+      if (red.isEmpty || common.size < math.max(1, (red.size * 8) / 10)) scala.None
+      else Some(common.map(_._2).sum / common.map(kv => histMin(kv._1)).sum)
+    }
+
     def buildSnapshot(partial: Boolean): (String, String) = {
       val results = curStats.map { case (n, s) => n -> s.med }
       val all = curStats.map { case (k, s) =>
-        "\"" + k + "\":{\"med\":" + fmt(s.med) + ",\"min\":" + fmt(s.min) + ",\"max\":" + fmt(s.max) + "}"
+        "\"" + k + "\":{\"med\":" + fmt(s.med) + ",\"min\":" + fmt(s.min) + ",\"max\":" + fmt(s.max) +
+          ",\"t\":" + s.n + ",\"w\":" + (if (s.warm) 1 else 0) +
+          (if (s.build > 0.005) ",\"build\":" + fmt(s.build) else "") + "}"
       }.mkString("{", ",", "}")
       val head  = results.filter(r => headline(r._1)).map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
@@ -419,9 +486,11 @@ object Bench {
       }.getOrElse("")
       // spread audit trail: how this run compared to the history median on
       // first pass, and whether the >25%-drift rerun fired.
-      // hist_ratio is the FINAL (post-rerun-merge) ratio; reruns counts the
-      // extra full passes the drift loop took (0 = first pass was clean)
-      // the violation NAME lists are capped on the stdout line (a noisy
+      // hist_ratio is LIKE-FOR-LIKE (full-mode queries only, post-rerun-
+      // merge); hist_ratio_reduced ratios the single-trial leftovers
+      // against history minima and never gates. reruns counts the extra
+      // passes the drift loop took (0 = first pass was clean).
+      // The violation NAME lists are capped on the stdout line (a noisy
       // or partial run can flag dozens — the full list lives in the full
       // snapshot; the line must stay inside the driver's ~2000-char tail)
       def violField(key: String, names: Seq[String], cap: Int) =
@@ -429,19 +498,29 @@ object Bench {
         else
           names.take(cap).map("\"" + _ + "\"").mkString(s""","$key":[""", ",", "]") +
             (if (names.size > cap) s""","${key}_count":${names.size}""" else "")
-      def histField(cap: Int) = curRatio.map(r => s""","hist_ratio":${fmt(r)},"reruns":$curReruns""").getOrElse("") +
-        curHeadRatio.map(r => s""","hist_ratio_headline":${fmt(r)}""").getOrElse("") +
-        s""","spread_reruns":$curSpreadReruns""" +
-        violField("spread_violations", curSpreadViol, cap) +
-        s""","perquery_drift_reruns":$curDriftReruns""" +
-        violField("perquery_drift_violations", curDriftViol, cap)
-      // kill-safety audit: partial marks an artifact from an incomplete
-      // run; degraded/skipped record what the budget ladder did. The
-      // skipped NAME list goes to the full snapshot only — on a 399-query
+      def histField(cap: Int) =
+        ratioFull(curStats).map(r => s""","hist_ratio":${fmt(r)},"reruns":$curReruns""").getOrElse("") +
+          ratioHeadline(curStats).map(r => s""","hist_ratio_headline":${fmt(r)}""").getOrElse("") +
+          ratioReduced(curStats).map(r => s""","hist_ratio_reduced":${fmt(r)}""").getOrElse("") +
+          s""","spread_reruns":$curSpreadReruns""" +
+          violField("spread_violations", curSpreadViol, cap) +
+          s""","perquery_drift_reruns":$curDriftReruns""" +
+          violField("perquery_drift_violations", curDriftViol, cap)
+      // kill-safety + measurement-mode audit: partial marks an artifact
+      // from an incomplete run; mode_full/mode_reduced say how many
+      // queries reached full trials (degraded_queries keeps the legacy
+      // name = reduced count so prior-round tooling still parses). The
+      // skipped NAME list goes to the full snapshot only — on a 400-query
       // suite it can run to kilobytes, and the stdout line must stay
       // inside the driver's ~2000-char tail buffer.
+      val nFull    = curStats.count(kv => fullMode(kv._2))
+      // failed queries (med -1) are neither mode: they ship as -1 entries
+      // and fail correctness, not measurement-mode accounting
+      val nReduced = curStats.count(kv => kv._2.med >= 0 && !fullMode(kv._2))
       val budgetField =
-        s""","partial":$partial,"budget_sec":${fmt(budget)},"elapsed_sec":${fmt(elapsed)},"degraded_queries":$degradedQueries""" +
+        s""","partial":$partial,"budget_sec":${fmt(budget)},"elapsed_sec":${fmt(elapsed)}""" +
+          s""","mode_full":$nFull,"mode_reduced":$nReduced,"degraded_queries":$nReduced""" +
+          (if (stageBuildTotal > 0.005) s""","stage_build_sec":${fmt(stageBuildTotal)}""" else "") +
           (if (skipped.nonEmpty) s""","skipped_count":${skipped.size}""" else "")
       val skippedField =
         if (skipped.nonEmpty) skipped.map("\"" + _ + "\"").mkString(""","skipped":[""", ",", "]") else ""
@@ -486,9 +565,18 @@ object Bench {
       hookFull = full
       hookHeadline = line
       try {
-        val p = java.nio.file.Paths.get("target/bench_full.json")
+        // temp-write + ATOMIC_MOVE: a SIGTERM landing mid-flush (the JVM
+        // halts when the shutdown hook finishes, racing this thread) must
+        // never leave a torn half-written artifact — kill-safety layer 1
+        // promises the on-disk file is ALWAYS valid JSON
+        val p   = java.nio.file.Paths.get("target/bench_full.json")
+        val tmp = java.nio.file.Paths.get("target/bench_full.json.tmp")
         java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+        java.nio.file.Files.write(tmp, full.getBytes("UTF-8"))
+        java.nio.file.Files.move(
+          tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       } catch { case _: Throwable => () }
     }
 
@@ -504,81 +592,108 @@ object Bench {
     }, "bench-emit-hook"))
 
     // Run-level canary (r11 What's-wrong #1): a fixed fast query re-timed
-    // every `canaryEvery` suite queries detects WHOLE-RUN host
-    // contamination that per-query trial spreads cannot (when every trial
-    // in a window is slow, med/min stays tight). Canary timings are
-    // untimed w.r.t. the suite total and recorded in the full snapshot;
-    // a sample >2× the run's best sample marks the surrounding span as
-    // contaminated on stderr — the per-query drift gate below is what
-    // actually re-runs affected queries.
+    // every `canaryEvery` queries detects WHOLE-RUN host contamination
+    // that per-query trial spreads cannot (when every trial in a window
+    // is slow, med/min stays tight). Canary timings are untimed w.r.t.
+    // the suite total and recorded in the full snapshot. During pass 1
+    // (coverage) a dirty sample only settles — precision comes from pass
+    // 2, whose dirty windows ARE re-timed (min-merged, capped: a host
+    // this noisy should ship its numbers flagged, not loop).
     val canaryEvery = 25
-    // returns true when THIS sample marks a contamination window (>2× the
-    // best sample so far) — the caller re-times the window's queries (r12
-    // postmortem: the shipped run RECORDED a live 0.557 s-vs-0.203 window
-    // at query 325 but only settled; dedup_simhash's 1.5× inflation inside
-    // it then sailed under the old 2× per-query drift trigger)
     def canaryTick(idx: Int): Boolean = {
       if (!(only.isEmpty && SparkEntry.queries.contains(canaryName))) return false
-      val t = runOnce(canaryName)
+      val t = runOnce(canaryName)._1
       if (t < 0) return false
       canarySamples += ((idx, t))
       val best = canarySamples.map(_._2).min
       val dirty = t > 2.0 * best && t - best > 0.3
       if (dirty) {
         System.err.println(
-          f"[bench] canary drift at query $idx: $canaryName $t%.2fs vs best $best%.2fs — host contamination window; settling")
+          f"[bench] canary drift at index $idx: $canaryName $t%.2fs vs best $best%.2fs — host contamination window; settling")
         System.gc(); Thread.sleep(500)
       }
       dirty
     }
     canaryTick(0)
-    // A dirty canary sample re-times every query measured since the last
-    // clean tick (min-merged — stalls only ever inflate). Capped: a host
-    // that is THIS noisy should ship its numbers flagged, not loop.
-    // Retimes only run at degradation level 0 — past the budget knee the
-    // priority is completing the suite, not polishing the window.
     val maxCanaryRetimes = 3
-    val firstPassBuf = scala.collection.mutable.ArrayBuffer.empty[(String, QStat)]
-    var windowStart  = 0
-    val namesArr     = names.toIndexedSeq
-    var qi           = 0
+
+    val namesArr = names.toIndexedSeq
+    val statsBuf = scala.collection.mutable.LinkedHashMap.empty[String, QStat]
+
+    // ---- pass 1: COVERAGE — every query, one timed trial ---------------
+    // 93%-of-budget knee kept purely as a backstop (at committed medians
+    // pass 1 is ~25% of the default budget): a host so slow it cannot
+    // even single-trial the registry records the tail as skipped and
+    // ships a valid partial artifact rather than dying mid-suite.
+    var qi = 0
     while (qi < namesArr.size && !emittedFinal.get()) {
-      val n   = namesArr(qi)
-      val lvl = degradeLevel(qi, namesArr.size)
-      if (lvl >= 3) {
-        // budget exhausted: record the tail as skipped and emit a partial
-        // (still-valid) artifact rather than dying mid-suite with nothing
+      if (elapsed > 0.93 * budget) {
         skipped = namesArr.drop(qi)
         System.err.println(
           f"[bench] budget knee at ${elapsed}%.0f/${budget}%.0f s after $qi/${namesArr.size} queries — skipping ${skipped.size} remaining")
         qi = namesArr.size
       } else {
-        if (qi > 0 && qi % canaryEvery == 0 && lvl == 0) {
-          val dirty = canaryTick(qi)
-          if (dirty && canaryRetimes < maxCanaryRetimes) {
-            canaryRetimes += 1
-            System.err.println(
-              s"[bench] canary-triggered re-time of suite queries $windowStart..${qi - 1} (window ${canaryRetimes}/$maxCanaryRetimes)")
-            (windowStart until qi).foreach { j =>
-              val (nm, first) = firstPassBuf(j)
-              val second      = run(nm)
-              if (second.med >= 0 && (first.med < 0 || second.med < first.med))
-                firstPassBuf(j) = nm -> second
-            }
-          }
-          windowStart = qi
-        }
-        val w0 = System.nanoTime()
-        firstPassBuf += (n -> runAt(n, lvl))
-        qWalls += (System.nanoTime() - w0) / 1e9
-        curStats = firstPassBuf.toSeq
+        if (qi > 0 && qi % canaryEvery == 0) canaryTick(qi)
+        statsBuf(namesArr(qi)) = measure(namesArr(qi), 1, warm = false, doWarmup = false)
+        curStats = statsBuf.toSeq
         flush(partial = true)
         qi += 1
       }
     }
-    val firstPass = firstPassBuf.toSeq
 
-    val firstMap = firstPass.toMap.map { case (n, s) => n -> s.med }
+    // ---- pass 2: PRECISION — full-trial upgrades, cheapest-first -------
+    // Ascending pass-1 cost maximizes how many queries reach full mode
+    // inside the window; each upgrade is gated on its own projected cost
+    // (trials × pass-1 time, 1.4× slack + fixed overhead) fitting within
+    // 90% of budget minus the stream-drain reserve. The pass-1 trial
+    // already absorbed first-touch codegen + page-cache cost, so upgrades
+    // run `trials` timed trials with no extra warmup; the warm median
+    // REPLACES the cold pass-1 number (mode w:1). A dirty canary tick
+    // re-measures the window's upgrades (min-merge — stalls only ever
+    // inflate; r12 postmortem: a recorded-but-unhandled dirty window let
+    // dedup_simhash ship 1.5× inflated).
+    val streamReserve = if (streamMode == "skip") 20.0 else 100.0
+    val upgradeOrder =
+      statsBuf.toSeq.filter(_._2.med >= 0).sortBy(kv => adjusted(kv._2)).map(_._1)
+    var upgraded    = 0
+    var windowStart = 0
+    val upgradedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ui = 0
+    var upgradeBudgetHit = false
+    while (ui < upgradeOrder.size && !upgradeBudgetHit && !emittedFinal.get() && skipped.isEmpty) {
+      val n   = upgradeOrder(ui)
+      val est = trials * math.max(adjusted(statsBuf(n)), 0.05) * 1.4 + 0.5
+      if (elapsed + est > 0.90 * budget - streamReserve) {
+        System.err.println(
+          f"[bench] pass-2 budget knee at ${elapsed}%.0f/${budget}%.0f s after $upgraded/${upgradeOrder.size} upgrades — " +
+            s"${upgradeOrder.size - upgraded} queries stay single-trial (mode-tagged)")
+        upgradeBudgetHit = true
+      } else {
+        if (upgraded > 0 && upgraded % canaryEvery == 0) {
+          val dirty = canaryTick(namesArr.size + upgraded)
+          if (dirty && canaryRetimes < maxCanaryRetimes) {
+            canaryRetimes += 1
+            System.err.println(
+              s"[bench] canary-triggered re-time of upgrades $windowStart..${upgraded - 1} (window ${canaryRetimes}/$maxCanaryRetimes)")
+            (windowStart until upgraded).foreach { j =>
+              val nm     = upgradedNames(j)
+              val first  = statsBuf(nm)
+              val second = measure(nm, trials, warm = true, doWarmup = false)
+              if (second.med >= 0 && (first.med < 0 || second.med < first.med)) statsBuf(nm) = second
+            }
+          }
+          windowStart = upgraded
+        }
+        val s2 = measure(n, trials, warm = true, doWarmup = false)
+        if (s2.med >= 0) statsBuf(n) = s2
+        upgradedNames += n
+        upgraded += 1
+        curStats = statsBuf.toSeq
+        flush(partial = true)
+      }
+      ui += 1
+    }
+
     // Drift reruns LOOP until the snapshot clears the 25% band or the cap
     // is hit (r7 postmortem: a single rerun landed both passes in the same
     // slow-host window and committed a 1.38×-inflated snapshot anyway).
@@ -587,18 +702,13 @@ object Bench {
     // loop terminates the moment the host gives one honest pass. Capped at
     // 3 extra passes; a still-drifting snapshot ships with its hist_ratio
     // and rerun count on record rather than burning the driver's round.
-    // The rerun is a FULL-run safeguard only: a dev subset's ratio is
-    // still reported for context, but re-running a hand-picked subset
-    // would just double iteration time without protecting any snapshot.
-    // Budget-guarded (r13): a full extra pass only fits at level 0.
-    val maxReruns      = 3
-    var stats          = firstPass
-    def ratios(m: Map[String, Double]): (Option[Double], Option[Double]) =
-      (historyRatio(m), historyRatio(m.filter(kv => headline(kv._1))))
-    var (ratio, headRatio) = ratios(firstMap)
-    var reruns         = 0
-    curRatio = ratio; curHeadRatio = headRatio
-    flush(partial = true)
+    // The rerun set is the FULL-MODE queries (the ratio's own support; a
+    // dev subset's ratio is still reported for context, but re-running a
+    // hand-picked subset would just double iteration time without
+    // protecting any snapshot). Budget-guarded: a full extra pass only
+    // fits while comfortably inside the window.
+    val maxReruns = 3
+    var reruns    = 0
     // The two drift directions need different policies (r11 lesson: the
     // pf=true restore made the whole suite ~19% FASTER than committed
     // history, and the symmetric loop burned all 3 rerun passes —
@@ -616,20 +726,20 @@ object Bench {
       full.exists(_ < 0.75) || head.exists(_ < 0.87)
     def drifted(full: Option[Double], head: Option[Double]) =
       slowDrift(full, head) || (reruns == 0 && fastDrift(full, head))
-    while (only.isEmpty && reruns < maxReruns && levelByElapsed() == 0 &&
-           skipped.isEmpty && drifted(ratio, headRatio)) {
+    while (only.isEmpty && reruns < maxReruns && elapsed < 0.72 * budget &&
+           skipped.isEmpty && drifted(ratioFull(curStats), ratioHeadline(curStats))) {
       System.err.println(
-        s"[bench] drift vs history median (full=${ratio.getOrElse(-1.0)}, headline=${headRatio.getOrElse(-1.0)}) — rerun ${reruns + 1}/$maxReruns")
-      val prev = stats.toMap
-      stats = names.map { n =>
-        val second = run(n)
-        val first  = prev(n)
-        n -> (if (second.med >= 0 && (first.med < 0 || second.med < first.med)) second else first)
+        s"[bench] drift vs history median (full=${ratioFull(curStats).getOrElse(-1.0)}, " +
+          s"headline=${ratioHeadline(curStats).getOrElse(-1.0)}) — rerun ${reruns + 1}/$maxReruns")
+      statsBuf.keys.toSeq.foreach { n =>
+        val first = statsBuf(n)
+        if (fullMode(first)) {
+          val second = measure(n, trials, warm = true, doWarmup = true)
+          if (second.med >= 0 && (first.med < 0 || second.med < first.med)) statsBuf(n) = second
+        }
       }
-      val rr = ratios(stats.toMap.map { case (n, s) => n -> s.med })
-      ratio = rr._1; headRatio = rr._2
       reruns += 1
-      curStats = stats; curRatio = ratio; curHeadRatio = headRatio; curReruns = reruns
+      curStats = statsBuf.toSeq; curReruns = reruns
       flush(partial = true)
     }
     // Per-query spread gate, two conditions on a non-trivial median:
@@ -642,6 +752,8 @@ object Bench {
     //    contaminated and the max moved with the median. min is the
     //    honest figure (stalls only ever inflate), so a median 2× above
     //    it means most trials were dirty, not that the plan regressed.
+    // (Single-trial stats have min==med==max and structurally never
+    // flag — spread is a multi-trial concept.)
     // Flagged queries are re-run to STABLE: each rerun is a fresh
     // warmup + full trial set that REPLACES the contaminated one when
     // it's cleaner (clean beats dirty; among equals, smaller median) —
@@ -651,27 +763,26 @@ object Bench {
     def spreadBad(s: QStat): Boolean =
       s.med > 0.3 && (s.max > s.med * 3.0 || (s.min > 0 && s.med > s.min * 2.0))
     var spreadReruns = 0
-    while (spreadReruns < 5 && levelByElapsed() <= 1 && stats.exists(kv => spreadBad(kv._2))) {
-      val flagged = stats.collect { case (n, s) if spreadBad(s) => n }
+    while (spreadReruns < 5 && elapsed < 0.86 * budget &&
+           statsBuf.exists(kv => spreadBad(kv._2))) {
+      val flagged = statsBuf.collect { case (n, s) if spreadBad(s) => n }.toSeq
       System.err.println(
         s"[bench] spread gate (max/med>3 or med/min>2): rerunning ${flagged.mkString(", ")}")
-      stats = stats.map { case (n, s) =>
-        if (!spreadBad(s)) n -> s
-        else {
-          val second = run(n)
-          val pick =
-            if (second.med < 0) s
-            else if (spreadBad(second) != spreadBad(s)) { if (spreadBad(s)) second else s }
-            else if (second.med < s.med) second
-            else s
-          n -> pick
-        }
+      flagged.foreach { n =>
+        val s      = statsBuf(n)
+        val second = measure(n, trials, warm = true, doWarmup = true)
+        val pick =
+          if (second.med < 0) s
+          else if (spreadBad(second) != spreadBad(s)) { if (spreadBad(s)) second else s }
+          else if (second.med < s.med) second
+          else s
+        statsBuf(n) = pick
       }
       spreadReruns += 1
-      curStats = stats; curSpreadReruns = spreadReruns
+      curStats = statsBuf.toSeq; curSpreadReruns = spreadReruns
       flush(partial = true)
     }
-    val spreadViolations = stats.collect { case (n, s) if spreadBad(s) => n }.toSeq.sorted
+    val spreadViolations = statsBuf.collect { case (n, s) if spreadBad(s) => n }.toSeq.sorted
     curSpreadViol = spreadViolations
 
     // Per-query drift gate vs committed history (layer 3). A query whose
@@ -689,51 +800,56 @@ object Bench {
     // size and 50% of >1 s is a real regression, not noise; sub-second
     // queries keep the 2× + 0.5 s-absolute slack so scheduling jitter
     // can't flag them.
-    def driftBad(n: String, s: QStat): Boolean = {
-      val medBad = s.med > 0 && histMed.get(n).exists { h =>
-        if (h > 1.0) s.med > 1.5 * h
-        else s.med > 2.0 * h && s.med - h > 0.5
-      }
-      // min-of-trials vs history best (the judge's r12 alternative): for
-      // non-trivial queries a 1.5× floor rise with ≥0.3 s absolute slack
-      // means even the CLEANEST trial never reached the machine's known
-      // figure — rerun solo regardless of what the med says
-      val minBad = s.min > 0 && histMin.get(n).exists { h =>
-        h > 0.5 && s.min > 1.5 * h && s.min - h > 0.3
-      }
-      medBad || minBad
-    }
-    var driftReruns = 0
-    while (only.isEmpty && driftReruns < 3 && levelByElapsed() <= 1 &&
-           stats.exists(kv => driftBad(kv._1, kv._2))) {
-      val flagged = stats.collect { case (n, s) if driftBad(n, s) => n }
-      System.err.println(
-        s"[bench] per-query drift gate (med > 2x history med): rerunning solo ${flagged.mkString(", ")}")
-      stats = stats.map { case (n, s) =>
-        if (!driftBad(n, s)) n -> s
-        else {
-          val second = run(n)
-          n -> (if (second.med >= 0 && second.med < s.med) second else s)
+    // LIKE-FOR-LIKE (r15): full-mode stats compare med-vs-histMed and
+    // min-vs-histMin as before; a REDUCED (single cold trial) stat only
+    // flags against history MIN with the loose band — and its solo rerun
+    // is a full-fat measurement, so clearing the flag also upgrades it.
+    def driftBad(n: String, s: QStat): Boolean =
+      if (fullMode(s)) {
+        val medBad = s.med > 0 && histMed.get(n).exists { h =>
+          if (h > 1.0) s.med > 1.5 * h
+          else s.med > 2.0 * h && s.med - h > 0.5
         }
+        // min-of-trials vs history best (the judge's r12 alternative): for
+        // non-trivial queries a 1.5× floor rise with ≥0.3 s absolute slack
+        // means even the CLEANEST trial never reached the machine's known
+        // figure — rerun solo regardless of what the med says
+        val minBad = s.min > 0 && histMin.get(n).exists { h =>
+          h > 0.5 && s.min > 1.5 * h && s.min - h > 0.3
+        }
+        medBad || minBad
+      } else {
+        val adj = adjusted(s)
+        adj > 0 && histMin.get(n).exists(h => h > 0.5 && adj > 2.0 * h && adj - h > 0.5)
+      }
+    var driftReruns = 0
+    while (only.isEmpty && driftReruns < 3 && elapsed < 0.86 * budget &&
+           statsBuf.exists(kv => driftBad(kv._1, kv._2))) {
+      val flagged = statsBuf.collect { case (n, s) if driftBad(n, s) => n }.toSeq
+      System.err.println(
+        s"[bench] per-query drift gate: rerunning solo ${flagged.mkString(", ")}")
+      flagged.foreach { n =>
+        val s      = statsBuf(n)
+        val second = measure(n, trials, warm = true, doWarmup = true)
+        if (second.med >= 0 && (s.med < 0 || second.med < s.med || !fullMode(s))) statsBuf(n) = second
       }
       driftReruns += 1
-      curStats = stats; curDriftReruns = driftReruns
+      curStats = statsBuf.toSeq; curDriftReruns = driftReruns
       flush(partial = true)
     }
     // violations only meaningful on full runs — a dev subset at a
     // different CPU count / trial count produces junk ratios vs history
     val driftViolations =
       if (only.nonEmpty) Seq.empty
-      else stats.collect { case (n, s) if driftBad(n, s) => n }.toSeq.sorted
-    if (driftReruns > 0) { // reruns only lower meds — refresh the recorded ratios
-      val rr = ratios(stats.toMap.map { case (n, s) => n -> s.med })
-      ratio = rr._1; headRatio = rr._2
-    }
+      else statsBuf.collect { case (n, s) if driftBad(n, s) => n }.toSeq.sorted
     if (driftViolations.nonEmpty)
       System.err.println(
-        s"[bench] perquery_drift_violations (med still >2x history after $driftReruns solo reruns): " +
-          driftViolations.map(n => f"$n (${stats.toMap.apply(n).med}%.2fs vs hist ${histMed(n)}%.2fs)").mkString(", "))
-    curStats = stats; curRatio = ratio; curHeadRatio = headRatio; curDriftViol = driftViolations
+        s"[bench] perquery_drift_violations (still drifting after $driftReruns solo reruns): " +
+          driftViolations.map { n =>
+            val ref = histMed.get(n).orElse(histMin.get(n)).getOrElse(-1.0)
+            f"$n (${statsBuf(n).med}%.2fs vs hist $ref%.2fs)"
+          }.mkString(", "))
+    curStats = statsBuf.toSeq; curDriftViol = driftViolations
     flush(partial = true)
 
     val runStream = streamMode == "only" || (only.isEmpty && streamMode != "skip")
@@ -743,12 +859,12 @@ object Bench {
     // binary does all day. Queries get a median of trials; the drain gets
     // best-of-trials because stalls only ever deflate rows/s; ~2 s/trial
     // at sf0.1 is cheap insurance on the committed number.)
-    // Budget-guarded: always attempt one trial (the stream field is part
-    // of the driver contract), extra trials only while comfortably inside
-    // the window.
+    // Trial 0 runs UNCONDITIONALLY — the stream field is part of the
+    // driver contract and coverage-first scheduling reserves room for it;
+    // extra trials only while comfortably inside the window.
     if (runStream) {
       var k = 0
-      while (k < trials && (k == 0 && elapsed < 0.97 * budget || k > 0 && elapsed < 0.88 * budget)) {
+      while (k < trials && (k == 0 || elapsed < 0.88 * budget)) {
         val r = streamThroughput()
         if (r._2 > 0) { curStream = curStream :+ r; flush(partial = true) }
         k += 1
@@ -760,11 +876,14 @@ object Bench {
     try {
       // committed history snapshot: keeps per-query breakdowns diffable
       // across rounds (target/ is cleaned; round 2's breakdown was lost).
-      // FULL runs only — SPARK_GRAFT_ONLY dev subsets would litter the
-      // history (they're excluded from the drift ratio anyway, but the
-      // files accumulate in git); partial (budget-truncated) runs are
-      // excluded too so degraded numbers never poison drift medians.
-      if (only.isEmpty && streamMode != "only" && completed) {
+      // FULL UNDEGRADED runs only — SPARK_GRAFT_ONLY dev subsets would
+      // litter the history, and a run with ANY reduced-mode (single-trial)
+      // queries carries systematically inflated meds that must never
+      // become drift-gate history (r14 advice: level-1/2 degradation used
+      // to slip through on `skipped.isEmpty` alone; the loader ALSO
+      // rejects degraded_queries > 0 as a second lock).
+      val undegraded = statsBuf.valuesIterator.forall(s => s.med < 0 || fullMode(s))
+      if (only.isEmpty && streamMode != "only" && completed && undegraded) {
         val stamp = java.time.format.DateTimeFormatter
           .ofPattern("yyyyMMdd-HHmmss")
           .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))

@@ -47,6 +47,38 @@ class PairCacheSpec extends GraftSpecBase {
     assert(tau8.select("id_a", "id_b").exceptAll(tau5.select("id_a", "id_b")).isEmpty)
   }
 
+  test("concurrent callers of the same stage build it exactly once (per-key latch)") {
+    // r15: the build runs outside the global lock under a per-(session,
+    // params) latch — two racers must still produce ONE materialization
+    // (double-checked lookup), and both get the same frame instance.
+    val params = (7, 0.55) // geometry unused elsewhere in this suite → guaranteed cold
+    val docs   = graft.Tables.documents(spark, sf())
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() => {
+        val df = Dedup.minhashPairs(docs, "doc_id", "text", params._1, params._2)
+        results.add(df)
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val distinct = results.asScala.toSeq.distinct
+    assert(results.size === 4)
+    assert(distinct.size === 1, "all racers must receive the same cached instance")
+  }
+
+  test("build wall-time is metered and drained for bench stage-build attribution") {
+    SessionStageCache.drainBuildNanos() // clear residue from earlier tests
+    // cold geometry → a real build happens inside this call
+    Dedup.minhashPairs(graft.Tables.documents(spark, sf()), "doc_id", "text", 4, 0.45)
+    val drained = SessionStageCache.drainBuildNanos()
+    assert(drained > 0L, "a cache-miss build must meter its wall time")
+    assert(SessionStageCache.drainBuildNanos() === 0L, "drain must reset the meter")
+    // a cache HIT must not meter anything
+    Dedup.minhashPairs(graft.Tables.documents(spark, sf()), "doc_id", "text", 4, 0.45)
+    assert(SessionStageCache.drainBuildNanos() === 0L, "hits are free — no build cost")
+  }
+
   test("cached frame survives a blocking unpersist sweep of UNPROTECTED rdds") {
     // mirror of Bench.runOnce's storage-isolation sweep: everything not
     // in protectedRddIds is unpersisted; the cached pair table must stay
