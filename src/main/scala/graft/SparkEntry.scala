@@ -487,7 +487,7 @@ object SparkEntry {
     "cdc_enrich_join"      -> (cdcEnrichJoin _),
     "cdc_enrich_dlq"       -> (cdcEnrichDlq _),
     "cdc_dedup_exact"      -> (cdcDedupExact _)
-  ) ++ QueriesExt.queries ++ QueriesExt2.queries ++ QueriesExt3.queries ++ QueriesExt4.queries ++ QueriesExt5.queries ++ QueriesExt6.queries ++ QueriesExt7.queries ++ QueriesExt8.queries ++ QueriesExt9.queries ++ QueriesExt10.queries ++ QueriesExt11.queries ++ QueriesExt12.queries ++ QueriesExt13.queries ++ QueriesExt14.queries ++ QueriesExt15.queries ++ QueriesExt16.queries ++ QueriesExt17.queries ++ QueriesExt18.queries ++ QueriesExt19.queries ++ QueriesExt20.queries ++ QueriesExt21.queries ++ QueriesExt22.queries ++ QueriesExt23.queries ++ QueriesExt24.queries ++ QueriesExt25.queries ++ QueriesExt26.queries ++ QueriesExt27.queries ++ QueriesExt28.queries ++ QueriesExt29.queries ++ QueriesExt30.queries ++ QueriesExt31.queries ++ QueriesExt32.queries ++ QueriesExt33.queries ++ QueriesExt34.queries ++ QueriesExt35.queries ++ QueriesExt36.queries ++ QueriesExt37.queries ++ QueriesExt38.queries ++ QueriesExt39.queries ++ QueriesExt40.queries ++ QueriesExt41.queries ++ QueriesExt42.queries ++ QueriesExt43.queries ++ QueriesExt44.queries ++ QueriesExt45.queries ++ QueriesExt46.queries ++ QueriesExt47.queries ++ QueriesExt48.queries ++ QueriesExt49.queries ++ QueriesExt50.queries ++ QueriesExt51.queries ++ QueriesExt52.queries ++ QueriesExt53.queries ++ QueriesExt54.queries ++ QueriesExt55.queries ++ QueriesExt56.queries ++ QueriesExt57.queries ++ QueriesExt58.queries ++ QueriesExt59.queries ++ QueriesExt60.queries ++ QueriesExt61.queries ++ QueriesExt62.queries ++ QueriesExt63.queries ++ QueriesExt64.queries ++ QueriesExt65.queries ++ QueriesExt66.queries ++ QueriesExt67.queries ++ QueriesExt68.queries ++ QueriesExt69.queries ++ QueriesExt70.queries ++ QueriesExt71.queries ++ QueriesExt72.queries ++ QueriesExt73.queries ++ QueriesExt74.queries ++ QueriesExt75.queries ++ QueriesExt76.queries ++ QueriesExt77.queries ++ QueriesExt78.queries ++ QueriesExt79.queries ++ QueriesExt80.queries ++ QueriesExt81.queries ++ QueriesExt82.queries ++ QueriesExt83.queries ++ QueriesExt84.queries ++ QueriesExt85.queries ++ QueriesExt86.queries ++ QueriesExt87.queries ++ QueriesExt88.queries ++ QueriesExt89.queries
+  ) ++ QueriesExt.queries ++ QueriesExt2.queries ++ QueriesExt3.queries ++ QueriesExt4.queries ++ QueriesExt5.queries ++ QueriesExt6.queries ++ QueriesExt7.queries ++ QueriesExt8.queries ++ QueriesExt9.queries ++ QueriesExt10.queries ++ QueriesExt11.queries ++ QueriesExt12.queries ++ QueriesExt13.queries ++ QueriesExt14.queries ++ QueriesExt15.queries ++ QueriesExt16.queries ++ QueriesExt17.queries ++ QueriesExt18.queries ++ QueriesExt19.queries ++ QueriesExt20.queries ++ QueriesExt21.queries ++ QueriesExt22.queries ++ QueriesExt23.queries ++ QueriesExt24.queries ++ QueriesExt25.queries ++ QueriesExt26.queries ++ QueriesExt27.queries ++ QueriesExt28.queries ++ QueriesExt29.queries ++ QueriesExt30.queries ++ QueriesExt31.queries ++ QueriesExt32.queries ++ QueriesExt33.queries ++ QueriesExt34.queries ++ QueriesExt35.queries ++ QueriesExt36.queries ++ QueriesExt37.queries ++ QueriesExt38.queries ++ QueriesExt39.queries ++ QueriesExt40.queries ++ QueriesExt41.queries ++ QueriesExt42.queries ++ QueriesExt43.queries ++ QueriesExt44.queries ++ QueriesExt45.queries ++ QueriesExt46.queries ++ QueriesExt47.queries ++ QueriesExt48.queries ++ QueriesExt49.queries ++ QueriesExt50.queries ++ QueriesExt51.queries ++ QueriesExt52.queries ++ QueriesExt53.queries ++ QueriesExt54.queries ++ QueriesExt55.queries ++ QueriesExt56.queries ++ QueriesExt57.queries ++ QueriesExt58.queries ++ QueriesExt59.queries ++ QueriesExt60.queries ++ QueriesExt61.queries ++ QueriesExt62.queries ++ QueriesExt63.queries ++ QueriesExt64.queries ++ QueriesExt65.queries ++ QueriesExt66.queries ++ QueriesExt67.queries ++ QueriesExt68.queries ++ QueriesExt69.queries ++ QueriesExt70.queries ++ QueriesExt71.queries ++ QueriesExt72.queries ++ QueriesExt73.queries ++ QueriesExt74.queries ++ QueriesExt75.queries ++ QueriesExt76.queries ++ QueriesExt77.queries ++ QueriesExt78.queries ++ QueriesExt79.queries ++ QueriesExt80.queries ++ QueriesExt81.queries ++ QueriesExt82.queries ++ QueriesExt83.queries ++ QueriesExt84.queries ++ QueriesExt85.queries ++ QueriesExt86.queries ++ QueriesExt87.queries ++ QueriesExt88.queries ++ QueriesExt89.queries ++ QueriesExt90.queries
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"   -> q1Sql,
@@ -512,5 +512,5 @@ object SparkEntry {
     "cdc_enrich_join"      -> cdcEnrichJoinSql,
     "cdc_enrich_dlq"       -> cdcEnrichDlqSql,
     "cdc_dedup_exact"      -> cdcDedupExactSql
-  ) ++ QueriesExt.oracleSql ++ QueriesExt2.oracleSql ++ QueriesExt3.oracleSql ++ QueriesExt4.oracleSql ++ QueriesExt5.oracleSql ++ QueriesExt6.oracleSql ++ QueriesExt7.oracleSql ++ QueriesExt8.oracleSql ++ QueriesExt9.oracleSql ++ QueriesExt10.oracleSql ++ QueriesExt11.oracleSql ++ QueriesExt12.oracleSql ++ QueriesExt13.oracleSql ++ QueriesExt14.oracleSql ++ QueriesExt15.oracleSql ++ QueriesExt16.oracleSql ++ QueriesExt17.oracleSql ++ QueriesExt18.oracleSql ++ QueriesExt19.oracleSql ++ QueriesExt20.oracleSql ++ QueriesExt21.oracleSql ++ QueriesExt22.oracleSql ++ QueriesExt23.oracleSql ++ QueriesExt24.oracleSql ++ QueriesExt25.oracleSql ++ QueriesExt26.oracleSql ++ QueriesExt27.oracleSql ++ QueriesExt28.oracleSql ++ QueriesExt29.oracleSql ++ QueriesExt30.oracleSql ++ QueriesExt31.oracleSql ++ QueriesExt32.oracleSql ++ QueriesExt33.oracleSql ++ QueriesExt34.oracleSql ++ QueriesExt35.oracleSql ++ QueriesExt36.oracleSql ++ QueriesExt37.oracleSql ++ QueriesExt38.oracleSql ++ QueriesExt39.oracleSql ++ QueriesExt40.oracleSql ++ QueriesExt41.oracleSql ++ QueriesExt42.oracleSql ++ QueriesExt43.oracleSql ++ QueriesExt44.oracleSql ++ QueriesExt45.oracleSql ++ QueriesExt46.oracleSql ++ QueriesExt47.oracleSql ++ QueriesExt48.oracleSql ++ QueriesExt49.oracleSql ++ QueriesExt50.oracleSql ++ QueriesExt51.oracleSql ++ QueriesExt52.oracleSql ++ QueriesExt53.oracleSql ++ QueriesExt54.oracleSql ++ QueriesExt55.oracleSql ++ QueriesExt56.oracleSql ++ QueriesExt57.oracleSql ++ QueriesExt58.oracleSql ++ QueriesExt59.oracleSql ++ QueriesExt60.oracleSql ++ QueriesExt61.oracleSql ++ QueriesExt62.oracleSql ++ QueriesExt63.oracleSql ++ QueriesExt64.oracleSql ++ QueriesExt65.oracleSql ++ QueriesExt66.oracleSql ++ QueriesExt67.oracleSql ++ QueriesExt68.oracleSql ++ QueriesExt69.oracleSql ++ QueriesExt70.oracleSql ++ QueriesExt71.oracleSql ++ QueriesExt72.oracleSql ++ QueriesExt73.oracleSql ++ QueriesExt74.oracleSql ++ QueriesExt75.oracleSql ++ QueriesExt76.oracleSql ++ QueriesExt77.oracleSql ++ QueriesExt78.oracleSql ++ QueriesExt79.oracleSql ++ QueriesExt80.oracleSql ++ QueriesExt81.oracleSql ++ QueriesExt82.oracleSql ++ QueriesExt83.oracleSql ++ QueriesExt84.oracleSql ++ QueriesExt85.oracleSql ++ QueriesExt86.oracleSql ++ QueriesExt87.oracleSql ++ QueriesExt88.oracleSql ++ QueriesExt89.oracleSql
+  ) ++ QueriesExt.oracleSql ++ QueriesExt2.oracleSql ++ QueriesExt3.oracleSql ++ QueriesExt4.oracleSql ++ QueriesExt5.oracleSql ++ QueriesExt6.oracleSql ++ QueriesExt7.oracleSql ++ QueriesExt8.oracleSql ++ QueriesExt9.oracleSql ++ QueriesExt10.oracleSql ++ QueriesExt11.oracleSql ++ QueriesExt12.oracleSql ++ QueriesExt13.oracleSql ++ QueriesExt14.oracleSql ++ QueriesExt15.oracleSql ++ QueriesExt16.oracleSql ++ QueriesExt17.oracleSql ++ QueriesExt18.oracleSql ++ QueriesExt19.oracleSql ++ QueriesExt20.oracleSql ++ QueriesExt21.oracleSql ++ QueriesExt22.oracleSql ++ QueriesExt23.oracleSql ++ QueriesExt24.oracleSql ++ QueriesExt25.oracleSql ++ QueriesExt26.oracleSql ++ QueriesExt27.oracleSql ++ QueriesExt28.oracleSql ++ QueriesExt29.oracleSql ++ QueriesExt30.oracleSql ++ QueriesExt31.oracleSql ++ QueriesExt32.oracleSql ++ QueriesExt33.oracleSql ++ QueriesExt34.oracleSql ++ QueriesExt35.oracleSql ++ QueriesExt36.oracleSql ++ QueriesExt37.oracleSql ++ QueriesExt38.oracleSql ++ QueriesExt39.oracleSql ++ QueriesExt40.oracleSql ++ QueriesExt41.oracleSql ++ QueriesExt42.oracleSql ++ QueriesExt43.oracleSql ++ QueriesExt44.oracleSql ++ QueriesExt45.oracleSql ++ QueriesExt46.oracleSql ++ QueriesExt47.oracleSql ++ QueriesExt48.oracleSql ++ QueriesExt49.oracleSql ++ QueriesExt50.oracleSql ++ QueriesExt51.oracleSql ++ QueriesExt52.oracleSql ++ QueriesExt53.oracleSql ++ QueriesExt54.oracleSql ++ QueriesExt55.oracleSql ++ QueriesExt56.oracleSql ++ QueriesExt57.oracleSql ++ QueriesExt58.oracleSql ++ QueriesExt59.oracleSql ++ QueriesExt60.oracleSql ++ QueriesExt61.oracleSql ++ QueriesExt62.oracleSql ++ QueriesExt63.oracleSql ++ QueriesExt64.oracleSql ++ QueriesExt65.oracleSql ++ QueriesExt66.oracleSql ++ QueriesExt67.oracleSql ++ QueriesExt68.oracleSql ++ QueriesExt69.oracleSql ++ QueriesExt70.oracleSql ++ QueriesExt71.oracleSql ++ QueriesExt72.oracleSql ++ QueriesExt73.oracleSql ++ QueriesExt74.oracleSql ++ QueriesExt75.oracleSql ++ QueriesExt76.oracleSql ++ QueriesExt77.oracleSql ++ QueriesExt78.oracleSql ++ QueriesExt79.oracleSql ++ QueriesExt80.oracleSql ++ QueriesExt81.oracleSql ++ QueriesExt82.oracleSql ++ QueriesExt83.oracleSql ++ QueriesExt84.oracleSql ++ QueriesExt85.oracleSql ++ QueriesExt86.oracleSql ++ QueriesExt87.oracleSql ++ QueriesExt88.oracleSql ++ QueriesExt89.oracleSql ++ QueriesExt90.oracleSql
 }

@@ -110,6 +110,12 @@ object PlanAudit {
       // readouts) crossed onto the ≤community-count supergraph readout;
       // pass 2 itself is equi-joins over the community-bounded tables
       "graph_louvain_level",
+      // round 15 (B258 convergence), reviewed: the same 1-row broadcast
+      // family per level — m / n_moved / q_ppm aggregates crossed onto
+      // community-bounded level readouts, plus the 1-row convergence
+      // cutoff crossed onto the ≤9-row level curve; every merge/contract
+      // join is an equi-join over supergraph-bounded tables
+      "graph_louvain_converge",
       // round 11 batch 46, reviewed: 1-row aggregate broadcasts (the
       // 64-row dim-sum square total; the user-count total over the
       // bounded count-histogram) crossed over 1-row/bounded sides

@@ -106,7 +106,8 @@ class RegistrySpec extends GraftSpecBase {
       "QueriesExt86" -> QueriesExt86.queries.keySet,
       "QueriesExt87" -> QueriesExt87.queries.keySet,
       "QueriesExt88" -> QueriesExt88.queries.keySet,
-      "QueriesExt89" -> QueriesExt89.queries.keySet
+      "QueriesExt89" -> QueriesExt89.queries.keySet,
+      "QueriesExt90" -> QueriesExt90.queries.keySet
     )
     val clashes = for {
       ((na, a), i) <- registries.zipWithIndex
