@@ -199,21 +199,23 @@ object QueriesExt10 {
     * Spark/DuckDB double-sum parity rule).
     */
   private def textLmScore(s: SparkSession, dir: String): DataFrame = {
-    // bigram explode as Generate(sequence) + substr projection — all
-    // codegen; an earlier array-of-bigrams formulation went through an
-    // interpreted higher-order transform, and with the model branches
-    // re-deriving this subplan it dominated the bench (35 s -> ~5 s at
-    // sf0.1). substr clamps past the end and greatest(len-1, 1) keeps
-    // one row for len < 2, preserving the short-text whole-string
-    // fallback the oracle's CASE expresses.
+    // bigram explode over the one-pass CharNGrams array (r15): the
+    // previous Generate(sequence)+substr form was codegen but each
+    // substr re-scans the UTF-8 buffer from the start to locate
+    // position i — O(len²) byte scans per doc; CharNGrams slices every
+    // gram from precomputed byte offsets in one O(len) pass (an r7-era
+    // array-of-bigrams attempt was slow for a different reason: it went
+    // through the INTERPRETED higher-order transform — CharNGrams is a
+    // codegen expression). The when/otherwise keeps the short-text
+    // whole-string fallback the oracle's CASE expresses (len < 2 ⇒ one
+    // row carrying the whole string, exactly what substr's clamp did).
     val bg = documents(s, dir)
       .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("nrm"))
       .select(
         col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("nrm")) - 1, lit(1)))).as("i"),
-        col("nrm")
-      )
-      .select(col("doc_id"), substr(col("nrm"), col("i"), lit(2)).as("b"))
+        explode(
+          when(length(col("nrm")) >= 2, graft.functions.CharNGrams.charNGrams(col("nrm"), 2))
+            .otherwise(array(col("nrm")))).as("b"))
     // Per-(doc, bigram) counts as the SHARED base consumed by both the
     // model aggregate and the scoring join, localCheckpointed so the
     // 5M-row explode materializes exactly once (the previous shape

@@ -331,12 +331,15 @@ object QueriesExt32 {
     */
   private def textCharEntropy(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    // r15: one-pass CharNGrams instead of transform(sequence)+substring —
+    // per-position substring re-scans the UTF-8 buffer from the start
+    // (O(len²) byte scans per doc); see functions/CharNGrams.scala
     val tris = documents(s, dir)
       .select(col("source"), norm.as("norm"))
       .where(length(col("norm")) >= 3)
       .select(
         col("source"),
-        explode(expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")).as("tg")
+        explode(graft.functions.CharNGrams.charNGrams(col("norm"), 3)).as("tg")
       )
     val counts = tris.groupBy(col("source"), col("tg")).agg(count(lit(1)).as("c"))
     counts

@@ -36,13 +36,23 @@ object QueriesExt46 {
   private def graphKcorePeel(s: SparkSession, dir: String): DataFrame = {
     val kk     = 3
     val rounds = 4
-    var edges  = graft.operators.GraphOps
-      .copurchaseEdges(lineitem(s, dir), 2L)
-      .localCheckpoint()
+    // round-0 edges: the session-cached copurchase stage is ALREADY an
+    // eager localCheckpoint — re-checkpointing it (the pre-r15 form) only
+    // copied the edge RDD once per query
+    var edges: DataFrame = graft.operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2L)
     val profile = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    def nodeCount(e: DataFrame): Long =
-      e.select(col("u").as("n")).union(e.select(col("v").as("n"))).distinct().count()
-    profile += ((0L, nodeCount(edges), edges.count()))
+    // one explode-agg job per round for BOTH profile numbers: exploded
+    // endpoint rows = 2·|edges| exactly, distinct endpoints = node count
+    // (pre-r15: a union-distinct count plus a separate edge count — two
+    // jobs per round for the same two scalars)
+    def stats(e: DataFrame): (Long, Long) = {
+      val r = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .agg(countDistinct(col("n")).as("nodes"), count(lit(1)).as("ends"))
+        .head()
+      (r.getLong(0), r.getLong(1) / 2)
+    }
+    val (n0, e0) = stats(edges)
+    profile += ((0L, n0, e0))
     for (r <- 1 to rounds) {
       val deg = edges
         .select(col("u").as("node"))
@@ -55,7 +65,8 @@ object QueriesExt46 {
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .localCheckpoint()
-      profile += ((r.toLong, nodeCount(edges), edges.count()))
+      val (nr, er) = stats(edges)
+      profile += ((r.toLong, nr, er))
     }
     import s.implicits._
     profile.toSeq.toDF("round", "n_nodes", "n_edges")

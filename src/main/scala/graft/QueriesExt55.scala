@@ -26,14 +26,25 @@ object QueriesExt55 {
     * that says whether B217's 16-dim prefix keeps the signal or
     * truncates it.
     *
-    * Scale shape: ONE corpus pass builds the covariance (posexplode
-    * pair products → a 64×64 = 4096-key map-side-combined hash-agg —
-    * the shuffle carries the Gram table, never rows); the 8 iterations
-    * are joins between the 4096-row matrix and a 64-row vector —
-    * metadata-sized, volume-independent. Means are a 64-key agg. No
-    * driver-side math beyond plan construction.
+    * Scale shape: ONE corpus pass builds the covariance (the
+    * GramMatrixAgg custom aggregate — tight long[] loop, one ~17 KB
+    * partial per partition; the shuffle carries the Gram table, never
+    * rows). The 64×64 scatter is then MODEL-sized by construction
+    * (d²/2 longs, volume-independent), so — r15 optimization, the
+    * MLlib `RowMatrix.computePrincipalComponents` split: Gram on the
+    * cluster, eigen-iteration on the driver — the 8 power iterations,
+    * sign fix, Rayleigh quotient and top-8 ranking run on the collected
+    * 2,146-long buffer in plain Scala, with the SAME all-integer
+    * arithmetic (Long `/` = Spark `div` = truncate-toward-zero,
+    * verified on negatives). The previous form ran the iterations as
+    * Spark jobs over 4096-row checkpointed tables: 10 eager
+    * localCheckpoints plus ~12 broadcast exchanges of 64-row frames —
+    * pure fixed overhead at ANY corpus size (it benched SLOWER at
+    * sf0.001 than sf0.1: 3.64 s vs 2.85 s — the signature of a
+    * job-count-bound, not data-bound, plan).
     */
   private def embedPcaTopComponent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val emb = embeddings(s, dir)
     val kilo = emb.select(
       expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").as("xs"))
@@ -42,106 +53,57 @@ object QueriesExt55 {
     //   Σ (xᵢ−μᵢ)(xⱼ−μⱼ) = Sxyᵢⱼ − μᵢ·Sxⱼ − μⱼ·Sxᵢ + n·μᵢ·μⱼ
     // for ANY integer constants μ (here the truncated means), so the raw
     // Gram table + per-dim sums give the same BIGINTs the per-row
-    // centered form would. Count, sums, and the upper-triangle Gram all
-    // come from ONE corpus pass through the GramMatrixAgg custom
-    // aggregate (tight long[] loop, one 17 KB partial per partition) —
-    // A/B-measured at sf1 against a 64·n-row vec_id self-join (24.3 s,
-    // shuffle-bound at 100 TB) and a transform/flatten outer-product
-    // explode (27.5 s, CodegenFallback per element).
-    val g = kilo
+    // centered form would. A/B history vs a 64·n-row self-join (24.3 s
+    // at sf1) and a transform/flatten explode (27.5 s) is in the r10
+    // notes; that corpus pass is unchanged here.
+    val g: Array[Long] = kilo
       .agg(graft.functions.GramAgg.gramMatrix(col("xs")).as("g"))
-      .localCheckpoint(true) // 1 row: [d, n, sx(d), upper-tri gram]
-    val sx = g.select(
-      posexplode(expr("slice(g, 3, CAST(element_at(g, 1) AS INT))")).as(Seq("i", "sx")))
-    val nRows = g.select(expr("element_at(g, 2)").as("n"))
-    val dims  = g.select(expr("element_at(g, 1)").as("d"))
-    // upper-triangle (i,j) → 1-based position in g: rows above i hold
-    // Σ_{r<i}(d−r) = i·d − i(i−1)/2 cells, so pos = 3+d + that + (j−i)
-    val idx = sx.select(col("i"))
-      .crossJoin(broadcast(sx.select(col("i").as("j"))))
-      .filter(col("j") >= col("i"))
-      .crossJoin(broadcast(dims))
-      .select(col("i"), col("j"),
-        expr("CAST(3 + d + i * d - (i * (i - 1)) div 2 + (j - i) AS INT)").as("pos"))
-    val pairsU = idx
-      .crossJoin(broadcast(g))
-      .select(col("i"), col("j"), expr("element_at(g, pos)").as("sxy"))
-    // normalize the scatter by n: covariance entries stay ≤ (2·kilo)²
-    // regardless of row count, so every downstream product (w = C·v,
-    // vᵀCv) fits a BIGINT at ANY corpus size — the scatter form would
-    // overflow w·1000 past ~10⁵ rows. Pre-division terms are bounded by
-    // ~4·n·kilo², BIGINT-safe past 10¹¹ rows. Integral division truncates
-    // toward zero identically in Spark (`div`) and DuckDB (`//`),
-    // verified on negatives, so no positivity shift is needed.
-    val stats = sx
-      .crossJoin(broadcast(nRows))
-      .select(col("i"), col("sx"), expr("sx div n").as("mu"), col("n"))
-    val covU = pairsU
-      .join(broadcast(stats.select(col("i"), col("sx").as("sxi"), col("mu").as("mui"), col("n"))), Seq("i"))
-      .join(broadcast(stats.select(col("i").as("j"), col("sx").as("sxj"), col("mu").as("muj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        expr("(sxy - mui * sxj - muj * sxi + n * mui * muj) div n").as("cij"))
-    val cov = covU.union(
-      covU.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cij")))
-    // 8 power iterations, L∞-normalized to ±1000 each round. Each
-    // iterate references the previous one TWICE (in w and in w's max),
-    // so an unmaterialized loop embeds 2⁸ copies of the whole chain —
-    // including the corpus-sized covariance build — into one plan tree
-    // and the optimizer never returns (observed: Verify wedged for
-    // minutes). localCheckpoint per round flattens the lineage exactly
-    // as graph_components does; the checkpointed tables are 4096 and 64
-    // rows.
-    val covM = cov.localCheckpoint(true)
-    var v: DataFrame = sx.select(col("i").as("j"), lit(1000L).as("v")).localCheckpoint(true)
+      .head.getSeq[Long](0).toArray // [d, n, sx(d), upper-tri gram] — ~17 KB
+    if (g.length < 2 || g(0) == 0L || g(1) == 0L) {
+      // no rows / no dims: same empty output the old 64-row pipeline gave
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("rank", "dim", "loading_milli", "eigenvalue_kilo2", "explained_ppm")
+    }
+    val d  = g(0).toInt
+    val n  = g(1)
+    val sx = java.util.Arrays.copyOfRange(g, 2, 2 + d)
+    // upper-triangle (i,j) → position in g (0-based): 2 + d + i·d −
+    // i(i−1)/2 + (j−i) — the same cell map the SQL slice/element_at used
+    def sxy(i: Int, j: Int): Long = g(2 + d + i * d - i * (i - 1) / 2 + (j - i))
+    val mu = sx.map(_ / n) // truncated means, exactly `sx div n`
+    // covariance entries normalized by n: ≤ (2·kilo)² regardless of row
+    // count (the scatter form would overflow w·1000 past ~10⁵ rows);
+    // pre-division terms bounded by ~4·n·kilo², BIGINT-safe past 10¹¹ rows
+    val cov = Array.tabulate(d, d) { (i0, j0) =>
+      val (i, j) = if (i0 <= j0) (i0, j0) else (j0, i0)
+      (sxy(i, j) - mu(i) * sx(j) - mu(j) * sx(i) + n * mu(i) * mu(j)) / n
+    }
+    // 8 power iterations, L∞-normalized to ±1000 each round — the same
+    // integer recurrence the checkpointed-table loop ran, per element:
+    // w = C·v; v = w·1000 div max|w| (0 when the matrix is null)
+    var v = Array.fill(d)(1000L)
     for (_ <- 1 to 8) {
-      val w = covM
-        .join(v, Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(col("cij") * col("v")).as("w"))
-      val norm = w.agg(max(abs(col("w"))).as("m"))
-      v = w
-        .crossJoin(broadcast(norm))
-        .select(col("i").as("j"), expr("CASE WHEN m = 0 THEN 0L ELSE w * 1000 div m END").as("v"))
-        .localCheckpoint(true)
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      v = w.map(x => if (m == 0L) 0L else x * 1000L / m)
     }
     // sign convention: the largest-|loading| dim is positive
-    val signRow = v
-      .select(col("j"), col("v"), row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(abs(col("v")).desc, col("j").asc)
-      ).as("rk"))
-    val sgn = signRow.filter(col("rk") === 1)
-      .select(when(col("v") < 0, lit(-1L)).otherwise(lit(1L)).as("sgn"))
-    val vSigned = v.crossJoin(broadcast(sgn)).select(col("j"), (col("v") * col("sgn")).as("v"))
+    // (ties broken by smallest dim, matching the old window order)
+    val top = (0 until d).minBy(j => (-math.abs(v(j)), j))
+    val sgn = if (v(top) < 0) -1L else 1L
+    val vS  = v.map(_ * sgn)
     // Rayleigh quotient and trace, all integer
-    val quad = cov
-      .join(vSigned.select(col("j"), col("v").as("vj")), Seq("j"))
-      .join(vSigned.select(col("j").as("i"), col("v").as("vi")), Seq("i"))
-      .agg(sum(col("cij") * col("vi") * col("vj")).as("vcv"))
-    val vv    = vSigned.agg(sum(col("v") * col("v")).as("vtv"))
-    val trace = cov.filter(col("i") === col("j")).agg(sum(col("cij")).as("tr"))
-    val lam = quad
-      .crossJoin(broadcast(vv))
-      .crossJoin(broadcast(trace))
-      .select(
-        expr("vcv div vtv").as("eigenvalue_kilo2"),
-        expr("CASE WHEN tr = 0 THEN 0L ELSE (vcv div vtv) * 1000000 div tr END").as("explained_ppm")
-      )
-    // top-8 loadings by |v|, with the scalar summary columns repeated
-    vSigned
-      .select(col("j").as("dim"), col("v").as("loading_milli"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(abs(col("loading_milli")).desc, col("dim").asc)
-      ))
-      .filter(col("rk") <= 8)
-      .crossJoin(broadcast(lam))
-      .select(
-        col("rk").cast("long").as("rank"),
-        col("dim").cast("long").as("dim"),
-        col("loading_milli"),
-        col("eigenvalue_kilo2"),
-        col("explained_ppm")
-      )
+    val vcv = (for { i <- 0 until d; j <- 0 until d } yield cov(i)(j) * vS(i) * vS(j)).sum
+    val vtv = vS.map(x => x * x).sum
+    val tr  = (0 until d).map(i => cov(i)(i)).sum
+    val eig = vcv / vtv
+    val ppm = if (tr == 0L) 0L else eig * 1000000L / tr
+    val rows = (0 until d)
+      .sortBy(j => (-math.abs(vS(j)), j))
+      .take(8)
+      .zipWithIndex
+      .map { case (j, rk) => (rk + 1L, j.toLong, vS(j), eig, ppm) }
+    rows.toDF("rank", "dim", "loading_milli", "eigenvalue_kilo2", "explained_ppm")
   }
 
   private val embedPcaTopComponentSql = {

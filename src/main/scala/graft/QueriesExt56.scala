@@ -248,13 +248,18 @@ object QueriesExt56 {
     * resolution.
     *
     * Scale shape: the transition count is B61's per-user lag window
-    * (bounded per user) into a TYPES²-key hash-agg; every iteration is a
-    * join of a ≤types-row vector with a ≤types²-row matrix —
-    * metadata-sized, volume-independent, localCheckpointed per round
-    * (the B237 lineage discipline, though here it's cheap insurance, not
-    * a correctness need).
+    * (bounded per user) into a TYPES²-key hash-agg. The ppm matrix is
+    * then METADATA-sized by construction (≤ types² rows — the r14
+    * verdict's #7 watch item asked exactly this question), so — r15
+    * optimization, the B237/PCA split — the 16 fixed-point iterations
+    * run on the COLLECTED matrix in plain Scala with the identical
+    * integer recurrence (long Σ pi·p_ppm, then truncating /10⁶), instead
+    * of 19 eager localCheckpoints of a ≤types-row vector (pure per-job
+    * overhead at any corpus size). The corpus-sized work — the lag
+    * window and the empirical distribution — stays in Spark unchanged.
     */
   private def eventsMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val trans = events(s, dir)
       .select(col("event_type").as("curr_type"),
@@ -262,31 +267,36 @@ object QueriesExt56 {
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("curr_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val p = trans.select(
+    val pRows = trans.select(
       col("prev_type"), col("curr_type"),
       expr("n_trans * 1000000 div sum(n_trans) OVER (PARTITION BY prev_type)").as("p_ppm"))
-      .localCheckpoint(true)
-    val states = p.select(col("prev_type").as("state")).distinct().localCheckpoint(true)
-    val nStates = states.agg(count(lit(1)).as("k"))
-    var pi: DataFrame = states
-      .crossJoin(broadcast(nStates))
-      .select(col("state"), expr("1000000 div k").as("pi"))
-      .localCheckpoint(true)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = pRows.map(_._1).distinct
+    val k      = states.length.toLong
+    // π₀ uniform; π′_j = Σ_i π_i·p_ij div 10⁶ — the same recurrence the
+    // checkpointed-vector loop ran, keyed identically (states absent
+    // from an iteration's image simply drop out, exactly like the old
+    // join-then-groupBy)
+    var pi: Map[String, Long] =
+      if (k == 0) Map.empty else states.map(st => st -> 1000000L / k).toMap
     for (_ <- 1 to 16) {
-      pi = p
-        .join(pi.select(col("state").as("prev_type"), col("pi")), Seq("prev_type"))
-        .groupBy(col("curr_type").as("state"))
-        .agg(expr("sum(pi * p_ppm) div 1000000").as("pi"))
-        .localCheckpoint(true)
+      pi = pRows
+        .filter { case (prev, _, _) => pi.contains(prev) }
+        .groupBy(_._2)
+        .map { case (cur, rs) =>
+          cur -> rs.map { case (prev, _, ppm) => pi(prev) * ppm }.sum / 1000000L
+        }
     }
+    val stationary = states.toSeq
+      .map(st => (st, pi.getOrElse(st, 0L)))
+      .toDF("state", "stationary_ppm")
     val empirical = events(s, dir)
       .groupBy(col("event_type").as("state"))
       .agg(count(lit(1)).as("n"))
       .select(col("state"), col("n"),
         expr("n * 1000000 div sum(n) OVER ()").as("empirical_ppm"))
-    val joined = states
-      .join(pi.select(col("state"), col("pi").as("stationary_ppm")), Seq("state"), "left")
-      .na.fill(0L, Seq("stationary_ppm"))
+    val joined = stationary
       .join(empirical.select(col("state"), col("empirical_ppm")), Seq("state"), "left")
       .na.fill(0L, Seq("empirical_ppm"))
       .select(col("state"), col("stationary_ppm"), col("empirical_ppm"),

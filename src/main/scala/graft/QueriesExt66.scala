@@ -49,14 +49,19 @@ object QueriesExt66 {
     val spans = docs.select(col("doc_id"),
       explode(regexp_extract_all(operators.TextAnalysis.normalize(col("text")), lit(spanPattern), lit(0)))
         .as("line"))
-    val dupSpans = spans.groupBy(col("line"))
+    // r15: ONE span-keyed pass serves both readouts — n_units is Σ
+    // per-span instance counts (≡ the raw span count) and the dropped/
+    // removed totals gate on df inside the same rollup. The old shape
+    // scanned the regex segmentation twice (the grouped df≥5 branch plus
+    // a separate raw count), and the regex explode was the layer's
+    // dominant cost.
+    val spanRow = spans.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("n_inst"),
         sum(length(col("line"))).as("inst_chars"))
-      .where(col("df") >= 5)
-    val spanRow = spans.agg(count(lit(1)).as("n_units"))
-      .crossJoin(broadcast(dupSpans.agg(
-        coalesce(sum(col("n_inst")), lit(0L)).as("n_dropped"),
-        coalesce(sum(col("inst_chars")), lit(0L)).as("chars_removed"))))
+      .agg(
+        coalesce(sum(col("n_inst")), lit(0L)).as("n_units"),
+        coalesce(sum(when(col("df") >= 5, col("n_inst"))), lit(0L)).as("n_dropped"),
+        coalesce(sum(when(col("df") >= 5, col("inst_chars"))), lit(0L)).as("chars_removed"))
       .select(lit("dup_spans").as("layer"), col("n_units"), col("n_dropped"), col("chars_removed"))
 
     val pairs  = operators.Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.5)

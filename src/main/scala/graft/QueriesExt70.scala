@@ -49,76 +49,93 @@ object QueriesExt70 {
     * LEVEL would iterate this pass then contract communities — each
     * pass is this same bounded plan.
     */
-  /** Pass 1 shared by `graph_louvain_pass` and the r14 level query
-    * (`graph_louvain_level`, QueriesExt89): the co-purchase edge list
-    * (session-cached in GraphOps) plus the simultaneous-argmax move
-    * table (node, k, comm, newcomm), eagerly checkpointed.
+  /** Pass 1 shared by `graph_louvain_pass` and the r14/r15 depth queries
+    * (`graph_louvain_level`, `graph_louvain_converge`): the co-purchase
+    * edge list (session-cached in GraphOps) plus the simultaneous-argmax
+    * move table (node, k, comm, newcomm), eagerly checkpointed.
+    *
+    * r15: the move table is itself SESSION-CACHED — all three B258
+    * queries derive from this exact pass-1 result per fact snapshot
+    * (the same materialize-once argument as the edge list one stage
+    * down), and the redundant re-checkpoint of the already-checkpointed
+    * cached edge list is gone (it copied the edge RDD once per query).
     */
   private[graft] def louvainPass1(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = graft.operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2L)
-      .localCheckpoint(true)
-    val adj = edges
-      .select(col("u").as("node"), col("v").as("nb"))
-      .union(edges.select(col("v").as("node"), col("u").as("nb")))
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("k"))
-    val nodes = deg.join(
-      part(s, dir).select(col("p_partkey").as("node"), col("p_brand").as("comm")),
-      Seq("node"))
-    val m1    = edges.agg(count(lit(1)).as("m"))
-    val sigma = nodes.groupBy(col("comm").as("c")).agg(sum(col("k")).as("sigma"))
-    // k_{u,c}: edges from u into community c; the explicit 0-count "stay"
-    // row keeps u's own community in the candidate set even when no
-    // neighbor shares it
-    val nbComm = adj
-      .join(nodes.select(col("node").as("nb"), col("comm").as("cand")), Seq("nb"))
-      .groupBy(col("node"), col("cand"))
-      .agg(count(lit(1)).as("k_uc"))
-    val stay = nodes.select(col("node"), col("comm").as("cand"), lit(0L).as("k_uc"))
-    val cands = nbComm.unionByName(stay)
-      .groupBy(col("node"), col("cand"))
-      .agg(sum(col("k_uc")).as("k_uc"))
-    val picked = cands
-      .join(nodes, Seq("node"))
-      .join(sigma, col("cand") === col("c"))
-      .crossJoin(broadcast(m1))
-      .withColumn(
-        "score",
-        expr("4 * m * k_uc - 2 * k * (sigma - CASE WHEN cand = comm THEN k ELSE 0 END)"))
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy(col("node"))
-          .orderBy(col("score").desc, (col("cand") === col("comm")).desc, col("cand").asc)))
-      .filter(col("rn") === 1)
-      .select(col("node"), col("k"), col("comm"), col("cand").as("newcomm"))
-      .localCheckpoint(true)
+    val picked = graft.operators.SessionStageCache.getOrCompute(
+      lineitem(s, dir), "louvainPass1:brandSeed") {
+      val adj = edges
+        .select(col("u").as("node"), col("v").as("nb"))
+        .union(edges.select(col("v").as("node"), col("u").as("nb")))
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("k"))
+      val nodes = deg.join(
+        part(s, dir).select(col("p_partkey").as("node"), col("p_brand").as("comm")),
+        Seq("node"))
+      val m1    = edges.agg(count(lit(1)).as("m"))
+      val sigma = nodes.groupBy(col("comm").as("c")).agg(sum(col("k")).as("sigma"))
+      // k_{u,c}: edges from u into community c; the explicit 0-count "stay"
+      // row keeps u's own community in the candidate set even when no
+      // neighbor shares it
+      val nbComm = adj
+        .join(nodes.select(col("node").as("nb"), col("comm").as("cand")), Seq("nb"))
+        .groupBy(col("node"), col("cand"))
+        .agg(count(lit(1)).as("k_uc"))
+      val stay = nodes.select(col("node"), col("comm").as("cand"), lit(0L).as("k_uc"))
+      val cands = nbComm.unionByName(stay)
+        .groupBy(col("node"), col("cand"))
+        .agg(sum(col("k_uc")).as("k_uc"))
+      cands
+        .join(nodes, Seq("node"))
+        .join(sigma, col("cand") === col("c"))
+        .crossJoin(broadcast(m1))
+        .withColumn(
+          "score",
+          expr("4 * m * k_uc - 2 * k * (sigma - CASE WHEN cand = comm THEN k ELSE 0 END)"))
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy(col("node"))
+            .orderBy(col("score").desc, (col("cand") === col("comm")).desc, col("cand").asc)))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("k"), col("comm"), col("cand").as("newcomm"))
+        .localCheckpoint(true)
+    }
     (edges, picked)
   }
 
   private def graphLouvainPass(s: SparkSession, dir: String): DataFrame = {
     val (edges, picked) = louvainPass1(s, dir)
-    val nodes = picked.select(col("node"), col("k"), col("comm"))
-    val m1    = edges.agg(count(lit(1)).as("m"))
+    val m1 = edges.agg(count(lit(1)).as("m"))
 
-    def qOf(assign: DataFrame): DataFrame = {
-      val ew = edges
-        .join(assign.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
-        .join(assign.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
-        .where(col("cu") === col("cv"))
-        .groupBy(col("cu").as("c"))
-        .agg(count(lit(1)).as("e_in"))
-      assign.groupBy(col("c")).agg(sum(col("k")).as("d_sum"))
-        .join(ew, Seq("c"), "left")
+    // r15: ONE edge-sized pass serves BOTH Q readouts. The old shape ran
+    // edges⋈assign⋈assign once per assignment (two full joins + shuffles,
+    // no exchange reuse — the assignments differ); both e_in tables now
+    // fall out of a single 4-community-key map-side-combined aggregate
+    // over a single join against the move table, which carries comm AND
+    // newcomm. The grouped result is community-tuple-bounded.
+    val cw = edges
+      .join(picked.select(col("node").as("u"), col("comm").as("cu"), col("newcomm").as("nu")), Seq("u"))
+      .join(picked.select(col("node").as("v"), col("comm").as("cv"), col("newcomm").as("nv")), Seq("v"))
+      .groupBy(col("cu"), col("cv"), col("nu"), col("nv"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+
+    def qOf(eIn: DataFrame, dSum: DataFrame): DataFrame =
+      dSum
+        .join(eIn, Seq("c"), "left")
         .na.fill(0L, Seq("e_in"))
         .crossJoin(broadcast(m1))
         .agg(
           sum(expr("4 * CAST(m AS DECIMAL(38,0)) * e_in - CAST(d_sum AS DECIMAL(38,0)) * d_sum")).as("num"),
           max(col("m")).as("mm"))
         .select(expr("num * 1000000 div (4 * CAST(mm AS DECIMAL(38,0)) * mm)").as("q_ppm"))
-    }
 
-    val qBefore = qOf(nodes.select(col("node"), col("k"), col("comm").as("c")))
+    val qBefore = qOf(
+      cw.where(col("cu") === col("cv")).groupBy(col("cu").as("c")).agg(sum(col("w")).as("e_in")),
+      picked.groupBy(col("comm").as("c")).agg(sum(col("k")).as("d_sum")))
       .select(col("q_ppm").as("q_before_ppm"))
-    val qAfter = qOf(picked.select(col("node"), col("k"), col("newcomm").as("c")))
+    val qAfter = qOf(
+      cw.where(col("nu") === col("nv")).groupBy(col("nu").as("c")).agg(sum(col("w")).as("e_in")),
+      picked.groupBy(col("newcomm").as("c")).agg(sum(col("k")).as("d_sum")))
       .select(col("q_ppm").as("q_after_ppm"))
     val moved = picked.agg(
       sum(when(col("newcomm") =!= col("comm"), 1L).otherwise(0L)).as("n_moved"))

@@ -53,11 +53,14 @@ object QueriesExt71 {
     // branch for free. Recompute beats materialize for scan-fused work.
     def bg(foldCond: org.apache.spark.sql.Column): DataFrame = base
       .where(foldCond)
+      // r15: one-pass CharNGrams replaces Generate(sequence)+substring
+      // (per-position substring = O(len²) byte scans per doc); the
+      // when/otherwise keeps the len<2 whole-string fallback the old
+      // greatest(len−1, 1) + clamp idiom produced
       .select(col("doc_id"), col("source"), col("fold"),
-        explode(sequence(lit(1), greatest(length(col("nrm")) - 1, lit(1)))).as("i"),
-        col("nrm"))
-      .select(col("doc_id"), col("source"), col("fold"),
-        expr("substring(nrm, i, 2)").as("b"))
+        explode(
+          when(length(col("nrm")) >= 2, graft.functions.CharNGrams.charNGrams(col("nrm"), 2))
+            .otherwise(array(col("nrm")))).as("b"))
     val m2 = bg(col("fold") <= 7).groupBy(col("b")).agg(count(lit(1)).as("c2"))
       .localCheckpoint(true)
     // context table: total count and distinct-successor count per w1;

@@ -34,9 +34,14 @@ object QueriesExt72 {
     * identically-shaped double expression per doc and snapped at the
     * B255 round-6 grid; the flag compares integers.
     *
-    * Scale shape: one hex-pair explode (linear in payload bytes, the
-    * documented char-scan class) → (doc, byte) map-side count (≤256
-    * keys per doc) → per-doc agg → source-bounded rollup.
+    * Scale shape (r15 diet): ONE fused byte pass per payload inside the
+    * codegen'd `ByteEntropyStats` expression (long[256] histogram, no
+    * per-byte rows) → source-bounded rollup. The previous form hex'd the
+    * payload, built a transform() array via substring+conv per byte, and
+    * exploded one row per byte through a (doc, byte) hash-agg — measured
+    * 4.2 s at sf0.1 (the #2 query in the r14 bench); the explode and
+    * both per-doc exchanges are gone, only the ≤(sources × 2)-row rollup
+    * shuffles.
     */
   private def mmPayloadEntropy(s: SparkSession, dir: String): DataFrame = {
     val staged = documents(s, dir)
@@ -51,30 +56,17 @@ object QueriesExt72 {
               " md5(concat('p2:', CAST(doc_id AS STRING)))," +
               " md5(concat('p3:', CAST(doc_id AS STRING)))))"))
           .otherwise(expr("encode(text, 'UTF-8')")).as("payload"))
-    val bytes = staged
-      .select(
-        col("doc_id"), col("source"), col("is_staged"),
-        expr("hex(payload)").as("hx"))
-      // empty payloads contribute no bytes (DuckDB's range(1,1) drops
-      // them naturally; the filter keeps Spark's DESCENDING sequence(1,0)
-      // footgun — PLANS round-10 — out of the explode)
-      .where(length(col("hx")) >= 2)
-      .select(
-        col("doc_id"), col("source"), col("is_staged"),
-        explode(expr("transform(sequence(1, length(hx) div 2), i -> CAST(conv(substring(hx, 2 * i - 1, 2), 16, 10) AS BIGINT))"))
-          .as("byte"))
-    val perDoc = bytes
-      .groupBy(col("doc_id"), col("source"), col("is_staged"), col("byte"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("source"), col("is_staged"))
-      .agg(
-        sum(col("c")).as("n"),
-        sum(expr("CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))")).as("clnc"))
+    // null/empty payloads return a null struct and are dropped, exactly
+    // like the old pre-explode `WHERE length(hex) >= 2`
+    val perDoc = staged
       .select(
         col("source"), col("is_staged"),
-        expr("CAST(round(round(ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE), 6) * 1000000, 0) AS BIGINT)")
-          .as("h_micro"),
-        expr("CAST(round(round(ln(CAST(least(n, 256) AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)")
+        graft.functions.ByteEntropyStats.byteEntropyStats(col("payload")).as("st"))
+      .where(col("st").isNotNull)
+      .select(
+        col("source"), col("is_staged"),
+        col("st.h_micro").as("h_micro"),
+        expr("CAST(round(round(ln(CAST(least(st.n, 256) AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)")
           .as("ceil_micro"))
     perDoc
       .groupBy(col("source"), col("is_staged"))
@@ -184,27 +176,40 @@ object QueriesExt72 {
     * everything downstream is EXACT integer algebra (DECIMAL(38,0) /
     * HUGEINT for the squared sums) — no float sum-order anywhere.
     *
-    * Scale shape: one posexplode pass → 64-key per-dimension integer
-    * sums + one per-vector squared-norm agg; the "all-pairs" object is
-    * an identity on a 64-row table.
+    * Scale shape (r15 diet): ONE posexplode pass → 64-key (Σu, Σu²)
+    * integer sums; both squared totals fall out of the same 64-row
+    * aggregate, and n is a column-pruned count on the base table. The
+    * previous form scanned the exploded cells TWICE (dims agg + self
+    * agg) and — worse — recomputed the full squared-norm `aggregate()`
+    * lambda INSIDE the per-element transform, i.e. O(d²) libm work per
+    * vector; the norm is now hoisted below the Generate so it is
+    * evaluated once per row, O(d).
     */
   private def embedIsotropyScore(s: SparkSession, dir: String): DataFrame = {
-    val unit = embeddings(s, dir)
+    val withNrm = embeddings(s, dir)
       .select(
-        col("vec_id"),
+        col("vec_id"), col("embedding"),
         expr(
-          "transform(embedding, x -> CAST(round(round(CAST(x AS DOUBLE) /" +
-            " sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE))), 6) * 1000000, 0) AS BIGINT))")
-          .as("u"))
-    val cells = unit.select(col("vec_id"), posexplode(col("u")).as(Seq("pos", "ux")))
-    val dims = cells.groupBy(col("pos")).agg(sum(col("ux")).as("s"))
-    val ssqDims = dims.agg(
-      sum(expr("CAST(s AS DECIMAL(38,0)) * s")).as("ssq_dims"))
-    val selfAndN = cells.agg(
-      sum(expr("CAST(ux AS DECIMAL(38,0)) * ux")).as("ssq_self"),
-      countDistinct(col("vec_id")).as("n"))
-    selfAndN
-      .crossJoin(broadcast(ssqDims))
+          "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))")
+          .as("nrm"))
+    val cells = withNrm
+      .select(col("vec_id"), col("nrm"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(
+        col("vec_id"), col("pos"),
+        expr("CAST(round(round(CAST(x AS DOUBLE) / nrm, 6) * 1000000, 0) AS BIGINT)").as("ux"))
+    val dims = cells.groupBy(col("pos")).agg(
+      sum(col("ux")).as("s"),
+      sum(expr("CAST(ux AS DECIMAL(38,0)) * ux")).as("sq"))
+    val tot = dims.agg(
+      sum(expr("CAST(s AS DECIMAL(38,0)) * s")).as("ssq_dims"),
+      sum(col("sq")).as("ssq_self"))
+    // n = vectors contributing ≥1 element, exactly what the old
+    // countDistinct(vec_id)-over-cells counted, without the second
+    // corpus-wide explode
+    val n = embeddings(s, dir)
+      .where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .agg(countDistinct(col("vec_id")).as("n"))
+    n.crossJoin(broadcast(tot))
       .select(
         col("n").as("n_vectors"),
         expr("CAST((ssq_dims - ssq_self) div (n * (n - 1)) div 1000000 AS BIGINT)")

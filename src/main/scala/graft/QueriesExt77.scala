@@ -35,9 +35,10 @@ object QueriesExt77 {
       .select(col("source"),
         expr("regexp_replace(lower(text), '\\\\s+', ' ')").as("nrm"))
       .where(length(col("nrm")) >= 1)
+      // r15: one-pass CharNGrams(…, 1) replaces the per-position
+      // substring explode (O(len²) byte scans per doc)
       .select(col("source"),
-        explode(sequence(lit(1), length(col("nrm")))).as("i"), col("nrm"))
-      .select(col("source"), expr("substring(nrm, i, 1)").as("ch"))
+        explode(graft.functions.CharNGrams.charNGrams(col("nrm"), 1)).as("ch"))
       .groupBy(col("source"), col("ch"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)

@@ -34,12 +34,23 @@ object QueriesExt86 {
     * normalizer rides a broadcast.
     */
   private def graphHitsScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = documents(s, dir)
     // two staged families (the B97 trick): the n_chars-modulated spread
     // family plus a 7-target concentration family — a regular single
     // family (B64's) makes HITS exactly uniform, which tells nobody
     // anything; the concentration family gives authorities real skew
-    val edges = docs
+    //
+    // r15: ONE corpus pass builds the weighted edge list, which is
+    // (sources × 27 buckets)-bounded by construction — model-sized at
+    // ANY corpus volume — so the two fixed-point iterations run on the
+    // COLLECTED edge table in plain Scala with the identical integer-ppm
+    // floor arithmetic (the B237/B240 driver-iteration class). The old
+    // form unrolled both iterations into one ~10,000-operator plan over
+    // ≤|sources|-row frames: four corpus-scan subtrees, a dozen
+    // broadcasts, and the planner itself as the dominant cost (3.7 s at
+    // sf0.1, SLOWER at sf0.001 — the job-count-bound signature).
+    val edgeRows: Array[(String, String, Long)] = docs
       .select(
         col("source").as("src"),
         concat(lit("src"), ((col("doc_id") * 7 + col("n_chars")) % 20).cast("string")).as("dst"))
@@ -49,35 +60,35 @@ object QueriesExt86 {
       .where(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
-    val nodes = docs.select(col("source").as("node")).distinct()
-    val n1 = nodes.agg(count(lit(1)).as("n"))
-    def normalize(scores: DataFrame, c: String): DataFrame = {
-      val tot = scores.agg(sum(col(c)).as("tot"))
-      scores.crossJoin(broadcast(tot))
-        .select(col("node"), expr(s"CAST(CASE WHEN tot = 0 THEN 0 ELSE $c * 1000000 div tot END AS BIGINT)").as(c))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes: Array[String] =
+      docs.select(col("source").as("node")).distinct().collect().map(_.getString(0)).sorted
+    val n = nodes.length.toLong
+
+    // B64's fixed-point discipline verbatim: integer ppm scores, floor
+    // division on every contribution and normalization (all quantities
+    // non-negative, so truncation = floor = `div` = `//`)
+    def normalize(raw: Map[String, Long]): Map[String, Long] = {
+      val tot = nodes.iterator.map(raw.getOrElse(_, 0L)).sum
+      nodes.iterator.map { nd =>
+        nd -> (if (tot == 0) 0L else raw.getOrElse(nd, 0L) * 1000000L / tot)
+      }.toMap
     }
-    val h0 = nodes.crossJoin(broadcast(n1)).select(col("node"), expr("1000000 div n").as("h"))
-    val (hF, aF) = (1 to 2).foldLeft((h0, h0.select(col("node"), col("h").as("a")))) {
-      case ((h, _), _) =>
-        val aRaw = nodes
-          .join(
-            edges.join(h.select(col("node").as("src"), col("h")), Seq("src"))
-              .select(col("dst").as("node"), expr("h * w").as("c"))
-              .groupBy(col("node")).agg(sum(col("c")).as("a")),
-            Seq("node"), "left")
-          .select(col("node"), coalesce(col("a"), lit(0L)).as("a"))
-        val a = normalize(aRaw, "a")
-        val hRaw = nodes
-          .join(
-            edges.join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
-              .select(col("src").as("node"), expr("a * w").as("c"))
-              .groupBy(col("node")).agg(sum(col("c")).as("h")),
-            Seq("node"), "left")
-          .select(col("node"), coalesce(col("h"), lit(0L)).as("h"))
-        (normalize(hRaw, "h"), a)
+    var h: Map[String, Long] = nodes.iterator.map(_ -> 1000000L / n).toMap
+    var a: Map[String, Long] = h
+    for (_ <- 1 to 2) {
+      val aRaw = edgeRows.iterator
+        .filter { case (src, dst, _) => h.contains(src) && h.contains(dst) }
+        .map { case (src, dst, w) => dst -> h(src) * w }
+        .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+      a = normalize(aRaw)
+      val hRaw = edgeRows.iterator
+        .filter { case (src, dst, _) => h.contains(src) && h.contains(dst) }
+        .map { case (src, dst, w) => src -> a(dst) * w }
+        .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+      h = normalize(hRaw)
     }
-    hF.join(aF, Seq("node"))
-      .select(col("node"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+    nodes.toSeq.map(nd => (nd, h(nd), a(nd))).toDF("node", "hub_ppm", "auth_ppm")
   }
 
   private val graphHitsScoresSql = {

@@ -270,12 +270,11 @@ object QueriesExt87 {
     val bg = documents(s, dir)
       .select(col("source"), operators.TextAnalysis.normalize(col("text")).as("nrm"))
       .filter(length(col("nrm")) >= 2)
+      // r15: one-pass CharNGrams replaces Generate(sequence)+substring
+      // (per-position substring = O(len²) byte scans per doc); the
+      // (c1, c2) split still happens on the charset²-bounded aggregate
       .select(col("source"),
-        explode(sequence(lit(1), length(col("nrm")) - 1)).as("i"), col("nrm"))
-      // ONE substr per exploded row (B58's proven bigram shape — the
-      // two-substr per-char form ran the hot pass measurably slower);
-      // the (c1, c2) split happens on the charset²-bounded aggregate
-      .select(col("source"), expr("substring(nrm, i, 2)").as("b"))
+        explode(graft.functions.CharNGrams.charNGrams(col("nrm"), 2)).as("b"))
     // (source × charset²)-bounded — localCheckpoint so the 10M-row-class
     // bigram explode runs ONCE (uni/tot/hCond each re-evaluated it
     // otherwise; the sf1 probe read 8.1×/decade, the explode ran 3×)

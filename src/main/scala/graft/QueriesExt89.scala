@@ -41,93 +41,94 @@ object QueriesExt89 {
     * multi-level Louvain correct, and what makes each level as cheap as
     * the supergraph, not the corpus.
     *
-    * Scale shape: pass 1 is B258's bounded plan (edge list
-    * session-cached in GraphOps); contraction is two keyed aggs over
-    * the assigned edge list; the supergraph is community-count-bounded
-    * (≤ |brands| here), so pass 2, Q, and the readout are all
-    * tiny-table work. A full multi-level run iterates exactly this
-    * plan, each level no bigger than its supergraph.
+    * Scale shape (r15 diet): pass 1 is B258's bounded plan (edge list
+    * AND move table session-cached); contraction is ONE keyed agg over
+    * the assigned edge list into the combined (ca, cb, w) weight table.
+    * That table and the contracted degrees are label-vocabulary-bounded
+    * BY CONSTRUCTION (communities start as p_brand values and moves only
+    * adopt existing labels — ≤ |brands| supernodes at ANY corpus size),
+    * so they are model-sized driver pulls (the B237/B240 class) and
+    * pass 2, Q, and the convergence arithmetic run serially — the
+    * standard multilevel-partitioning endgame (coarsen distributed,
+    * solve the coarsest graph serially). The r14 form ran pass 2 as four
+    * eager checkpoints plus a ~15-join final plan over ≤25-row frames:
+    * pure per-job overhead at any scale (2.9 s at sf0.1). Only the
+    * per-community base-node rollup touches node-sized data, via one
+    * broadcast of the ≤|brands|-row mapping.
     */
   private def graphLouvainLevel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val (edges, picked) = QueriesExt70.louvainPass1(s, dir)
-    val m1  = edges.agg(count(lit(1)).as("m"))
-    val asg = picked.select(col("node"), col("k"), col("newcomm").as("c"))
+    val mVal = edges.count()
+    val M    = BigInt(mVal)
+    val asg  = picked.select(col("node"), col("k"), col("newcomm").as("c"))
 
-    // contraction: community-keyed edge weights (one pass over the
-    // assigned edge list), split into self-loops and undirected cross
-    // weights; kc is the contracted degree Σ base-k
-    val ce = edges
+    // contraction: community-keyed edge weights in ONE pass over the
+    // assigned edge list; self-loops are the ca = cb rows
+    val cw: Map[(String, String), Long] = edges
       .join(asg.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
       .join(asg.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
-      .select(col("cu"), col("cv"))
-      .localCheckpoint(true)
-    val wSelf = ce.where(col("cu") === col("cv"))
-      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("w_self"))
-    val wCross = ce.where(col("cu") =!= col("cv"))
       .select(least(col("cu"), col("cv")).as("ca"), greatest(col("cu"), col("cv")).as("cb"))
       .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
-      .localCheckpoint(true)
-    val kc = asg.groupBy(col("c")).agg(sum(col("k")).as("kc")).localCheckpoint(true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val kc: Map[String, Long] = asg
+      .groupBy(col("c")).agg(sum(col("k")).as("kc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // pass 2: weighted argmax over neighbor supernodes + the 0-weight
-    // stay row (same candidate discipline as pass 1)
-    val nb2 = wCross.select(col("ca").as("sn"), col("cb").as("cand"), col("w"))
-      .unionByName(wCross.select(col("cb").as("sn"), col("ca").as("cand"), col("w")))
-    val stay2 = kc.select(col("c").as("sn"), col("c").as("cand"), lit(0L).as("w"))
-    val picked2 = nb2.unionByName(stay2)
-      .join(kc.select(col("c").as("sn"), col("kc").as("k_c")), Seq("sn"))
-      .join(kc.select(col("c").as("cand"), col("kc").as("k_d")), Seq("cand"))
-      .crossJoin(broadcast(m1))
-      .withColumn(
-        "score",
-        expr("4 * m * w - 2 * k_c * (k_d - CASE WHEN cand = sn THEN k_c ELSE 0 END)"))
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy(col("sn"))
-          .orderBy(col("score").desc, (col("cand") === col("sn")).desc, col("cand").asc)))
-      .filter(col("rn") === 1)
-      .select(col("sn"), col("cand").as("fc"), col("k_c"))
-      .localCheckpoint(true)
-
-    // modularity on the contracted graph: e_in(F) = Σ member self-loops
-    // + Σ cross weights internal to F; d(F) = Σ member kc
-    def qOf(assign: DataFrame): DataFrame = { // assign: (sn, f, k_c)
-      val eIn = wCross
-        .join(assign.select(col("sn").as("ca"), col("f").as("fa")), Seq("ca"))
-        .join(assign.select(col("sn").as("cb"), col("f").as("fb")), Seq("cb"))
-        .where(col("fa") === col("fb"))
-        .groupBy(col("fa").as("f")).agg(sum(col("w")).as("w_in"))
-      val selfIn = wSelf
-        .join(assign.select(col("sn").as("c"), col("f")), Seq("c"))
-        .groupBy(col("f")).agg(sum(col("w_self")).as("w_self"))
-      assign.groupBy(col("f")).agg(sum(col("k_c")).as("d_sum"))
-        .join(eIn, Seq("f"), "left").na.fill(0L, Seq("w_in"))
-        .join(selfIn, Seq("f"), "left").na.fill(0L, Seq("w_self"))
-        .crossJoin(broadcast(m1))
-        .agg(
-          sum(expr(
-            "4 * CAST(m AS DECIMAL(38,0)) * (w_in + w_self) - CAST(d_sum AS DECIMAL(38,0)) * d_sum"))
-            .as("num"),
-          max(col("m")).as("mm"))
-        .select(expr("num * 1000000 div (4 * CAST(mm AS DECIMAL(38,0)) * mm)").as("q_ppm"))
+    // stay row (same candidate discipline as pass 1; stay scores exactly
+    // 0, so a move happens iff 4m·w(C,D) − 2·k_C·k_D > 0). Order:
+    // score desc, stay preferred on ties, then smallest candidate label.
+    def score(sn: String, cand: String, w: Long): Long =
+      4L * mVal * w - 2L * kc(sn) * (kc(cand) - (if (cand == sn) kc(sn) else 0L))
+    val cands: Map[String, Seq[(String, Long)]] = {
+      val nb = cw.iterator.filter { case ((a, b), _) => a != b }
+        .flatMap { case ((a, b), w) => Seq(a -> (b, w), b -> (a, w)) }
+        .toSeq.groupMap(_._1)(_._2)
+      kc.keysIterator.map { c =>
+        c -> (nb.getOrElse(c, Seq.empty) :+ (c, 0L))
+      }.toMap
     }
+    val fc: Map[String, String] = cands.map { case (sn, cs) =>
+      val best = cs.minBy { case (cand, w) =>
+        (-score(sn, cand, w), if (cand == sn) 0 else 1, cand)
+      }._1
+      sn -> best
+    }
+    val moved = kc.keysIterator.count(c => fc(c) != c).toLong
 
-    val qPass1 = qOf(kc.select(col("c").as("sn"), col("c").as("f"), col("kc").as("k_c")))
-      .select(col("q_ppm").as("q_pass1_ppm"))
-    val qLevel = qOf(picked2.select(col("sn"), col("fc").as("f"), col("k_c")))
-      .select(col("q_ppm").as("q_level_ppm"))
-    val moved = picked2.agg(
-      sum(when(col("fc") =!= col("sn"), 1L).otherwise(0L)).as("n_moved_l2"))
-    val baseCounts = asg
-      .join(picked2.select(col("sn").as("c"), col("fc")), Seq("c"))
-      .groupBy(col("fc")).agg(count(lit(1)).as("n_base_nodes"))
-    picked2
-      .groupBy(col("fc")).agg(count(lit(1)).as("n_supernodes"))
-      .join(baseCounts, Seq("fc"))
-      .select(col("fc").as("community"), col("n_supernodes"), col("n_base_nodes"))
-      .crossJoin(broadcast(moved))
-      .crossJoin(broadcast(qPass1))
-      .crossJoin(broadcast(qLevel))
+    // modularity on the contracted graph (BigInt — the DECIMAL(38,0)/
+    // HUGEINT route; quotient truncates toward zero like div and //):
+    // q_pass1 on the singleton assignment, q_level after the fc merge
+    def qPpm(cwM: Map[(String, String), Long], kcM: Map[String, Long]): Long = {
+      val num = kcM.iterator.map { case (c, k) =>
+        BigInt(4) * M * BigInt(cwM.getOrElse((c, c), 0L)) - BigInt(k) * BigInt(k)
+      }.sum
+      ((num * 1000000) / (BigInt(4) * M * M)).toLong
+    }
+    val qPass1 = qPpm(cw, kc)
+    val cw2 = {
+      val out = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (((a, b), w) <- cw) {
+        val (fa, fb) = (fc(a), fc(b))
+        val key = if (fa <= fb) (fa, fb) else (fb, fa)
+        out(key) = out.getOrElse(key, 0L) + w
+      }
+      out.toMap
+    }
+    val kc2    = kc.groupMapReduce { case (c, _) => fc(c) } { case (_, k) => k }(_ + _)
+    val qLevel = qPpm(cw2, kc2)
+    val nSuper = fc.groupMapReduce { case (_, f) => f } { _ => 1L }(_ + _)
+
+    // per-community base-node rollup: the only node-sized step — one
+    // broadcast join of the ≤|brands|-row mapping onto the move table
+    val fcDF = fc.toSeq.toDF("c", "community")
+    asg
+      .join(broadcast(fcDF), Seq("c"))
+      .groupBy(col("community")).agg(count(lit(1)).as("n_base_nodes"))
+      .join(broadcast(nSuper.toSeq.toDF("community", "n_supernodes")), Seq("community"))
+      .select(col("community"), col("n_supernodes"), col("n_base_nodes"),
+        lit(moved).as("n_moved_l2"), lit(qPass1).as("q_pass1_ppm"), lit(qLevel).as("q_level_ppm"))
   }
 
   private val graphLouvainLevelSql =

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-15 depth additions (r14 verdict #4): multi-level Louvain TO
@@ -20,26 +19,6 @@ object QueriesExt90 {
     * level 7; sf0.01 reaches its flat-Q stall row at level 8).
     */
   private val MaxLevels = 8
-
-  /** Eager materialization + STATS-RESET barrier for a level-boundary
-    * frame. `Dataset.localCheckpoint` alone is not enough here: the
-    * `LogicalRDD` it produces PRESERVES the origin plan's `Statistics`
-    * (`originStats`), so chaining checkpointed levels compounds
-    * sizeInBytes multiplicatively — each level's leaves inherit the
-    * previous level's join-product estimate, the BigInt digit count
-    * grows exponentially with level, and by level ~7 the optimizer
-    * (stats visitor under `InjectRuntimeFilter`/join selection) is
-    * multiplying million-bit integers: planning went from ~2 s to 55 s+
-    * per level on the SMALLEST fixture. Rebuilding the frame from the
-    * checkpointed RDD drops `originStats` (the new leaf reports the
-    * default size), so every level plans against flat leaves. All
-    * barrier frames are supergraph-sized (bounded by community count),
-    * so the external-row round-trip is immaterial at any corpus scale.
-    */
-  private def flat(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
-    c.sparkSession.createDataFrame(c.rdd, c.schema)
-  }
 
   /** `graph_louvain_converge` — full multi-level Louvain on the
     * co-purchase graph: B258's node-level refinement pass (level 1),
@@ -83,152 +62,151 @@ object QueriesExt90 {
     * 1; Wave90InvariantSpec pins the curve's monotonicity + mass
     * conservation here).
     *
-    * Scale shape: level 1 is B258's bounded plan over the session-cached
-    * edge list; every later level is supergraph-sized work (two keyed
-    * aggs + a community-keyed argmax over ≤ |communities| rows, each
-    * level localCheckpointed so the lineage stays flat). The driver
-    * never holds data: levels are a STATIC 8-step unroll of tiny-table
-    * DataFrame ops, and the convergence filter is computed as a 1-row
-    * broadcast join, not a collect. At 100 TB the level-1 pass dominates
+    * Scale shape (r15 diet): level 1 is B258's bounded plan over the
+    * session-cached edge list AND move table; every later level is
+    * supergraph-sized work. Exactly TWO eager materializations per
+    * level — the matched move table and the combined (ca, cb, w)
+    * contracted-weight table (self-loops are the ca = cb rows, so
+    * self/cross splits are filters over one leaf) — where the r14-close
+    * form checkpointed six frames per level, contracted the base graph
+    * twice, and re-aggregated m into a broadcast at every use (~70 tiny
+    * Spark jobs; 12.6 s at sf0.001, job-count-bound). Per-level stats
+    * (n_communities, n_moved, q_ppm — THREE scalars) are pulled to the
+    * driver, which also lets the loop STOP at the first non-improving
+    * merge level instead of always contracting to level 8 and filtering
+    * afterwards; the graph itself never leaves the cluster, and the
+    * driver state is ≤ 9×4 longs. At 100 TB the level-1 pass dominates
     * end-to-end cost exactly as in the single-level query; the
     * convergence loop adds only community-bounded work.
     */
   private def graphLouvainConverge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val (edges, picked) = QueriesExt70.louvainPass1(s, dir)
-    val m1 = edges.agg(count(lit(1)).as("m")) // 1 row
+    // m: ONE scalar (edge count of the cached support-pruned edge list) —
+    // the old broadcast(m1) re-aggregated the edge list inside every
+    // merge pass and every Q readout
+    val mVal = edges.count()
+    val M    = BigInt(mVal)
 
-    // Q on a contracted graph from (kc: community degrees, wSelf:
-    // internal weights): Σ(4m·w_self − kc²)·1e6 div 4m² — DECIMAL(38,0)
-    // route, div → BIGINT, mirroring the DuckDB HUGEINT // BIGINT cast.
-    def qPpm(wSelf: DataFrame, kc: DataFrame): DataFrame =
-      kc.join(wSelf, Seq("c"), "left").na.fill(0L, Seq("w_self"))
-        .crossJoin(broadcast(m1))
-        .agg(
-          sum(expr(
-            "4 * CAST(m AS DECIMAL(38,0)) * w_self - CAST(kc AS DECIMAL(38,0)) * kc")).as("num"),
-          max(col("m")).as("mm"))
-        .select(expr("num * 1000000 div (4 * CAST(mm AS DECIMAL(38,0)) * mm)").as("q_ppm"))
+    // levels 0 and 1 contract the BASE edge list under the initial and
+    // refined assignments — in ONE edge-sized pass (the move table
+    // carries both comm and newcomm), grouped by the level-0 AND level-1
+    // community pairs at once; both levels' weight tables are rollups of
+    // this one supergraph-bounded leaf. This is the ONLY corpus-sized
+    // work in the whole query beyond the shared pass-1 stage.
+    val cw01 = edges
+      .join(picked.select(col("node").as("u"), col("comm").as("cu0"), col("newcomm").as("cu1")), Seq("u"))
+      .join(picked.select(col("node").as("v"), col("comm").as("cv0"), col("newcomm").as("cv1")), Seq("v"))
+      .select(
+        least(col("cu0"), col("cv0")).as("ca0"), greatest(col("cu0"), col("cv0")).as("cb0"),
+        least(col("cu1"), col("cv1")).as("ca1"), greatest(col("cu1"), col("cv1")).as("cb1"))
+      .groupBy(col("ca0"), col("cb0"), col("ca1"), col("cb1"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
 
-    // contract the BASE edge list under a node assignment (node, k, c)
-    def contractBase(asg: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-      val ce = edges
-        .join(asg.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
-        .join(asg.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
-        .select(col("cu"), col("cv"))
-        .localCheckpoint(true)
-      val wSelf = flat(ce.where(col("cu") === col("cv"))
-        .groupBy(col("cu").as("c")).agg(count(lit(1)).as("w_self")))
-      val wCross = flat(ce.where(col("cu") =!= col("cv"))
-        .select(least(col("cu"), col("cv")).as("ca"), greatest(col("cu"), col("cv")).as("cb"))
-        .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w")))
-      val kc = flat(asg.groupBy(col("c")).agg(sum(col("k")).as("kc")))
-      (wSelf, wCross, kc)
+    // The contracted objects are label-vocabulary-bounded BY CONSTRUCTION
+    // (communities start as p_brand values and moves only adopt existing
+    // labels, so every level's supergraph has ≤ |brands| nodes and
+    // ≤ |brands|² weighted edges — at ANY corpus size). That makes them
+    // model-sized driver pulls, the B237/B240 class, and the merge levels
+    // run serially here — the standard multilevel-partitioning endgame
+    // (coarsen distributed, solve the coarsest graph serially).
+    def pairsOf(ka: String, kb: String): Map[(String, String), Long] =
+      cw01.groupBy(col(ka).as("a"), col(kb).as("b")).agg(sum(col("w")).as("w"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def kcOf(key: String): Map[String, Long] =
+      picked.groupBy(col(key).as("c")).agg(sum(col("k")).as("kc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cw0 = pairsOf("ca0", "cb0")
+    var cw  = pairsOf("ca1", "cb1")
+    val kc0 = kcOf("comm")
+    var kc  = kcOf("newcomm")
+    val moved1 = picked.agg(
+      sum(when(col("newcomm") =!= col("comm"), 1L).otherwise(0L)).as("n_moved")).head().getLong(0)
+
+    // Q on a contracted graph: Σ(4m·w_self − kc²)·1e6 div 4m² — BigInt
+    // everywhere (the DECIMAL(38,0)/HUGEINT route), quotient truncating
+    // toward zero exactly like Spark's `div` and DuckDB's `//`.
+    def qPpm(cwM: Map[(String, String), Long], kcM: Map[String, Long]): Long = {
+      val num = kcM.iterator.map { case (c, k) =>
+        BigInt(4) * M * BigInt(cwM.getOrElse((c, c), 0L)) - BigInt(k) * BigInt(k)
+      }.sum
+      ((num * 1000000) / (BigInt(4) * M * M)).toLong
     }
 
-    // One MATCHING-based merge pass on a supergraph → (sn, fc, k_c).
-    // Each supernode picks its best strictly-positive-gain neighbor
-    // (singleton ΔQ ∝ 4m·w(C,D) − 2·k_C·k_D); a merge applies ONLY when
-    // the pick is MUTUAL, and the pair takes the smaller label. Mutual
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    rows += ((0L, kc0.size.toLong, 0L, qPpm(cw0, kc0)))
+    rows += ((1L, kc.size.toLong, moved1, qPpm(cw, kc)))
+
+    // One MATCHING-based merge pass on the supergraph: each supernode
+    // picks its best strictly-positive-gain neighbor (singleton ΔQ ∝
+    // 4m·w(C,D) − 2·k_C·k_D; ties → smaller label); a merge applies ONLY
+    // when the pick is MUTUAL, the pair taking the smaller label. Mutual
     // pairs are disjoint, modularity's community terms are additive, and
     // each pair's gain is positive — so Q is PROVABLY monotone through
     // merge levels (heavy-edge-matching-style agglomeration, the
     // standard multilevel-partitioning device), unlike the free
     // simultaneous argmax, which label-rotates on dense supergraphs
     // (every supernode moves, Q collapses — measured on both fixtures).
-    def mergePass(wCross: DataFrame, kc: DataFrame): DataFrame = {
-      val nb2 = wCross.select(col("ca").as("sn"), col("cb").as("cand"), col("w"))
-        .unionByName(wCross.select(col("cb").as("sn"), col("ca").as("cand"), col("w")))
-      val best = nb2
-        .join(kc.select(col("c").as("sn"), col("kc").as("k_c")), Seq("sn"))
-        .join(kc.select(col("c").as("cand"), col("kc").as("k_d")), Seq("cand"))
-        .crossJoin(broadcast(m1))
-        .withColumn("score", expr("4 * m * w - 2 * k_c * k_d"))
-        .where(col("score") > 0)
-        .withColumn(
-          "rn",
-          row_number().over(Window.partitionBy(col("sn"))
-            .orderBy(col("score").desc, col("cand").asc)))
-        .filter(col("rn") === 1)
-        .select(col("sn"), col("cand").as("pick"))
-        .localCheckpoint(true)
-      val mutual = best
-        .join(best.select(col("sn").as("pick"), col("pick").as("pick2")), Seq("pick"))
-        .where(col("pick2") === col("sn"))
-        .select(col("sn"), least(col("sn"), col("pick")).as("fc"))
-      flat(kc.select(col("c").as("sn"), col("kc").as("k_c"))
-        .join(mutual, Seq("sn"), "left")
-        .select(col("sn"), coalesce(col("fc"), col("sn")).as("fc"), col("k_c")))
+    def mergePass(cwM: Map[(String, String), Long], kcM: Map[String, Long]): Map[String, String] = {
+      val bestOf = scala.collection.mutable.Map.empty[String, (Long, String)]
+      for {
+        ((a, b), w) <- cwM if a != b
+        (sn, cand)  <- Seq((a, b), (b, a))
+      } {
+        val score = 4L * mVal * w - 2L * kcM(sn) * kcM(cand)
+        if (score > 0) bestOf.get(sn) match {
+          case Some((bs, bc)) if bs > score || (bs == score && bc <= cand) => ()
+          case _ => bestOf(sn) = (score, cand)
+        }
+      }
+      val best = bestOf.map { case (sn, (_, c)) => sn -> c }
+      kcM.keysIterator.map { c =>
+        val fc = best.get(c) match {
+          case Some(p) if best.get(p).contains(c) => if (c <= p) c else p
+          case _ => c
+        }
+        c -> fc
+      }.toMap
     }
 
-    // contract a SUPERGRAPH under a pass's picks
-    def contractSuper(wSelf: DataFrame, wCross: DataFrame, pickedL: DataFrame)
-        : (DataFrame, DataFrame, DataFrame) = {
-      val mapping = pickedL.select(col("sn"), col("fc"))
-      val crossM = wCross
-        .join(mapping.select(col("sn").as("ca"), col("fc").as("fa")), Seq("ca"))
-        .join(mapping.select(col("sn").as("cb"), col("fc").as("fb")), Seq("cb"))
-        .select(col("fa"), col("fb"), col("w"))
-        .localCheckpoint(true)
-      val selfIn = wSelf.join(mapping.select(col("sn").as("c"), col("fc")), Seq("c"))
-        .groupBy(col("fc").as("c")).agg(sum(col("w_self")).as("w"))
-      val crossIn = crossM.where(col("fa") === col("fb"))
-        .groupBy(col("fa").as("c")).agg(sum(col("w")).as("w"))
-      val wSelf2 = flat(selfIn.unionByName(crossIn)
-        .groupBy(col("c")).agg(sum(col("w")).as("w_self")))
-      val wCross2 = flat(crossM.where(col("fa") =!= col("fb"))
-        .select(least(col("fa"), col("fb")).as("ca"), greatest(col("fa"), col("fb")).as("cb"), col("w"))
-        .groupBy(col("ca"), col("cb")).agg(sum(col("w")).as("w")))
-      val kc2 = flat(pickedL.groupBy(col("fc").as("c")).agg(sum(col("k_c")).as("kc")))
-      (wSelf2, wCross2, kc2)
+    // contraction under a pass's picks: carried self-loops land on
+    // (fc, fc); cross weights regroup under (min(fa,fb), max(fa,fb))
+    def contract(cwM: Map[(String, String), Long], fc: Map[String, String])
+        : Map[(String, String), Long] = {
+      val out = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (((a, b), w) <- cwM) {
+        val (fa, fb) = (fc(a), fc(b))
+        val key = if (fa <= fb) (fa, fb) else (fb, fa)
+        out(key) = out.getOrElse(key, 0L) + w
+      }
+      out.toMap
     }
 
-    def statsRow(level: Long, nMoved: DataFrame, wSelf: DataFrame, kc: DataFrame): DataFrame =
-      kc.agg(count(lit(1)).as("n_communities"))
-        .crossJoin(broadcast(nMoved))
-        .crossJoin(broadcast(qPpm(wSelf, kc)))
-        .select(lit(level).as("level"), col("n_communities"), col("n_moved"), col("q_ppm"))
-
-    val zeroMoved = s.range(1).select(lit(0L).as("n_moved"))
-
-    // level 0: the initial brand-seeded partition, contracted (Q baseline)
-    val asg0 = picked.select(col("node"), col("k"), col("comm").as("c"))
-    val (wSelf0, _, kc0) = contractBase(asg0)
-    var rows = Seq(statsRow(0L, zeroMoved, wSelf0, kc0))
-
-    // level 1: the node-level refinement pass, contracted
-    val asg1 = picked.select(col("node"), col("k"), col("newcomm").as("c"))
-    val moved1 = picked.agg(
-      sum(when(col("newcomm") =!= col("comm"), 1L).otherwise(0L)).as("n_moved"))
-    var (wSelfC, wCrossC, kcC) = contractBase(asg1)
-    rows :+= statsRow(1L, moved1, wSelfC, kcC)
-
-    // levels 2..MaxLevels: matching merge + contraction on the supergraph
-    var lvl = 2
-    while (lvl <= MaxLevels) {
-      val p = mergePass(wCrossC, kcC)
-      val movedL = p.agg(sum(when(col("fc") =!= col("sn"), 1L).otherwise(0L)).as("n_moved"))
-      val next = contractSuper(wSelfC, wCrossC, p)
-      wSelfC = next._1; wCrossC = next._2; kcC = next._3
-      rows :+= statsRow(lvl.toLong, movedL, wSelfC, kcC)
+    // levels 2..MaxLevels: matching merge + contraction, STOPPING at the
+    // first merge level whose Q fails to improve (that stall row is
+    // still emitted — the honest-readout contract; levels past it were
+    // previously computed and discarded). Level 1 is exempt from the
+    // stop rule: the simultaneous-move refinement pass is the
+    // algorithm's mandatory step and is known non-monotone (on this
+    // fixture Q dips 2172→2138 ppm — the two-node swap oscillation), so
+    // gating on it would stop every run at level 1.
+    var prevQ = rows.last._4
+    var lvl   = 2
+    var stop  = false
+    while (lvl <= MaxLevels && !stop) {
+      val fc     = mergePass(cw, kc)
+      val movedL = kc.keysIterator.count(c => fc(c) != c).toLong
+      cw = contract(cw, fc)
+      kc = kc.groupMapReduce { case (c, _) => fc(c) } { case (_, k) => k }(_ + _)
+      val qL = qPpm(cw, kc)
+      rows += ((lvl.toLong, kc.size.toLong, movedL, qL))
+      if (qL <= prevQ) stop = true
+      prevQ = qL
       lvl += 1
     }
 
-    // convergence filter: emit levels 0..ca where ca is the first MERGE
-    // level (ℓ≥2) whose Q fails to improve on its predecessor (else
-    // MaxLevels) — computed as a 1-row broadcast, no driver-side data.
-    // Level 1 is exempt from the stop rule: the simultaneous-move
-    // refinement pass is the algorithm's mandatory step and is known
-    // non-monotone (on this fixture Q dips 2172→2138 ppm — the two-node
-    // swap oscillation), so gating on it would stop every run at level 1.
-    val curve = rows.reduce(_ unionByName _)
-    val prev  = curve.select(col("level").as("lp"), col("q_ppm").as("q_prev"))
-    val conv = curve.join(prev, col("level") === col("lp") + 1)
-      .where(col("q_ppm") <= col("q_prev") && col("level") >= 2)
-      .agg(min(col("level")).as("ca"))
-      .select(coalesce(col("ca"), lit(MaxLevels.toLong)).as("ca"))
-    curve.crossJoin(broadcast(conv))
-      .where(col("level") <= col("ca"))
-      .select(col("level"), col("n_communities"), col("n_moved"), col("q_ppm"))
+    rows.toSeq.toDF("level", "n_communities", "n_moved", "q_ppm")
   }
 
   // ---- DuckDB oracle: the same static unroll, generated per level ------
