@@ -775,8 +775,16 @@ object QueriesExt11 {
       col("doc_id"),
       array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("sset")
     )
-    val sh = sets.select(col("doc_id"), explode(col("sset")).as("sh"))
-    val sz = sets.select(col("doc_id"), size(col("sset")).cast("long").as("n"))
+    // r15: the exploded distinct-shingle table is consumed FOUR times
+    // (df rollup, rare semi-join, both intersection joins) — left lazy,
+    // the tokenize+shingle explode re-ran per consumer. One eager
+    // materialization (the shingle index a dedup pipeline lands once per
+    // snapshot); set sizes fall out of it (sset is already distinct, so
+    // rows-per-doc ≡ |sset|) instead of re-tokenizing. Docs with an
+    // empty shingle set drop from sz, but such docs cannot reach the
+    // candidate join (no shingle), so the readout is unchanged.
+    val sh = sets.select(col("doc_id"), explode(col("sset")).as("sh")).localCheckpoint(true)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val rare = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 5).select("sh"),
       "sh"

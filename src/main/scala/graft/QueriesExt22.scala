@@ -149,9 +149,12 @@ object QueriesExt22 {
     */
   private def graphComponents(s: SparkSession, dir: String): DataFrame = {
     val und = operators.GraphOps.copurchaseEdges(lineitem(s, dir), 2)
+    // r15: the mirrored union stays LAZY — und is already an eagerly
+    // checkpointed session-cached leaf, so the old localCheckpoint(true)
+    // here only copied the edge RDD once per query; the union is
+    // shuffle-free map work over the cached blocks each round
     val edges = und
       .unionByName(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)

@@ -25,7 +25,12 @@ object QueriesExt33 {
     *
     * Scale shape: probes are a bounded audit set (10 queries), so each
     * IVF pass touches nprobe cells of the corpus; truth brute-force is
-    * confined to the same bounded probe set, as in B152.
+    * confined to the same bounded probe set, as in B152. r15: the three
+    * operating points share ONE cell-assignment pass and one probe
+    * ranking via `Similarity.ivfTopKSweep` (the old per-level ivfTopK
+    * calls re-ran the corpus × nCells argmin three times), and the
+    * per-level recall join runs once over the unioned sweep with an
+    * (n_probe × query) zero-fill grid — identical arithmetic per level.
     */
   private def simRecallVsProbes(s: SparkSession, dir: String): DataFrame = {
     val emb    = embeddings(s, dir)
@@ -35,23 +40,23 @@ object QueriesExt33 {
       .select(col("query_id"), col("corpus_id"))
       .localCheckpoint(true)
     val nTrue = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
-    val levels = Seq(1, 2, 4).map { np =>
-      val ivf = operators.Similarity
-        .ivfTopK(emb, probes, "vec_id", "embedding", k = 10, nCells = 8, nProbe = np)
-        .select(col("query_id"), col("corpus_id"))
-      truth
-        .join(ivf, Seq("query_id", "corpus_id"), "left_semi")
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_found"))
-        .join(nTrue, Seq("query_id"), "right")
-        .select(
-          lit(np.toLong).as("n_probe"),
-          col("query_id"),
-          expr("CAST(coalesce(n_found, 0) * 1000000 div n_true AS BIGINT)").as("recall_ppm")
-        )
-    }
-    levels
-      .reduce(_ unionByName _)
+    val nProbes = Seq(1, 2, 4)
+    val sweep = operators.Similarity
+      .ivfTopKSweep(emb, probes, "vec_id", "embedding", k = 10, nCells = 8, nProbes = nProbes)
+      .select(col("n_probe"), col("query_id"), col("corpus_id"))
+    val found = sweep
+      .join(truth, Seq("query_id", "corpus_id"))
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(count(lit(1)).as("n_found"))
+    val grid = nTrue.crossJoin(
+      broadcast(emb.sparkSession.createDataFrame(
+        nProbes.map(np => Tuple1(np.toLong))).toDF("n_probe")))
+    grid
+      .join(found, Seq("n_probe", "query_id"), "left")
+      .select(
+        col("n_probe"),
+        col("query_id"),
+        expr("CAST(coalesce(n_found, 0) * 1000000 div n_true AS BIGINT)").as("recall_ppm"))
       .groupBy(col("n_probe"))
       .agg(
         count(lit(1)).as("n_queries"),

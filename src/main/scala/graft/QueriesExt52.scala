@@ -72,6 +72,11 @@ object QueriesExt52 {
       .filter(col("p") >= w) // only full windows select (standard winnowing)
       .select(col("doc_id"), col("wmin").as("h"))
       .distinct()
+      // r15: three consumers (per-doc totals, the df cap, the pair join)
+      // re-ran the explode+window+distinct reduce side each — exchange
+      // reuse only dedupes the map-side shuffle write. The selected-
+      // fingerprint set IS the index MOSS materializes once per corpus.
+      .localCheckpoint(true)
     val perDoc = selected.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val rare = selected
       .join(

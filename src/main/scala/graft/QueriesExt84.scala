@@ -310,13 +310,22 @@ object QueriesExt84 {
     // (Bench's per-query storage cleanup releases the blocks)
     def meanCos(unitRawDf: DataFrame): DataFrame = {
       val unit = unitRawDf.persist()
+      // r15 (B266's single-pass shape): ONE posexplode pass yields both
+      // (Σu, Σu²) per dimension — the old form scanned the exploded
+      // cells twice (dim sums + self-squares); n is a column-pruned
+      // count over the persisted unit table (≡ the old countDistinct
+      // over cells: vectors contributing ≥1 element)
       val cells = unit.select(col("vec_id"), posexplode(col("u")).as(Seq("pos", "ux")))
-      val dims  = cells.groupBy(col("pos")).agg(sum(col("ux")).as("sd"))
-      val ssq   = dims.agg(sum(expr("CAST(sd AS DECIMAL(38,0)) * sd")).as("ssq_dims"))
-      cells
-        .agg(sum(expr("CAST(ux AS DECIMAL(38,0)) * ux")).as("ssq_self"),
-          countDistinct(col("vec_id")).as("n"))
-        .crossJoin(broadcast(ssq))
+      val dims = cells.groupBy(col("pos")).agg(
+        sum(col("ux")).as("sd"),
+        sum(expr("CAST(ux AS DECIMAL(38,0)) * ux")).as("sq"))
+      val tot = dims.agg(
+        sum(expr("CAST(sd AS DECIMAL(38,0)) * sd")).as("ssq_dims"),
+        sum(col("sq")).as("ssq_self"))
+      unit
+        .where(col("u").isNotNull && size(col("u")) > 0)
+        .agg(countDistinct(col("vec_id")).as("n"))
+        .crossJoin(broadcast(tot))
         .select(col("n"),
           expr("CAST((ssq_dims - ssq_self) div (n * (n - 1)) div 1000000 AS BIGINT)").as("mc"))
     }

@@ -246,6 +246,57 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** `ivfTopK` at SEVERAL nProbe operating points with the centroid
+    * table, the corpus cell assignment, and the probe ranking computed
+    * ONCE (r15): the B185 sweep previously called ivfTopK per level, so
+    * the corpus × nCells assignment argmin — the expensive pass — ran
+    * once per operating point. Probe sets at increasing nProbe are
+    * PREFIXES of one (distance, cell)-ranked list (exactly the oracle's
+    * probecells CTE with `WHERE rn <= np`), so one ranking serves every
+    * level, and the assignment is eagerly materialized — which is what a
+    * real IVF index is: the assignment IS the index, built once and
+    * queried at many operating points. Per level the output is
+    * bit-identical to `ivfTopK(..., nProbe = np)`.
+    */
+  def ivfTopKSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Seq[Int],
+      seedSource: Option[DataFrame] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val cents = ivfCentroidTable(seedSource.getOrElse(corpus), idCol, vecCol, nCells)
+    def d(vec: Column): Column =
+      dot(vec, vec) - lit(2.0) * dot(vec, col("ce")) + col("ce2")
+    val c = ivfAssignWithCents(corpus, idCol, vecCol, cents).localCheckpoint(true)
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(cents)
+      .withColumn(
+        "prn",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(d(col("qv")).asc, col("cell").asc)
+        )
+      )
+      .filter(col("prn") <= nProbes.max)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    nProbes.map { np =>
+      val qn = q.filter(col("prn") <= np).select(col("query_id"), col("qv"), col("cell"))
+      c.join(broadcast(qn), Seq("cell"))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .withColumn("cosine", round(cosine(col("qv"), col("cv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(np.toLong).as("n_probe"), col("query_id"), col("corpus_id"),
+          col("cosine"), col("rank").cast("long").as("rank"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic ±1 hyperplane matrix — the same md5-derived recipe as
     * the IVF seed pick: plane j, component i is +1 iff the first 8 md5 hex
     * chars of "rp:j,i" parse to an even long. Any engine can rebuild the
