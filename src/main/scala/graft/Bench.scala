@@ -620,6 +620,23 @@ object Bench {
     val namesArr = names.toIndexedSeq
     val statsBuf = scala.collection.mutable.LinkedHashMap.empty[String, QStat]
 
+    // ---- budget fitting for gate reruns / re-times / stream (r16) ------
+    // The r15 driver run overran its own budget (elapsed 1524 s vs 1250):
+    // the gate loops checked `elapsed` only when a PASS started, so a
+    // rerun pass beginning at 0.85×budget legally ran hundreds of seconds
+    // past the end (10 flagged queries × warmup+3 trials each). Now every
+    // individual gate rerun / canary re-time / extra stream trial is gated
+    // on its own projected cost fitting inside 97% of budget, with
+    // wall-clock reserved for the contractual stream trial until it has
+    // run. Reruns that don't fit simply stay flagged — honest, and bounded.
+    var streamDone = false
+    def streamReserveNow: Double =
+      if (streamDone || streamMode == "skip" || (only.nonEmpty && streamMode != "only")) 0.0 else 40.0
+    def fitsBudget(projSec: Double): Boolean =
+      elapsed + projSec < 0.97 * budget - streamReserveNow
+    // warmup + `trials` timed trials, 1.4× slack + fixed per-query overhead
+    def rerunCost(med: Double): Double = (1 + trials) * math.max(med, 0.05) * 1.4 + 0.5
+
     // ---- pass 1: COVERAGE — every query, one timed trial ---------------
     // 93%-of-budget knee kept purely as a backstop (at committed medians
     // pass 1 is ~25% of the default budget): a host so slow it cannot
@@ -676,10 +693,12 @@ object Bench {
             System.err.println(
               s"[bench] canary-triggered re-time of upgrades $windowStart..${upgraded - 1} (window ${canaryRetimes}/$maxCanaryRetimes)")
             (windowStart until upgraded).foreach { j =>
-              val nm     = upgradedNames(j)
-              val first  = statsBuf(nm)
-              val second = measure(nm, trials, warm = true, doWarmup = false)
-              if (second.med >= 0 && (first.med < 0 || second.med < first.med)) statsBuf(nm) = second
+              val nm    = upgradedNames(j)
+              val first = statsBuf(nm)
+              if (fitsBudget(trials * math.max(first.med, 0.05) * 1.4 + 0.5)) {
+                val second = measure(nm, trials, warm = true, doWarmup = false)
+                if (second.med >= 0 && (first.med < 0 || second.med < first.med)) statsBuf(nm) = second
+              }
             }
           }
           windowStart = upgraded
@@ -733,7 +752,7 @@ object Bench {
           s"headline=${ratioHeadline(curStats).getOrElse(-1.0)}) — rerun ${reruns + 1}/$maxReruns")
       statsBuf.keys.toSeq.foreach { n =>
         val first = statsBuf(n)
-        if (fullMode(first)) {
+        if (fullMode(first) && fitsBudget(rerunCost(first.med))) {
           val second = measure(n, trials, warm = true, doWarmup = true)
           if (second.med >= 0 && (first.med < 0 || second.med < first.med)) statsBuf(n) = second
         }
@@ -763,20 +782,25 @@ object Bench {
     def spreadBad(s: QStat): Boolean =
       s.med > 0.3 && (s.max > s.med * 3.0 || (s.min > 0 && s.med > s.min * 2.0))
     var spreadReruns = 0
-    while (spreadReruns < 5 && elapsed < 0.86 * budget &&
+    var spreadProgress = true
+    while (spreadReruns < 5 && elapsed < 0.86 * budget && spreadProgress &&
            statsBuf.exists(kv => spreadBad(kv._2))) {
       val flagged = statsBuf.collect { case (n, s) if spreadBad(s) => n }.toSeq
       System.err.println(
         s"[bench] spread gate (max/med>3 or med/min>2): rerunning ${flagged.mkString(", ")}")
+      spreadProgress = false
       flagged.foreach { n =>
-        val s      = statsBuf(n)
-        val second = measure(n, trials, warm = true, doWarmup = true)
-        val pick =
-          if (second.med < 0) s
-          else if (spreadBad(second) != spreadBad(s)) { if (spreadBad(s)) second else s }
-          else if (second.med < s.med) second
-          else s
-        statsBuf(n) = pick
+        val s = statsBuf(n)
+        if (fitsBudget(rerunCost(s.med))) {
+          spreadProgress = true
+          val second = measure(n, trials, warm = true, doWarmup = true)
+          val pick =
+            if (second.med < 0) s
+            else if (spreadBad(second) != spreadBad(s)) { if (spreadBad(s)) second else s }
+            else if (second.med < s.med) second
+            else s
+          statsBuf(n) = pick
+        }
       }
       spreadReruns += 1
       curStats = statsBuf.toSeq; curSpreadReruns = spreadReruns
@@ -823,15 +847,20 @@ object Bench {
         adj > 0 && histMin.get(n).exists(h => h > 0.5 && adj > 2.0 * h && adj - h > 0.5)
       }
     var driftReruns = 0
-    while (only.isEmpty && driftReruns < 3 && elapsed < 0.86 * budget &&
+    var driftProgress = true
+    while (only.isEmpty && driftReruns < 3 && elapsed < 0.86 * budget && driftProgress &&
            statsBuf.exists(kv => driftBad(kv._1, kv._2))) {
       val flagged = statsBuf.collect { case (n, s) if driftBad(n, s) => n }.toSeq
       System.err.println(
         s"[bench] per-query drift gate: rerunning solo ${flagged.mkString(", ")}")
+      driftProgress = false
       flagged.foreach { n =>
-        val s      = statsBuf(n)
-        val second = measure(n, trials, warm = true, doWarmup = true)
-        if (second.med >= 0 && (s.med < 0 || second.med < s.med || !fullMode(s))) statsBuf(n) = second
+        val s = statsBuf(n)
+        if (fitsBudget(rerunCost(s.med))) {
+          driftProgress = true
+          val second = measure(n, trials, warm = true, doWarmup = true)
+          if (second.med >= 0 && (s.med < 0 || second.med < s.med || !fullMode(s))) statsBuf(n) = second
+        }
       }
       driftReruns += 1
       curStats = statsBuf.toSeq; curDriftReruns = driftReruns
@@ -864,8 +893,13 @@ object Bench {
     // extra trials only while comfortably inside the window.
     if (runStream) {
       var k = 0
-      while (k < trials && (k == 0 || elapsed < 0.88 * budget)) {
-        val r = streamThroughput()
+      var lastTrialWall = 30.0 // conservative prior until trial 0 measures it
+      while (k < trials && (k == 0 ||
+             (elapsed < 0.88 * budget && fitsBudget(lastTrialWall * 1.4)))) {
+        val t0 = elapsed
+        val r  = streamThroughput()
+        streamDone = true // reserve released — the contractual trial has run
+        lastTrialWall = math.max(elapsed - t0, 1.0)
         if (r._2 > 0) { curStream = curStream :+ r; flush(partial = true) }
         k += 1
       }

@@ -43,28 +43,42 @@ object QueriesExt13 {
     val sh = documents(s, dir)
       .select(col("doc_id"), posexplode(TextAnalysis.wordShingles(col("text"), k)).as(Seq("pos", "sh")))
       .select(col("doc_id"), col("pos"), md5(col("sh")).as("h"))
-    val dfreq = sh.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    val dupPos = sh.join(dfreq.filter(col("df") >= 2).select("h"), "h")
-    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = dupPos
-      .withColumn("grp", col("pos") - row_number().over(wDoc))
-      .groupBy("doc_id", "grp")
-      .agg(count(lit(1)).as("run"))
-    val perDoc = runs.groupBy("doc_id").agg(
-      max("run").cast("long").as("longest_dup_run"),
-      sum("run").cast("long").as("n_dup_positions"),
-      count(lit(1)).cast("long").as("n_spans")
-    )
-    sh.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shingles"))
-      .join(perDoc, Seq("doc_id"), "left")
+    // r16 (§2.3/§2.4): the old shape evaluated the corpus-token-sized
+    // shingle explode THREE times (distinct+df aggregate, the df≥2 join
+    // back, the per-doc totals) across ~6 exchanges. One pass now serves
+    // everything:
+    //  - df ≥ 2 ⟺ the shingle appears in ≥2 DISTINCT docs ⟺
+    //    min(doc_id) ≠ max(doc_id) over a window by h — no distinct, no
+    //    df table, no join back;
+    //  - the gaps-and-islands row_number over dup rows ≡ a running count
+    //    of dup rows over ALL rows (filtered after), so totals and runs
+    //    ride the SAME doc-partitioned pass;
+    //  - runs and per-doc stats stack as two aggregates on the doc_id
+    //    clustering (grp = NULL marks non-dup rows; level 1 is unique on
+    //    (doc, grp)), so no second evaluation and no left join — absent
+    //    dup rows surface as NULL aggregates, coalesced to the same
+    //    zeros.
+    val wH = Window.partitionBy(col("h"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = sh
+      .withColumn("dup", min(col("doc_id")).over(wH) =!= max(col("doc_id")).over(wH))
+      .withColumn("g", when(col("dup"), col("pos") - sum(when(col("dup"), 1L).otherwise(0L)).over(wDoc)))
+    val lvl1 = marked.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    lvl1
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_shingles"),
+        sum(when(col("g").isNotNull, col("cnt"))).cast("long").as("dup_pos"),
+        max(when(col("g").isNotNull, col("cnt"))).cast("long").as("longest"),
+        count(col("g")).cast("long").as("spans"))
       .select(
         col("doc_id"),
         col("n_shingles"),
-        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
-        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        round(coalesce(col("n_dup_positions"), lit(0L)).cast("double") / col("n_shingles"), 6)
+        coalesce(col("dup_pos"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("longest"), lit(0L)).as("longest_dup_run"),
+        col("spans").as("n_spans"),
+        round(coalesce(col("dup_pos"), lit(0L)).cast("double") / col("n_shingles"), 6)
           .as("dup_frac")
       )
   }

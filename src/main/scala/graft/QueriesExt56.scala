@@ -267,10 +267,14 @@ object QueriesExt56 {
       .where(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("curr_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val pRows = trans.select(
-      col("prev_type"), col("curr_type"),
-      expr("n_trans * 1000000 div sum(n_trans) OVER (PARTITION BY prev_type)").as("p_ppm"))
-      .collect()
+    // r16 guard: ≤ |event types|² is a property of the current data, not
+    // a construction bound — fail loudly if a high-cardinality event_type
+    // fixture ever voids the model-sized assumption
+    val pRows = operators.DriverBound.collectBounded(
+      trans.select(
+        col("prev_type"), col("curr_type"),
+        expr("n_trans * 1000000 div sum(n_trans) OVER (PARTITION BY prev_type)").as("p_ppm")),
+      "events_markov_stationary transition matrix (event types²)")
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val states = pRows.map(_._1).distinct
     val k      = states.length.toLong

@@ -141,6 +141,17 @@ object QueriesExt85 {
       .withColumn("pid", sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
       .filter(!col("is_stop"))
       .select(col("doc_id"), col("pid"), col("pos"), col("tok"))
+    // r16, examined and kept AS-IS after two measured attempts:
+    //  (a) replacing the phrase-length agg+join with a count window over
+    //      (doc_id, pid) — 2.20 → ~2.6 s solo (trades the broadcast join
+    //      for a corpus-wide (doc_id, pid) sort);
+    //  (b) persisting CAND instead of KEPT so the segmentation subtree
+    //      runs once — 2.20 → 2.58 s solo (the cache materializes the
+    //      LARGER pre-filter table and the join then runs once per
+    //      consumer).
+    // The double Generate+Window subtree in the plan is cheaper here
+    // than either alternative's extra work; recorded so r17 doesn't
+    // retry blind (the embed_pq_train_iter discipline).
     val phraseLen = cand.groupBy(col("doc_id"), col("pid"))
       .agg(count(lit(1)).as("n_words"))
       .filter(col("n_words") <= 4)
@@ -307,18 +318,57 @@ object QueriesExt85 {
     val pts = iv.select(col("t0").as("ts"), lit(1L).as("delta"))
       .unionByName(iv.select(col("t1").as("ts"), lit(-1L).as("delta")))
       .groupBy(col("ts")).agg(sum(col("delta")).as("d"))
-    val wT = Window.orderBy(col("ts")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = pts
-      .withColumn("c", sum(col("d")).over(wT))
-      .withColumn("seg", coalesce(lead(col("ts"), 1).over(Window.orderBy(col("ts"))) - col("ts"), lit(0L)))
-    val area = swept.agg(
-      sum(expr("c * seg")).as("area_ms"),
-      max(col("c")).as("peak_concurrency"))
+    // r16 (§2.4): the sweep used to run as ONE unpartitioned
+    // Window.orderBy(ts) prefix sum over ≤2·|users| boundary points —
+    // user-count-sized, not model-sized, the registry's clearest
+    // single-partition-window violation. Two replacements, both exact
+    // integer arithmetic with bit-identical outputs:
+    //  - area: Σᵢ cᵢ·(tsᵢ₊₁−tsᵢ) with c = prefix-sum(d) telescopes to
+    //    Σⱼ dⱼ·(ts_max − tsⱼ) (swap the double sum; the last point's
+    //    seg is 0 via the old coalesce, and ts_max is the largest
+    //    boundary), so the area needs NO window — one plain aggregate.
+    //  - peak: max prefix sum via the standard two-phase scan — a
+    //    per-bucket prefix sum (ts-range buckets, hash-partitioned
+    //    window) plus bucket-total offsets computed on the ≤nb-row
+    //    bucket table (model-sized by construction) and broadcast back.
     val base = iv.agg(
       count(lit(1)).as("n_users"),
       sum(col("t1") - col("t0")).as("sum_dur_ms"),
-      (max(col("t1")) - min(col("t0"))).as("span_ms"))
-    base.crossJoin(area)
+      min(col("t0")).as("ts_min"),
+      max(col("t1")).as("ts_max"))
+    val nb = 1024
+    val ptsB = pts
+      .crossJoin(broadcast(base.select(col("ts_min"), col("ts_max"))))
+      // monotone in ts, lands in [0, nb-1]; +1 keeps ts_max inside;
+      // integer div (Spark's `/` on longs is double division)
+      .withColumn("bkt", expr(s"(ts - ts_min) * $nb div (ts_max - ts_min + 1)"))
+      .select(col("ts"), col("d"), col("bkt"))
+    val wLocal = Window.partitionBy(col("bkt")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ptsB.withColumn("lc", sum(col("d")).over(wLocal))
+    // Per bucket: the local MAX prefix and the bucket TOTAL (= last local
+    // prefix) — then the global peak is computable on the ≤nb-row bucket
+    // table alone (max over buckets of exclusive-offset + local max), so
+    // nothing joins back to the point table. The area aggregate rides the
+    // same pass (Σ d·(tmax − ts), grouped by bucket then summed).
+    // The bucket-table window is single-partition but CONSTANT-bounded
+    // (≤nb rows), not data-sized.
+    val wOff = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val bstats = local
+      .crossJoin(broadcast(base.select(col("ts_max").as("tmax"))))
+      .groupBy(col("bkt"))
+      .agg(
+        max(col("lc")).as("lm"),
+        max_by(col("lc"), col("ts")).as("bd"),
+        sum(expr("d * (tmax - ts)")).as("ba"))
+    val area = bstats
+      .withColumn("off", coalesce(sum(col("bd")).over(wOff), lit(0L)))
+      .agg(
+        sum(col("ba")).as("area_ms"),
+        max(col("off") + col("lm")).as("peak_concurrency"))
+    base
+      .select(col("n_users"), col("sum_dur_ms"), (col("ts_max") - col("ts_min")).as("span_ms"))
+      .crossJoin(area)
       .select(
         col("n_users"), col("span_ms"), col("sum_dur_ms"),
         col("area_ms"), col("peak_concurrency"),

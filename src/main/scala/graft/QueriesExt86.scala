@@ -50,19 +50,26 @@ object QueriesExt86 {
     // ≤|sources|-row frames: four corpus-scan subtrees, a dozen
     // broadcasts, and the planner itself as the dominant cost (3.7 s at
     // sf0.1, SLOWER at sf0.001 — the job-count-bound signature).
-    val edgeRows: Array[(String, String, Long)] = docs
-      .select(
-        col("source").as("src"),
-        concat(lit("src"), ((col("doc_id") * 7 + col("n_chars")) % 20).cast("string")).as("dst"))
-      .unionByName(docs.select(
-        col("source").as("src"),
-        concat(lit("src"), (col("n_chars") % 7).cast("string")).as("dst")))
-      .where(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val nodes: Array[String] =
-      docs.select(col("source").as("node")).distinct().collect().map(_.getString(0)).sorted
+    // r16 guard: the bound here is |distinct sources| × 27 — a property
+    // of the CURRENT data, not a construction bound, so the collect fails
+    // loudly if a high-cardinality fixture ever voids the assumption
+    val edgeRows: Array[(String, String, Long)] = operators.DriverBound.collectBounded(
+      docs
+        .select(
+          col("source").as("src"),
+          concat(lit("src"), ((col("doc_id") * 7 + col("n_chars")) % 20).cast("string")).as("dst"))
+        .unionByName(docs.select(
+          col("source").as("src"),
+          concat(lit("src"), (col("n_chars") % 7).cast("string")).as("dst")))
+        .where(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w")),
+      "graph_hits_scores weighted edge list (sources × 27 buckets)"
+    ).map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nodes: Array[String] = operators.DriverBound.collectBounded(
+      docs.select(col("source").as("node")).distinct(),
+      "graph_hits_scores node list (distinct sources)"
+    ).map(_.getString(0)).sorted
     val n = nodes.length.toLong
 
     // B64's fixed-point discipline verbatim: integer ppm scores, floor

@@ -65,15 +65,18 @@ object QueriesExt89 {
 
     // contraction: community-keyed edge weights in ONE pass over the
     // assigned edge list; self-loops are the ca = cb rows
-    val cw: Map[(String, String), Long] = edges
-      .join(asg.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
-      .join(asg.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
-      .select(least(col("cu"), col("cv")).as("ca"), greatest(col("cu"), col("cv")).as("cb"))
-      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val kc: Map[String, Long] = asg
-      .groupBy(col("c")).agg(sum(col("k")).as("kc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cw: Map[(String, String), Long] = operators.DriverBound.collectBounded(
+      edges
+        .join(asg.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
+        .join(asg.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
+        .select(least(col("cu"), col("cv")).as("ca"), greatest(col("cu"), col("cv")).as("cb"))
+        .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w")),
+      "graph_louvain_level contracted weights (≤ brands²)")
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val kc: Map[String, Long] = operators.DriverBound.collectBounded(
+      asg.groupBy(col("c")).agg(sum(col("k")).as("kc")),
+      "graph_louvain_level community degrees (≤ brands)")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
     // pass 2: weighted argmax over neighbor supernodes + the 0-weight
     // stay row (same candidate discipline as pass 1; stay scores exactly

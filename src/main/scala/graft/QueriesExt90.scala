@@ -111,12 +111,19 @@ object QueriesExt90 {
     // model-sized driver pulls, the B237/B240 class, and the merge levels
     // run serially here — the standard multilevel-partitioning endgame
     // (coarsen distributed, solve the coarsest graph serially).
+    // r16 guard on the pulls: the label-vocabulary bound is structural,
+    // but the guard documents it and fails loudly if a future edit ever
+    // breaks the adopt-only invariant
     def pairsOf(ka: String, kb: String): Map[(String, String), Long] =
-      cw01.groupBy(col(ka).as("a"), col(kb).as("b")).agg(sum(col("w")).as("w"))
-        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      operators.DriverBound.collectBounded(
+        cw01.groupBy(col(ka).as("a"), col(kb).as("b")).agg(sum(col("w")).as("w")),
+        s"graph_louvain_converge weight map ($ka,$kb) (≤ brands²)")
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     def kcOf(key: String): Map[String, Long] =
-      picked.groupBy(col(key).as("c")).agg(sum(col("k")).as("kc"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      operators.DriverBound.collectBounded(
+        picked.groupBy(col(key).as("c")).agg(sum(col("k")).as("kc")),
+        s"graph_louvain_converge degree map $key (≤ brands)")
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val cw0 = pairsOf("ca0", "cb0")
     var cw  = pairsOf("ca1", "cb1")
     val kc0 = kcOf("comm")
