@@ -240,7 +240,10 @@ object QueriesExt {
 
   private def simTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = embeddings(s, dir)
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    // r16: rides the session-shared q<50 truth stage — per-query rankings
+    // are independent, so the q<5 restriction of that table is
+    // bit-identical to the dedicated q<5 brute-force pass it replaces
+    Similarity.truthTop10(emb, "vec_id", "embedding").filter(col("query_id") < 5)
   }
 
   private val simTopKSql =

@@ -425,8 +425,11 @@ object QueriesExt16 {
     // this query's original distinct + self-join + count form (three
     // shuffles plus an every-pair join). Identical semantics: collect_set
     // dedups (order, part), sorted-array pair gen yields u < v.
+    // r16: the pair-support table is the session-shared stage (one build
+    // serves B66, B94 and the graph edge list); pass the unprojected fact
+    // table so the stage key normalizes
     operators.GraphOps
-      .copurchasePairCounts(lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")))
+      .copurchasePairCounts(lineitem(s, dir))
       .select(col("u").as("p1"), col("v").as("p2"), col("n_orders"))
       .orderBy(desc("n_orders"), col("p1"), col("p2"))
       .limit(20)

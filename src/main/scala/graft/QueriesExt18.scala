@@ -167,8 +167,14 @@ object QueriesExt18 {
       .select(explode(col("pks")).as("pk"))
       .groupBy("pk")
       .agg(count(lit(1)).as("c"))
+    // r16: the pair-support table is the session-shared stage (built
+    // once for B66/B94/the graph edge list — see
+    // GraphOps.copurchasePairCounts); only cA and the basket total still
+    // read the basket table here
+    // pass the unprojected fact table so the stage key normalizes to the
+    // same entry the edge list and B66 use
     val pairs = operators.GraphOps
-      .pairCountsFromBaskets(baskets, statsSource = raw)
+      .copurchasePairCounts(lineitem(s, dir))
       .select(col("u").as("p1"), col("v").as("p2"), col("n_orders").as("c_ab"))
       .where(col("c_ab") >= 3)
     pairs
@@ -517,22 +523,30 @@ object QueriesExt18 {
     val cohortPart = base
       .groupBy("cohort", "l_partkey")
       .agg(sum("cents").as("rev"), count(lit(1)).as("n"))
-    val support = cohortPart.groupBy("cohort").agg(sum("n").as("support"))
-    val topOwn = cohortPart
+    // r16 (§2.4): support and the per-cohort top-3 used to be SEPARATE
+    // aggregates over cohortPart, stitched back with a semi-join — three
+    // evaluations of the cohortPart subtree and an extra join. One
+    // cohort-keyed aggregate now carries BOTH (support = Σn rides the
+    // TopKBy pass), the healthy/thin split is a filter on it, and the
+    // semi-join disappears. cohortPart feeds two consumers (this and the
+    // global top-3), deduped by exchange reuse.
+    val perCohort = cohortPart
       .groupBy("cohort")
-      .agg(graft.functions.TopKBy.topKByLong(col("rev").cast("double"), col("l_partkey"), 3).as("top"))
-      .select(col("cohort"), posexplode(col("top")))
-      .select(col("cohort"), (col("pos") + 1).cast("long").as("reco_rank"), col("col.id").as("reco_part"))
+      .agg(
+        sum("n").as("support"),
+        graft.functions.TopKBy.topKByLong(col("rev").cast("double"), col("l_partkey"), 3).as("top"))
     val topGlobal = cohortPart
       .groupBy("l_partkey")
       .agg(sum("rev").as("rev"))
       .agg(graft.functions.TopKBy.topKByLong(col("rev").cast("double"), col("l_partkey"), 3).as("top"))
       .select(posexplode(col("top")))
       .select((col("pos") + 1).cast("long").as("reco_rank"), col("col.id").as("reco_part"))
-    val healthy = support.where(col("support") >= minSupport).select("cohort")
-    val thin    = support.where(col("support") < minSupport).select("cohort")
+    val topOwn = perCohort
+      .where(col("support") >= minSupport)
+      .select(col("cohort"), posexplode(col("top")))
+      .select(col("cohort"), (col("pos") + 1).cast("long").as("reco_rank"), col("col.id").as("reco_part"))
+    val thin = perCohort.where(col("support") < minSupport).select("cohort")
     topOwn
-      .join(healthy, Seq("cohort"), "left_semi")
       .withColumn("reco_src", lit("segment"))
       .unionByName(
         thin.crossJoin(broadcast(topGlobal)).withColumn("reco_src", lit("global"))

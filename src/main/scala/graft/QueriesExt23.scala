@@ -155,8 +155,11 @@ object QueriesExt23 {
   private def simAnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb    = embeddings(s, dir)
     val probes = emb.filter(col("vec_id") < 10)
+    // r16: truth rides the session-shared q<50 stage (bit-identical
+    // restriction — per-query rankings are independent)
     val truth = operators.Similarity
-      .bruteForceTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .truthTop10(emb, "vec_id", "embedding")
+      .filter(col("query_id") < 10)
       .select(col("query_id"), col("corpus_id"))
     val ivf = operators.Similarity
       .ivfTopK(emb, probes, "vec_id", "embedding", k = 10, nCells = 8, nProbe = 2)

@@ -35,10 +35,13 @@ object QueriesExt33 {
   private def simRecallVsProbes(s: SparkSession, dir: String): DataFrame = {
     val emb    = embeddings(s, dir)
     val probes = emb.filter(col("vec_id") < 10)
+    // r16: truth rides the session-shared q<50 stage (bit-identical
+    // restriction — per-query rankings are independent); the stage entry
+    // is already checkpointed, so the per-query eager copy is gone
     val truth = operators.Similarity
-      .bruteForceTopK(emb, probes, "vec_id", "embedding", k = 10)
+      .truthTop10(emb, "vec_id", "embedding")
+      .filter(col("query_id") < 10)
       .select(col("query_id"), col("corpus_id"))
-      .localCheckpoint(true)
     val nTrue = truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
     val nProbes = Seq(1, 2, 4)
     val sweep = operators.Similarity

@@ -257,7 +257,9 @@ object QueriesExt45 {
     val q     = full.filter(col("vec_id") < 50)
     val qT    = trunc.filter(col("vec_id") < 50)
     val k     = 10
-    val fullTop  = graft.operators.Similarity.bruteForceTopK(full, q, "vec_id", "embedding", k)
+    // r16: the full-vector side is exactly the session-shared q<50/k=10
+    // truth stage; only the truncated side stays a private pass
+    val fullTop  = graft.operators.Similarity.truthTop10(emb, "vec_id", "embedding")
     val truncTop = graft.operators.Similarity.bruteForceTopK(trunc, qT, "vec_id", "embedding", k)
     fullTop
       .join(

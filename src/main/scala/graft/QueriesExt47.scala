@@ -55,13 +55,8 @@ object QueriesExt47 {
       )
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
-    val fullTop = graft.operators.Similarity.bruteForceTopK(
-      emb.select(col("vec_id"), col("embedding")),
-      emb.select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50),
-      "vec_id",
-      "embedding",
-      k
-    )
+    // r16: exactly the session-shared q<50/k=10 truth stage
+    val fullTop = graft.operators.Similarity.truthTop10(emb, "vec_id", "embedding")
     fullTop
       .join(hamTop, Seq("query_id", "corpus_id"), "left")
       .groupBy(col("query_id"))

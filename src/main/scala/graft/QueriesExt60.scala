@@ -79,8 +79,11 @@ object QueriesExt60 {
       .join(broadcast(f), Seq("cur"))
       .select(col("query_id"), col("cur").as("walk_id"),
         round(Similarity.cosine(col("qe"), col("ce")), 6).as("walk_cosine"))
+    // r16: the k=1 truth is the rank-1 slice of the session-shared q<50
+    // top-10 stage — the same (cosine desc, id asc) ranking, restricted
     val truth = Similarity
-      .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 1)
+      .truthTop10(emb, "vec_id", "embedding")
+      .filter(col("query_id") < 10 && col("rank") === 1)
       .select(col("query_id"), col("corpus_id").as("nn_id"), col("cosine").as("nn_cosine"))
     truth
       .join(broadcast(walk), Seq("query_id"), "left")

@@ -258,10 +258,8 @@ object QueriesExt70 {
           .orderBy(col("cosine").desc, col("corpus_id").asc)))
       .filter(col("rrank") <= k)
       .select(col("shortlist_size"), col("query_id"), col("corpus_id"), lit(1L).as("hit"))
-    val truth = graft.operators.Similarity.bruteForceTopK(
-      emb.select(col("vec_id"), col("embedding")),
-      emb.select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50),
-      "vec_id", "embedding", k)
+    // r16: exactly the session-shared q<50/k=10 truth stage
+    val truth = graft.operators.Similarity.truthTop10(emb, "vec_id", "embedding")
     truth
       .crossJoin(broadcast(sGrid))
       .join(reranked, Seq("shortlist_size", "query_id", "corpus_id"), "left")

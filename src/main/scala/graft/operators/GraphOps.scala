@@ -40,8 +40,9 @@ object GraphOps {
     // queries consume this exact edge list per session, and a real
     // deployment lands it in storage once per fact snapshot. The pinned
     // table is the SUPPORT-PRUNED edge list (small — support ≥ 2 cuts
-    // TPC-H's mostly-unique pairs hard), never the raw pair counts.
-    // Plan-keyed via sameResult + minSupport; see SessionStageCache.
+    // TPC-H's mostly-unique pairs hard). Plan-keyed via sameResult +
+    // minSupport; see SessionStageCache. r16: derives from the shared
+    // pair-count stage below instead of re-running the basket build.
     SessionStageCache.getOrCompute(lineitem, s"copurchaseEdges:$minSupport") {
       copurchasePairCounts(lineitem)
         .where(col("n_orders") >= minSupport)
@@ -55,9 +56,34 @@ object GraphOps {
     * B94 association rules), which previously carried their own
     * distinct + self-join + count form — three shuffles and an
     * every-pair join the array form does row-side.
+    *
+    * r16 (§2.4, the r15 verdict's cohort/basket-subtree ask): session-
+    * cached. THREE independent paths built this identical table per
+    * session — the edge-list stage above, B66's top-20, and B94's rule
+    * mining — i.e. the fact-table basket aggregation and the pair
+    * explode+count ran three times. A real deployment lands pair
+    * supports once per fact snapshot (they are the input to rule mining,
+    * the top-k, AND the pruned graph). The pinned table is pair-support-
+    * sized (basket-bounded, u < v), and the build cost is metered and
+    * attributed by the bench like every other stage.
     */
-  def copurchasePairCounts(lineitem: DataFrame): DataFrame =
-    pairCountsFromBaskets(basketArrays(lineitem), statsSource = lineitem)
+  def copurchasePairCounts(lineitem: DataFrame): DataFrame = {
+    // key on the (orderkey, partkey) projection so callers passing the
+    // full fact table and callers passing the projection hit ONE entry
+    val proj = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    SessionStageCache.getOrCompute(proj, "copurchasePairCounts") {
+      copurchasePairCountsBuild(proj).localCheckpoint(true)
+    }
+  }
+
+  /** The UNCACHED pair-support build pipeline — the plan PlanAuditSpec
+    * pins (the cached entry above is a Scan ExistingRDD leaf with no
+    * build plan to audit).
+    */
+  private[graft] def copurchasePairCountsBuild(lineitem: DataFrame): DataFrame = {
+    val proj = lineitem.select(col("l_orderkey"), col("l_partkey"))
+    pairCountsFromBaskets(basketArrays(proj), statsSource = proj)
+  }
 
   /** Parent-pointer hierarchy flattening by POINTER DOUBLING (B71's
     * engine, factored out in r14 so depth robustness is testable in

@@ -69,6 +69,26 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank").cast("long").as("rank"))
   }
 
+  /** Session-shared brute-force truth table (r16, the r15 verdict's
+    * shared-shortlist ask): top-10 by cosine for the SUPERSET audit
+    * probe set `vec_id < 50`. Seven queries run brute-force truth passes
+    * against probe sets that are all prefixes of this one (vec_id < 5 /
+    * < 10 / < 50, k ≤ 10), and per-query rankings are independent of
+    * which other probes ride the same pass — so one corpus scan serves
+    * every consumer via a query_id/rank filter, bit-identically to the
+    * per-query pass it replaces. A real audit pipeline lands exactly
+    * this table once per corpus snapshot (it IS the ground truth the
+    * recall reports are measured against). Output is probes×k rows
+    * (≤500); build cost is metered by the bench like every stage.
+    */
+  def truthTop10(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val proj = emb.select(col(idCol), col(vecCol))
+    SessionStageCache.getOrCompute(proj, s"bruteTruth:$idCol:$vecCol:q50:k10") {
+      bruteForceTopK(proj, proj.filter(col(idCol) < 50), idCol, vecCol, 10)
+        .localCheckpoint(true)
+    }
+  }
+
   /** Bucketed (IVF-style) top-k: identical contract, but candidates are
     * restricted to the query's bucket. Trades recall for a |bucket|/|corpus|
     * reduction in comparisons — the standard first step before a real ANN
@@ -180,6 +200,29 @@ object Similarity {
       .select(col("corpus_id"), col("cv"), col("m.cell").as("cell"))
   }
 
+  /** Session-shared default-geometry centroid table and cell assignment
+    * (r16): every default-seeded consumer at one nCells shares ONE seed
+    * pick (a collect job) and ONE corpus assignment pass — the
+    * assignment IS the IVF index, built once per corpus snapshot and
+    * queried at many operating points (the r15 ivfTopKSweep argument,
+    * extended across queries). Incremental/refresh callers pass an
+    * explicit seedSource and keep their private geometry.
+    */
+  private def ivfCentsCached(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    val proj = corpus.select(col(idCol), col(vecCol))
+    SessionStageCache.getOrCompute(proj, s"ivfCents:$idCol:$vecCol:$nCells") {
+      ivfCentroidTable(proj, idCol, vecCol, nCells)
+    }
+  }
+
+  private def ivfAssignCached(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    val proj = corpus.select(col(idCol), col(vecCol))
+    SessionStageCache.getOrCompute(proj, s"ivfAssign:$idCol:$vecCol:$nCells") {
+      ivfAssignWithCents(proj, idCol, vecCol, ivfCentsCached(corpus, idCol, vecCol, nCells))
+        .localCheckpoint(true)
+    }
+  }
+
   /** The IVF index's cell-assignment pass alone — (corpus_id, cv, cell)
     * under the same frozen md5-seed geometry as ivfTopK, for audits that
     * look at the index rather than query it (B197's balance report).
@@ -191,8 +234,10 @@ object Similarity {
       nCells: Int,
       seedSource: Option[DataFrame] = None
   ): DataFrame =
-    ivfAssignWithCents(corpus, idCol, vecCol,
-      ivfCentroidTable(seedSource.getOrElse(corpus), idCol, vecCol, nCells))
+    if (seedSource.isEmpty) ivfAssignCached(corpus, idCol, vecCol, nCells)
+    else
+      ivfAssignWithCents(corpus, idCol, vecCol,
+        ivfCentroidTable(seedSource.get, idCol, vecCol, nCells))
 
   def ivfTopK(
       corpus: DataFrame,
@@ -215,10 +260,15 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val cents = ivfCentroidTable(seedSource.getOrElse(corpus), idCol, vecCol, nCells)
+    // default geometry rides the session-shared index stages (r16)
+    val cents =
+      if (seedSource.isEmpty) ivfCentsCached(corpus, idCol, vecCol, nCells)
+      else ivfCentroidTable(seedSource.get, idCol, vecCol, nCells)
     def d(vec: Column): Column =
       dot(vec, vec) - lit(2.0) * dot(vec, col("ce")) + col("ce2")
-    val c = ivfAssignWithCents(corpus, idCol, vecCol, cents)
+    val c =
+      if (seedSource.isEmpty) ivfAssignCached(corpus, idCol, vecCol, nCells)
+      else ivfAssignWithCents(corpus, idCol, vecCol, cents)
 
     // per query: the nProbe nearest cells via the same distance, ranked
     // (distance, cell id); the window shuffles queries×nCells rows keyed
@@ -270,10 +320,17 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val cents = ivfCentroidTable(seedSource.getOrElse(corpus), idCol, vecCol, nCells)
+    // default geometry rides the session-shared index stages (r16); the
+    // r15 per-query eager checkpoint of the assignment became the shared
+    // entry itself
+    val cents =
+      if (seedSource.isEmpty) ivfCentsCached(corpus, idCol, vecCol, nCells)
+      else ivfCentroidTable(seedSource.get, idCol, vecCol, nCells)
     def d(vec: Column): Column =
       dot(vec, vec) - lit(2.0) * dot(vec, col("ce")) + col("ce2")
-    val c = ivfAssignWithCents(corpus, idCol, vecCol, cents).localCheckpoint(true)
+    val c =
+      if (seedSource.isEmpty) ivfAssignCached(corpus, idCol, vecCol, nCells)
+      else ivfAssignWithCents(corpus, idCol, vecCol, cents).localCheckpoint(true)
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .crossJoin(cents)

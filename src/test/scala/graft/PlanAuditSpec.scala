@@ -226,12 +226,13 @@ class PlanAuditSpec extends GraftSpecBase {
     // of a mostly-unique-key map-side mega-map — see GraphOps docstring).
     // The load-bearing property: the pair explode feeds the exchange
     // DIRECTLY (no HashAggregate between Generate and the repartition).
-    // audited on the UNCACHED build pipeline: copurchaseEdges itself now
-    // returns the session-cached checkpoint (a Scan ExistingRDD leaf, no
-    // build plan to audit) — the build shape this test pins lives in
-    // copurchasePairCounts + the support filter
+    // audited on the UNCACHED build pipeline: copurchaseEdges AND (r16)
+    // copurchasePairCounts both return session-cached checkpoints (a
+    // Scan ExistingRDD leaf, no build plan to audit) — the build shape
+    // this test pins lives in copurchasePairCountsBuild + the support
+    // filter
     val ep = graft.operators.GraphOps
-      .copurchasePairCounts(Tables.lineitem(spark, sf()))
+      .copurchasePairCountsBuild(Tables.lineitem(spark, sf()))
       .where(org.apache.spark.sql.functions.col("n_orders") >= 2)
       .select(org.apache.spark.sql.functions.col("u"), org.apache.spark.sql.functions.col("v"))
       .queryExecution.executedPlan.toString
