@@ -67,16 +67,23 @@ object QueriesExt52 {
       .select(col("doc_id"), posexplode(graft.functions.GramHashes.gramHashes(col("text"), g)).as(Seq("pidx", "h")))
       .select(col("doc_id"), (col("pidx") + 1).as("p"), col("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("p")).rowsBetween(-(w - 1), 0)
-    val selected = hashes
-      .withColumn("wmin", min(col("h")).over(win))
-      .filter(col("p") >= w) // only full windows select (standard winnowing)
-      .select(col("doc_id"), col("wmin").as("h"))
-      .distinct()
-      // r15: three consumers (per-doc totals, the df cap, the pair join)
-      // re-ran the explode+window+distinct reduce side each — exchange
-      // reuse only dedupes the map-side shuffle write. The selected-
-      // fingerprint set IS the index MOSS materializes once per corpus.
-      .localCheckpoint(true)
+    // r15: three consumers (per-doc totals, the df cap, the pair join)
+    // re-ran the explode+window+distinct reduce side each — exchange
+    // reuse only dedupes the map-side shuffle write. The selected-
+    // fingerprint set IS the index MOSS materializes once per corpus.
+    // r16: promoted from a per-invocation checkpoint to a session stage —
+    // dedup_detector_agreement re-invokes this whole query, so the
+    // selection pipeline ran once per CONSUMER; now once per session
+    // (build metered by the bench like every stage).
+    val selected = graft.operators.SessionStageCache.getOrCompute(
+      documents(s, dir), s"winnowFingerprints:$g:$w") {
+      hashes
+        .withColumn("wmin", min(col("h")).over(win))
+        .filter(col("p") >= w) // only full windows select (standard winnowing)
+        .select(col("doc_id"), col("wmin").as("h"))
+        .distinct()
+        .localCheckpoint(true)
+    }
     val perDoc = selected.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val rare = selected
       .join(

@@ -630,6 +630,25 @@ object Similarity {
       k: Int,
       iters: Int
   ): DataFrame = {
+    // r16: session-shared — three queries (B50 clusters, B176 balanced
+    // sampling, B312 purity) run the identical seeded 2-round assignment;
+    // the seed/centroid collect jobs and both assignment passes now run
+    // once per session, and consumers read the (vec_id, cluster, dist)
+    // checkpoint (narrow, corpus-row-sized — the landed cluster map a
+    // real pipeline materializes once).
+    val proj = embeddings.select(col(idCol), col(vecCol))
+    SessionStageCache.getOrCompute(proj, s"kmeansAssign:$idCol:$vecCol:$k:$iters") {
+      kmeansAssignBuild(proj, idCol, vecCol, k, iters).localCheckpoint(true)
+    }
+  }
+
+  private[graft] def kmeansAssignBuild(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
     val e = spread(embeddings)
       .select(col(idCol).cast("long").as("vec_id"), asDouble(col(vecCol)).as("v"))
 
