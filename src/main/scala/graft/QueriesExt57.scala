@@ -44,26 +44,34 @@ object QueriesExt57 {
     val filed = ev
       .crossJoin(broadcast(maxId))
       .select(expr("event_id * 64 div max_id").as("f"), col("user_id"))
+    // r16 (§2.3): every downstream consumer (bloom bits, boxes, probe
+    // pick, true-file counts) depends only on WHICH users appear in
+    // WHICH file — the distinct (f, user_id) incidence table — yet each
+    // re-scanned the event-sized `filed` projection (4 corpus passes).
+    // One distinct pass now feeds all four; it is (files × users-per-
+    // file)-bounded, exactly the per-file writer state the simulation
+    // models. All derivations are set-identical (bits depend only on
+    // user_id; min/max/distinct are duplicate-insensitive).
+    val duf = filed.distinct().localCheckpoint(true)
     // per-file bloom: distinct bit positions over k=3 md5 hash slices
     def bit(j: Int, c: org.apache.spark.sql.Column) =
       graft.functions.Hashing.h32(concat(lit(s"bf$j:"), c.cast("string"))) % m
-    val fileBits = filed
+    val fileBits = duf
       .select(col("f"), explode(array(
         bit(0, col("user_id")), bit(1, col("user_id")), bit(2, col("user_id")))).as("bit"))
       .distinct()
-    val boxes = filed.groupBy(col("f"))
+    val boxes = duf.groupBy(col("f"))
       .agg(min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"))
     // 16 deterministic probes: distinct users ranked by md5("probe:<u>")
-    val probes = filed.select(col("user_id")).distinct()
+    val probes = duf.select(col("user_id")).distinct()
       .select(col("user_id"),
         row_number().over(Window.orderBy(
           md5(concat(lit("probe:"), col("user_id").cast("string"))).asc,
           col("user_id").asc)).as("rk"))
       .where(col("rk") <= 16)
       .select(col("user_id"))
-    val trueFiles = filed
+    val trueFiles = duf
       .join(broadcast(probes), Seq("user_id"), "left_semi")
-      .select(col("user_id"), col("f")).distinct()
       .groupBy(col("user_id")).agg(count(lit(1)).as("files_true"))
     val mmFiles = boxes
       .crossJoin(broadcast(probes))
