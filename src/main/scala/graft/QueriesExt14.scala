@@ -37,13 +37,40 @@ object QueriesExt14 {
     * and the oracle can restate the semantics as a batch self-join.
     */
   private def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val srcDir = graft.streaming.WorkDirs.fresh(s, "ssjoin-src")
     val outDir = graft.streaming.WorkDirs.fresh(s, "ssjoin-out")
     val ckpt   = graft.streaming.WorkDirs.fresh(s, "ssjoin-ckpt")
-    events(s, dir).write.mode("overwrite").parquet(srcDir)
 
+    // r16 (§2.3): the old shape re-ENCODED the whole adapted events table
+    // into a scratch dir (a corpus-sized Spark write inside the query)
+    // just to give the file source a directory to watch. The landing-zone
+    // copy a real pipeline pays is a byte copy, not a decode+re-encode —
+    // so copy the RAW fixture bytes via the filesystem and apply
+    // Tables.events' ts adaptation INSIDE the stream, branched on the
+    // observed schema exactly like the batch loader.
+    val srcPath = s"$dir/events.parquet"
+    val srcDir  = graft.streaming.WorkDirs.fresh(s, "ssjoin-src")
+    locally {
+      val conf = s.sparkContext.hadoopConfiguration
+      val from = new org.apache.hadoop.fs.Path(srcPath)
+      val fs   = from.getFileSystem(conf)
+      val to   = new org.apache.hadoop.fs.Path(srcDir)
+      fs.mkdirs(to)
+      val files =
+        if (fs.getFileStatus(from).isDirectory)
+          fs.listStatus(from).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map(_.getPath)
+        else Array(from)
+      files.foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, new org.apache.hadoop.fs.Path(to, f.getName), false, conf)
+      }
+    }
     val schema = s.read.parquet(srcDir).schema
-    def stream = s.readStream.schema(schema).parquet(srcDir)
+    def adapt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    def stream = adapt(s.readStream.schema(schema).parquet(srcDir))
 
     val joined = graft.streaming.StreamJoins.viewPurchaseAttribution(
       stream.filter(col("event_type") === "view"),
