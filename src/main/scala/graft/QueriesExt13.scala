@@ -361,10 +361,13 @@ object QueriesExt13 {
     */
   private def curateStreamE2e(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val srcDir = graft.streaming.WorkDirs.fresh(s, "curstream-src")
+    // r16 (§2.3): stage the RAW fixture bytes (a filesystem copy) instead
+    // of decode+re-encoding the whole documents table through Spark —
+    // the documents loader applies no column adaptation, so the staged
+    // bytes stream identically
+    val srcDir = graft.streaming.WorkDirs.stageRawTable(s, dir, "documents", "curstream-src")
     val okDir  = graft.streaming.WorkDirs.fresh(s, "curstream-ok")
     val ckpt   = graft.streaming.WorkDirs.fresh(s, "curstream-ckpt")
-    documents(s, dir).write.mode("overwrite").parquet(srcDir)
 
     val schema = s.read.parquet(srcDir).schema
     val gated = s.readStream.schema(schema).parquet(srcDir)

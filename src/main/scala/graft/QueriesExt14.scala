@@ -47,22 +47,7 @@ object QueriesExt14 {
     // so copy the RAW fixture bytes via the filesystem and apply
     // Tables.events' ts adaptation INSIDE the stream, branched on the
     // observed schema exactly like the batch loader.
-    val srcPath = s"$dir/events.parquet"
-    val srcDir  = graft.streaming.WorkDirs.fresh(s, "ssjoin-src")
-    locally {
-      val conf = s.sparkContext.hadoopConfiguration
-      val from = new org.apache.hadoop.fs.Path(srcPath)
-      val fs   = from.getFileSystem(conf)
-      val to   = new org.apache.hadoop.fs.Path(srcDir)
-      fs.mkdirs(to)
-      val files =
-        if (fs.getFileStatus(from).isDirectory)
-          fs.listStatus(from).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map(_.getPath)
-        else Array(from)
-      files.foreach { f =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, new org.apache.hadoop.fs.Path(to, f.getName), false, conf)
-      }
-    }
+    val srcDir = graft.streaming.WorkDirs.stageRawTable(s, dir, "events", "ssjoin-src")
     val schema = s.read.parquet(srcDir).schema
     def adapt(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       schema("ts").dataType match {

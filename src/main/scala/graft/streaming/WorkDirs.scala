@@ -38,4 +38,28 @@ object WorkDirs {
     fs.mkdirs(dir)
     fs.makeQualified(dir).toString
   }
+
+  /** Stage a fixture table's RAW parquet bytes into a fresh scratch dir
+    * for a file stream source to watch (r16): the landing-zone copy a
+    * real pipeline pays is a byte copy, not a Spark decode + re-encode
+    * of the whole table — and the read-only fixture can ship as a single
+    * FILE, which the file source cannot watch directly. Returns the
+    * scratch dir. Any loader-side column adaptation (Tables.events' ts
+    * normalization) must be applied INSIDE the stream by the caller.
+    */
+  def stageRawTable(spark: SparkSession, fixtureDir: String, table: String, label: String): String = {
+    val dst  = fresh(spark, label)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val from = new Path(s"$fixtureDir/$table.parquet")
+    val fs   = from.getFileSystem(conf)
+    val to   = new Path(dst)
+    val files =
+      if (fs.getFileStatus(from).isDirectory)
+        fs.listStatus(from).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      else Array(from)
+    files.foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f, fs, new Path(to, f.getName), false, conf)
+    }
+    dst
+  }
 }
